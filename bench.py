@@ -1,0 +1,57 @@
+"""Headline benchmark: mixed-shape pile steps/sec (ShapePileBenchmark analogue,
+reference DemoBenchmarks/ShapePileBenchmark.cs:17).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+North star (BASELINE.json): 10k steps/sec on a 64k-body pile on one chip.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_BODIES = int(os.environ.get("BENCH_BODIES", 4096))
+STEPS = int(os.environ.get("BENCH_STEPS", 100))
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _build_pile_sim
+
+    sim, config = _build_pile_sim(
+        body_capacity=N_BODIES + 64,
+        max_pairs=max(4 * N_BODIES, 4096),
+        substeps=8,
+        num_colors=8,
+        n_bodies=N_BODIES,
+    )
+
+    dt = 1.0 / 60.0
+    # Warmup: compile + let the pile develop contacts.
+    for _ in range(10):
+        sim.timestep(dt)
+    jax.block_until_ready(sim.state)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        sim.timestep(dt)
+    jax.block_until_ready(sim.state)
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = STEPS / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": f"steps_per_sec_{N_BODIES}_body_mixed_pile",
+                "value": round(steps_per_sec, 2),
+                "unit": "steps/sec",
+                "vs_baseline": round(steps_per_sec / 10000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

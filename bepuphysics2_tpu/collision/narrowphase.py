@@ -1,0 +1,199 @@
+"""Narrow phase: type-pair dispatch → manifolds → contact constraints + warm-start carry.
+
+Mirrors the reference pipeline (reference: CollisionDetection/NarrowPhase.cs:399
+``HandleOverlap`` → CollisionBatcher.cs:33 SIMD type batching → manifold →
+NarrowPhaseConstraintUpdate.cs:291 constraint update with PairCache feature-id impulse
+redistribution, PairCache.cs:78). TPU re-design:
+
+- the CollisionBatcher's accumulate-until-SIMD-width batching becomes: run each registered
+  type-pair tester over the full pair array under a type mask (fixed shapes, no dynamic
+  batching needed — SURVEY §2.9 P8);
+- the persistent PairCache becomes last frame's constraint records; matching is a sorted
+  key lookup (searchsorted) on the pair key, and per-contact accumulated-impulse carry
+  matches feature ids exactly like the reference's redistribution;
+- material blending (INarrowPhaseCallbacks.ConfigureContactManifold equivalent) combines
+  per-body materials: friction = sqrt(fA·fB), spring settings & max recovery = min.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..bodies import BodyState
+from ..shapes.registry import BOX, CAPSULE, SPHERE, ShapeData
+from ..utils.spring import SpringSettings
+from ..utils.vec import Vec2, Vec3
+from ..constraints.contact import ContactImpulses, ContactPrestep
+from . import testers
+from .broadphase import PairList
+from .manifold import Manifold
+
+
+class PairCache(NamedTuple):
+    """Previous frame's contact records for warm starting (reference PairCache.cs:102)."""
+
+    key: jnp.ndarray  # (MP,) int32 = a * NB + b
+    feature: jnp.ndarray  # (MP, 4) int32
+    penetration: jnp.ndarray  # (MP, 4)
+    tangent: Vec2  # (MP,)
+    twist: jnp.ndarray  # (MP,)
+    valid: jnp.ndarray  # (MP,) bool
+
+    @staticmethod
+    def empty(capacity: int) -> "PairCache":
+        return PairCache(
+            key=jnp.full(capacity, -1, jnp.int32),
+            feature=jnp.zeros((capacity, 4), jnp.int32),
+            penetration=jnp.zeros((capacity, 4), jnp.float32),
+            tangent=Vec2.zeros(capacity),
+            twist=jnp.zeros(capacity, jnp.float32),
+            valid=jnp.zeros(capacity, bool),
+        )
+
+
+# Registered convex type-pair testers (canonical order: type_a <= type_b).
+# Each entry: (type_a, type_b, fn(pos_ab, orn_a, orn_b, params_a, params_b) -> Manifold).
+def _sphere_sphere(pos_ab, orn_a, orn_b, pa, pb):
+    return testers.sphere_sphere(pos_ab, pa, pb)
+
+
+def _sphere_capsule(pos_ab, orn_a, orn_b, pa, pb):
+    return testers.sphere_capsule(pos_ab, orn_b, pa, pb)
+
+
+def _sphere_box(pos_ab, orn_a, orn_b, pa, pb):
+    return testers.sphere_box(pos_ab, orn_b, pa, pb)
+
+
+def _capsule_capsule(pos_ab, orn_a, orn_b, pa, pb):
+    return testers.capsule_capsule(pos_ab, orn_a, orn_b, pa, pb)
+
+
+def _box_box(pos_ab, orn_a, orn_b, pa, pb):
+    return testers.box_box(pos_ab, orn_a, orn_b, pa, pb)
+
+
+TESTER_REGISTRY = [
+    (SPHERE, SPHERE, _sphere_sphere),
+    (SPHERE, CAPSULE, _sphere_capsule),
+    (SPHERE, BOX, _sphere_box),
+    (CAPSULE, CAPSULE, _capsule_capsule),
+    (BOX, BOX, _box_box),
+]
+
+
+def narrow_phase(
+    state: BodyState,
+    shapes: ShapeData,
+    pairs: PairList,
+    cache: PairCache,
+    dt,
+    spec_margin_max: float = 1.0e30,
+):
+    """Run all testers and build contact constraint records (+warm-started impulses)."""
+    n_bodies = state.pos.x.shape[0]
+    mp = pairs.a.shape[0]
+    a, b = pairs.a, pairs.b
+
+    shape_a = jnp.maximum(state.shape[a], 0)
+    shape_b = jnp.maximum(state.shape[b], 0)
+    ta = jnp.where(state.shape[a] >= 0, shapes.type[shape_a], -1)
+    tb = jnp.where(state.shape[b] >= 0, shapes.type[shape_b], -1)
+
+    # Canonical order for the testers: lower type id first.
+    swap = ta > tb
+    i = jnp.where(swap, b, a)
+    j = jnp.where(swap, a, b)
+    ti = jnp.where(swap, tb, ta)
+    tj = jnp.where(swap, ta, tb)
+    params_i = shapes.params[jnp.where(swap, shape_b, shape_a)]
+    params_j = shapes.params[jnp.where(swap, shape_a, shape_b)]
+
+    pos_i = state.pos[i]
+    pos_j = state.pos[j]
+    orn_i = state.orn[i]
+    orn_j = state.orn[j]
+    pos_ij = pos_j - pos_i
+
+    manifold = Manifold.empty(mp)
+    for t0, t1, fn in TESTER_REGISTRY:
+        m = fn(pos_ij, orn_i, orn_j, params_i, params_j)
+        sel = pairs.valid & (ti == t0) & (tj == t1)
+        manifold = m.where(sel, manifold)
+
+    # Un-flip manifolds of swapped pairs so offsets are relative to scene body `a` and the
+    # normal points from b to a. For swapped pairs the tester's A is scene body b, so the
+    # offset correction is pos(tester A) − pos(scene a) = pos_b − pos_a = pos_i − pos_j.
+    flipped = manifold.flipped(pos_i - pos_j)
+    manifold = flipped.where(swap, manifold)
+
+    # Speculative margin acceptance (reference Collidable speculative margin clamp,
+    # Collidables/Collidable.cs:115): discard contacts further than the pair margin.
+    rel_speed = (state.vel[a] - state.vel[b]).length()
+    margin = jnp.minimum(rel_speed * dt + 0.1, spec_margin_max)
+    contact_ok = manifold.contact_mask & (manifold.depth > -margin[:, None])
+    record_valid = pairs.valid & jnp.any(contact_ok, axis=-1)
+
+    # Pair material (geometric-mean friction; conservative min spring/recovery).
+    friction = jnp.sqrt(state.friction[a] * state.friction[b])
+    freq = jnp.minimum(state.spring_frequency[a], state.spring_frequency[b])
+    damping = jnp.maximum(state.spring_damping[a], state.spring_damping[b])
+    max_rec = jnp.minimum(state.max_recovery_velocity[a], state.max_recovery_velocity[b])
+
+    prestep = ContactPrestep(
+        body_a=a,
+        body_b=b,
+        normal=manifold.normal,
+        offset_a=manifold.offset_a,
+        offset_b=state.pos[b] - state.pos[a],
+        depth=manifold.depth,
+        contact_mask=contact_ok,
+        valid=record_valid,
+        friction=friction,
+        spring=SpringSettings.make(freq, damping),
+        max_recovery_velocity=max_rec,
+        feature=manifold.feature,
+    )
+
+    imp = _warm_start_from_cache(prestep, cache, n_bodies)
+    return prestep, imp
+
+
+def _warm_start_from_cache(prestep: ContactPrestep, cache: PairCache, n_bodies: int) -> ContactImpulses:
+    """Carry accumulated impulses from last frame's records by (pair key, feature id)
+    (reference NarrowPhaseConstraintUpdate impulse redistribution + PairCache.cs:78)."""
+    key = prestep.body_a * n_bodies + prestep.body_b
+    sort_idx = jnp.argsort(jnp.where(cache.valid, cache.key, 2**31 - 1))
+    sorted_keys = jnp.where(cache.valid, cache.key, 2**31 - 1)[sort_idx]
+    pos = jnp.searchsorted(sorted_keys, key)
+    pos_c = jnp.minimum(pos, sorted_keys.shape[0] - 1)
+    hit_slot = sort_idx[pos_c]
+    matched = (sorted_keys[pos_c] == key) & prestep.valid & cache.valid[hit_slot]
+
+    # Feature-id matched penetration impulse carry: (MP, 4new, 4old) equality.
+    old_feat = cache.feature[hit_slot]  # (MP,4)
+    eq = (prestep.feature[:, :, None] == old_feat[:, None, :]) & prestep.contact_mask[:, :, None]
+    old_pen = cache.penetration[hit_slot]
+    pen = jnp.sum(jnp.where(eq, old_pen[:, None, :], 0.0), axis=-1)
+    pen = jnp.where(matched[:, None], pen, 0.0)
+
+    tangent = Vec2(
+        jnp.where(matched, cache.tangent.x[hit_slot], 0.0),
+        jnp.where(matched, cache.tangent.y[hit_slot], 0.0),
+    )
+    twist = jnp.where(matched, cache.twist[hit_slot], 0.0)
+    return ContactImpulses(pen, tangent, twist)
+
+
+def update_cache(prestep: ContactPrestep, imp: ContactImpulses, n_bodies: int) -> PairCache:
+    """Store this frame's records for next frame's warm start."""
+    key = jnp.where(prestep.valid, prestep.body_a * n_bodies + prestep.body_b, -1)
+    return PairCache(
+        key=key,
+        feature=prestep.feature,
+        penetration=imp.penetration,
+        tangent=imp.tangent,
+        twist=imp.twist,
+        valid=prestep.valid,
+    )

@@ -1,0 +1,568 @@
+"""Vectorized convex pair testers — speculative contact manifold generation.
+
+Each tester processes ALL pair records at once (shapes gathered per record), mirroring the
+reference's SIMD-batched `*PairTester` structs (reference:
+CollisionDetection/CollisionTasks/SpherePairTester.cs:10, BoxPairTester.cs,
+CapsulePairTester.cs...) with lanes = the full pair array instead of a CPU SIMD bundle.
+Testers always produce a manifold (speculative contacts with negative depth when
+separated); the caller masks records by type-pair and acceptance (depth > −margin).
+
+Conventions (match the reference):
+- normal points from B to A;
+- contact offsets are world-space relative to A's center;
+- each tester receives A = first shape of its canonical type pair; the dispatcher flips
+  pair order as needed and un-flips the resulting manifold.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..utils.vec import Quat, Vec3
+from .manifold import Manifold
+
+_EPS = 1e-10
+
+
+def _single_contact(offset: Vec3, depth, normal: Vec3, feature=0) -> Manifold:
+    n = offset.x.shape[0]
+    zero3 = Vec3.zeros((n, 4))
+    return Manifold(
+        normal=normal,
+        offset_a=Vec3(
+            zero3.x.at[:, 0].set(offset.x),
+            zero3.y.at[:, 0].set(offset.y),
+            zero3.z.at[:, 0].set(offset.z),
+        ),
+        depth=jnp.zeros((n, 4), jnp.float32).at[:, 0].set(depth),
+        feature=jnp.full((n, 4), feature, jnp.int32),
+        contact_mask=jnp.zeros((n, 4), bool).at[:, 0].set(True),
+    )
+
+
+def sphere_sphere(pos_ab: Vec3, params_a, params_b) -> Manifold:
+    """reference: CollisionTasks/SpherePairTester.cs:25."""
+    ra = params_a[:, 0]
+    rb = params_b[:, 0]
+    d2 = pos_ab.length_squared()
+    d = jnp.sqrt(d2)
+    inv_d = jnp.where(d > _EPS, 1.0 / jnp.maximum(d, _EPS), 0.0)
+    dir_ab = pos_ab * inv_d  # A → B
+    # Degenerate co-centered: arbitrary up normal.
+    dir_ab = dir_ab.where(d > _EPS, Vec3.full(d.shape, 0.0, 1.0, 0.0))
+    depth = ra + rb - d
+    normal = -dir_ab  # B → A
+    contact = dir_ab * (ra - 0.5 * depth)
+    return _single_contact(contact, depth, normal)
+
+
+def sphere_box(pos_ab: Vec3, orn_b: Quat, params_a, params_b) -> Manifold:
+    """Sphere A vs box B: clamp the sphere center (expressed in B's frame) to the box,
+    with interior fallback to the nearest face (reference: CollisionTasks/SphereBoxTester.cs)."""
+    r = params_a[:, 0]
+    h = Vec3(params_b[:, 0], params_b[:, 1], params_b[:, 2])
+    # Sphere center in B's local frame.
+    local_center = orn_b.rotate_inverse(-pos_ab)  # (posA - posB) in B frame
+    clamped = local_center.max(-1.0 * h).min(h)
+    offset = local_center - clamped
+    dist2 = offset.length_squared()
+    outside = dist2 > _EPS
+    dist = jnp.sqrt(jnp.maximum(dist2, _EPS))
+
+    # Interior: push out through nearest face.
+    face_dist = Vec3(h.x - jnp.abs(local_center.x), h.y - jnp.abs(local_center.y), h.z - jnp.abs(local_center.z))
+    min_fd = jnp.minimum(face_dist.x, jnp.minimum(face_dist.y, face_dist.z))
+    sel_x = face_dist.x == min_fd
+    sel_y = (~sel_x) & (face_dist.y == min_fd)
+    sgn = lambda c: jnp.where(c >= 0, 1.0, -1.0)
+    interior_normal = Vec3(
+        jnp.where(sel_x, sgn(local_center.x), 0.0),
+        jnp.where(sel_y, sgn(local_center.y), 0.0),
+        jnp.where(~(sel_x | sel_y), sgn(local_center.z), 0.0),
+    )
+    local_normal = (offset * (1.0 / dist)).where(outside, interior_normal)
+    depth = jnp.where(outside, r - dist, r + min_fd)
+
+    # Surface point on the box (world), then offset from sphere center A.
+    surface_local = clamped.where(
+        outside,
+        Vec3(
+            jnp.where(sel_x, sgn(local_center.x) * h.x, local_center.x),
+            jnp.where(sel_y, sgn(local_center.y) * h.y, local_center.y),
+            jnp.where(~(sel_x | sel_y), sgn(local_center.z) * h.z, local_center.z),
+        ),
+    )
+    normal = orn_b.rotate(local_normal)  # points from box surface toward sphere = B→A ✓
+    contact_world_rel_a = orn_b.rotate(surface_local) + pos_ab  # from A center
+    # Place the contact at the sphere surface toward the box (midpoint of overlap):
+    contact = normal * -(r - 0.5 * jnp.maximum(depth, 0.0))
+    contact = contact.where(depth < r, contact_world_rel_a)  # deep case: use surface point
+    return _single_contact(contact, depth, normal)
+
+
+def _closest_on_segment(p: Vec3, half_length, axis: Vec3):
+    """t of closest point on segment {t·axis, |t|≤hl} to point p."""
+    t = p.dot(axis)
+    return jnp.clip(t, -half_length, half_length)
+
+
+def sphere_capsule(pos_ab: Vec3, orn_b: Quat, params_a, params_b) -> Manifold:
+    """Sphere A vs capsule B (reference: CollisionTasks/SphereCapsuleTester.cs)."""
+    ra = params_a[:, 0]
+    rb = params_b[:, 0]
+    hl = params_b[:, 1]
+    axis = orn_b.rotate(Vec3.full(ra.shape, 0.0, 1.0, 0.0))
+    # Closest point on B's segment to A's center: segment center at posB = A + pos_ab.
+    rel = -pos_ab  # A center relative to B center
+    t = _closest_on_segment(rel, hl, axis)
+    closest = pos_ab + axis * t  # from A center to closest segment point
+    d = closest.length()
+    inv_d = jnp.where(d > _EPS, 1.0 / jnp.maximum(d, _EPS), 0.0)
+    dir_ab = (closest * inv_d).where(d > _EPS, Vec3.full(d.shape, 0.0, 1.0, 0.0))
+    depth = ra + rb - d
+    normal = -dir_ab
+    contact = dir_ab * (ra - 0.5 * depth)
+    return _single_contact(contact, depth, normal)
+
+
+def capsule_capsule(pos_ab: Vec3, orn_a: Quat, orn_b: Quat, params_a, params_b) -> Manifold:
+    """Capsule-capsule via segment-segment closest points; 2-contact manifold when the
+    segments are near-parallel (reference: CollisionTasks/CapsulePairTester.cs:16)."""
+    ra, hla = params_a[:, 0], params_a[:, 1]
+    rb, hlb = params_b[:, 0], params_b[:, 1]
+    da = orn_a.rotate(Vec3.full(ra.shape, 0.0, 1.0, 0.0))
+    db = orn_b.rotate(Vec3.full(ra.shape, 0.0, 1.0, 0.0))
+    r = pos_ab  # B center - A center
+
+    # Segment-segment closest points (clamped, standard quadratic).
+    a_dot_b = da.dot(db)
+    da_r = da.dot(r)
+    db_r = db.dot(r)
+    denom = 1.0 - a_dot_b * a_dot_b
+    ta = jnp.where(denom > 1e-7, jnp.clip((da_r - a_dot_b * db_r) / jnp.maximum(denom, 1e-7), -hla, hla), 0.0)
+    tb = jnp.clip(db.dot(da * ta - r), -hlb, hlb)
+    ta = jnp.clip(da.dot(r + db * tb), -hla, hla)
+
+    pa = da * ta  # on A's segment, rel A
+    pb = r + db * tb  # on B's segment, rel A
+    d_vec = pb - pa
+    d = d_vec.length()
+    inv_d = jnp.where(d > _EPS, 1.0 / jnp.maximum(d, _EPS), 0.0)
+    dir_ab = (d_vec * inv_d).where(d > _EPS, da.cross(Vec3.full(d.shape, 0.0, 1.0, 0.0)).normalize())
+    normal = -dir_ab
+    depth0 = ra + rb - d
+    contact0 = pa + dir_ab * (ra - 0.5 * depth0)
+
+    # Parallel case: add a second contact from the overlapping interval of the segments.
+    parallel = denom <= 1e-3
+    # Project B's endpoints onto A's axis, intersect intervals.
+    e0 = db_r - a_dot_b * hlb
+    e1 = db_r + a_dot_b * hlb
+    lo = jnp.maximum(-hla, jnp.minimum(e0, e1))
+    hi = jnp.minimum(hla, jnp.maximum(e0, e1))
+    t0 = lo
+    t1 = hi
+    pa1 = da * t1
+    # Closest point on B to pa1:
+    tb1 = jnp.clip(db.dot(pa1 - r), -hlb, hlb)
+    pb1 = r + db * tb1
+    d1_vec = pb1 - pa1
+    d1 = d1_vec.length()
+    depth1 = ra + rb - d1
+    contact1 = pa1 + dir_ab * (ra - 0.5 * depth1)
+    # First contact uses t0 end in parallel case:
+    pa0 = da * t0
+    tb0 = jnp.clip(db.dot(pa0 - r), -hlb, hlb)
+    pb0 = r + db * tb0
+    d0 = (pb0 - pa0).length()
+    depth0p = ra + rb - d0
+    contact0p = pa0 + dir_ab * (ra - 0.5 * depth0p)
+
+    use0 = contact0p.where(parallel, contact0)
+    dep0 = jnp.where(parallel, depth0p, depth0)
+
+    n = ra.shape[0]
+    z4 = jnp.zeros((n, 4), jnp.float32)
+    return Manifold(
+        normal=normal,
+        offset_a=Vec3(
+            z4.at[:, 0].set(use0.x).at[:, 1].set(contact1.x),
+            z4.at[:, 0].set(use0.y).at[:, 1].set(contact1.y),
+            z4.at[:, 0].set(use0.z).at[:, 1].set(contact1.z),
+        ),
+        depth=z4.at[:, 0].set(dep0).at[:, 1].set(depth1),
+        feature=jnp.zeros((n, 4), jnp.int32).at[:, 1].set(1),
+        contact_mask=jnp.zeros((n, 4), bool).at[:, 0].set(True).at[:, 1].set(parallel & (hi > lo)),
+    )
+
+
+def _box_vertices(h: Vec3):
+    """(N, 8) local vertices of a box with half extents h."""
+    signs = jnp.array(
+        [[-1, -1, -1], [1, -1, -1], [-1, 1, -1], [1, 1, -1],
+         [-1, -1, 1], [1, -1, 1], [-1, 1, 1], [1, 1, 1]],
+        jnp.float32,
+    )
+    return Vec3(
+        h.x[:, None] * signs[None, :, 0],
+        h.y[:, None] * signs[None, :, 1],
+        h.z[:, None] * signs[None, :, 2],
+    )
+
+def box_box(pos_ab: Vec3, orn_a: Quat, orn_b: Quat, params_a, params_b) -> Manifold:
+    """Box-box: SAT over 15 axes, then a fixed-candidate face manifold (reference:
+    CollisionTasks/BoxPairTester.cs — same capability; formulated scatter-free for XLA).
+
+    Face manifolds are built from 24 masked candidates in the reference face's 2D frame:
+    4 incident-face vertices (inside the face rectangle), 16 incident-edge × rectangle-slab
+    intersections, and 4 rectangle corners (inside the incident quad) — the exact convex
+    polygon intersection without Sutherland-Hodgman compaction. Candidates reduce to ≤4 by
+    deepest/extremal selection (reference ManifoldCandidateHelper capability). Edge-edge
+    axes produce a single closest-point contact.
+    """
+    N = params_a.shape[0]
+    ha = Vec3(params_a[:, 0], params_a[:, 1], params_a[:, 2])
+    hb = Vec3(params_b[:, 0], params_b[:, 1], params_b[:, 2])
+
+    # Orientation of B in A's frame; B center offset t in A's frame.
+    q_ab = orn_a.conjugate().mul(orn_b)
+    rb = q_ab.to_matrix()  # rows = images of B's local axes, in A frame
+    t = orn_a.rotate_inverse(pos_ab)
+
+    b_axes = [rb.rx, rb.ry, rb.rz]
+    ha_arr = [ha.x, ha.y, ha.z]
+    hb_arr = [hb.x, hb.y, hb.z]
+    ones = jnp.ones((N,), jnp.float32)
+    zeros = jnp.zeros((N,), jnp.float32)
+    a_axes = [Vec3(ones, zeros, zeros), Vec3(zeros, ones, zeros), Vec3(zeros, zeros, ones)]
+
+    def project_b(axis: Vec3):
+        return (
+            jnp.abs(axis.dot(b_axes[0])) * hb_arr[0]
+            + jnp.abs(axis.dot(b_axes[1])) * hb_arr[1]
+            + jnp.abs(axis.dot(b_axes[2])) * hb_arr[2]
+        )
+
+    def project_a(axis: Vec3):
+        return jnp.abs(axis.x) * ha_arr[0] + jnp.abs(axis.y) * ha_arr[1] + jnp.abs(axis.z) * ha_arr[2]
+
+    big = jnp.full((N,), 3.0e38, jnp.float32)
+    best_depth = big
+    best_axis = Vec3.full((N,), 0.0, 1.0, 0.0)
+    best_id = jnp.zeros((N,), jnp.int32)
+
+    def consider(depth, axis, axis_id, best_depth, best_axis, best_id, bias=1.0):
+        # Calibrate the axis to point from B to A (axis·t < 0; t = A→B in A frame).
+        flip = axis.dot(t) > 0.0
+        axis = axis.where(~flip, -1.0 * axis)
+        better = depth * bias < best_depth
+        return (
+            jnp.where(better, depth, best_depth),
+            axis.where(better, best_axis),
+            jnp.where(better, axis_id, best_id),
+        )
+
+    for i in range(3):  # face axes of A (ids 0-2)
+        axis = a_axes[i]
+        depth = ha_arr[i] + project_b(axis) - jnp.abs(axis.dot(t))
+        best_depth, best_axis, best_id = consider(depth, axis, i, best_depth, best_axis, best_id)
+    for j in range(3):  # face axes of B (ids 3-5)
+        axis = b_axes[j]
+        depth = project_a(axis) + hb_arr[j] - jnp.abs(axis.dot(t))
+        best_depth, best_axis, best_id = consider(depth, axis, 3 + j, best_depth, best_axis, best_id)
+    for i in range(3):  # edge-edge axes (ids 6-14); slight bias prefers face manifolds
+        for j in range(3):
+            raw = a_axes[i].cross(b_axes[j])
+            ln = raw.length()
+            ok = ln > 1e-6
+            axis = raw * jnp.where(ok, 1.0 / jnp.maximum(ln, 1e-6), 0.0)
+            depth = jnp.where(ok, project_a(axis) + project_b(axis) - jnp.abs(axis.dot(t)), big)
+            best_depth, best_axis, best_id = consider(
+                depth, axis, 6 + i * 3 + j, best_depth, best_axis, best_id, bias=1.0 + 1e-4
+            )
+
+    face_contact = best_id < 6
+    a_is_ref = best_id < 3
+    n_local = best_axis  # B→A in A frame
+
+    # ---- Shared face-manifold builder in the reference face's (u, v) frame. ------------
+    def face_candidates(n_ref_out: Vec3, h_ref: Vec3, ref_axes, inc_axes, h_inc, t_inc: Vec3):
+        """``n_ref_out``: unit normal of the reference box pointing toward the incident
+        box (in the working frame). ``ref_axes``: the reference box's axes in the working
+        frame. ``t_inc``: incident box center. Returns candidate (points_3d Vec3 (N,24),
+        mask (N,24), feature (N,24), and the reference face plane offset s_ref)."""
+        # Pick the reference face dim = argmax |n_ref_out·ref_axis|, and its two tangents.
+        dots = jnp.stack([jnp.abs(n_ref_out.dot(ax)) for ax in ref_axes], -1)
+        rdim = jnp.argmax(dots, -1)
+
+        def pick(vecs, k):
+            return Vec3(
+                jnp.where(k == 0, vecs[0].x, jnp.where(k == 1, vecs[1].x, vecs[2].x)),
+                jnp.where(k == 0, vecs[0].y, jnp.where(k == 1, vecs[1].y, vecs[2].y)),
+                jnp.where(k == 0, vecs[0].z, jnp.where(k == 1, vecs[1].z, vecs[2].z)),
+            )
+
+        def pick_h(h3, k):
+            hs = [h3.x, h3.y, h3.z]
+            return jnp.where(k == 0, hs[0], jnp.where(k == 1, hs[1], hs[2]))
+
+        u_ax = pick(ref_axes, (rdim + 1) % 3)
+        v_ax = pick(ref_axes, (rdim + 2) % 3)
+        h_u = pick_h(h_ref, (rdim + 1) % 3)
+        h_v = pick_h(h_ref, (rdim + 2) % 3)
+
+        # Incident face: the incident box face most anti-parallel to n_ref_out.
+        inc_dots = jnp.stack([n_ref_out.dot(ax) for ax in inc_axes], -1)
+        k_inc = jnp.argmax(jnp.abs(inc_dots), -1)
+        s_inc = -jnp.sign(jnp.take_along_axis(inc_dots, k_inc[:, None], -1)[:, 0])
+        s_inc = jnp.where(s_inc == 0, 1.0, s_inc)
+        inc_n_ax = pick(inc_axes, k_inc)
+        inc_u_ax = pick(inc_axes, (k_inc + 1) % 3)
+        inc_v_ax = pick(inc_axes, (k_inc + 2) % 3)
+        inc_h_n = pick_h(h_inc, k_inc)
+        inc_h_u = pick_h(h_inc, (k_inc + 1) % 3)
+        inc_h_v = pick_h(h_inc, (k_inc + 2) % 3)
+        face_center = t_inc + inc_n_ax * (s_inc * inc_h_n)
+        signs = [(-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0)]
+        verts = [face_center + inc_u_ax * (su * inc_h_u) + inc_v_ax * (sv * inc_h_v) for su, sv in signs]
+
+        # 2D coords of incident verts in the reference face frame.
+        vu = [u_ax.dot(p) for p in verts]
+        vv = [v_ax.dot(p) for p in verts]
+
+        cand_pts = []
+        cand_mask = []
+        cand_feat = []
+        eps = 1e-6
+        # (a) incident verts inside the rectangle.
+        for m in range(4):
+            inside = (jnp.abs(vu[m]) <= h_u + eps) & (jnp.abs(vv[m]) <= h_v + eps)
+            cand_pts.append(verts[m])
+            cand_mask.append(inside)
+            cand_feat.append(jnp.full((N,), m, jnp.int32))
+        # (b) incident edge × slab-plane intersections.
+        for m in range(4):
+            p0 = verts[m]
+            p1 = verts[(m + 1) % 4]
+            u0, u1 = vu[m], vu[(m + 1) % 4]
+            v0, v1 = vv[m], vv[(m + 1) % 4]
+            for p_idx, (c0, c1, lim, other0, other1, other_lim) in enumerate(
+                [
+                    (u0, u1, h_u, v0, v1, h_v),  # u = +h_u
+                    (u0, u1, -1.0, v0, v1, h_v),  # placeholder sign handled below
+                    (v0, v1, h_v, u0, u1, h_u),
+                    (v0, v1, -1.0, u0, u1, h_u),
+                ]
+            ):
+                if p_idx == 1:
+                    lim = -h_u
+                elif p_idx == 3:
+                    lim = -h_v
+                denom = c1 - c0
+                frac = (lim - c0) / jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9)
+                valid = (jnp.abs(denom) > 1e-9) & (frac >= 0.0) & (frac <= 1.0)
+                other = other0 + (other1 - other0) * frac
+                valid = valid & (jnp.abs(other) <= other_lim + eps)
+                pt = p0 + (p1 - p0) * frac
+                cand_pts.append(pt)
+                cand_mask.append(valid)
+                cand_feat.append(jnp.full((N,), 16 + m * 4 + p_idx, jnp.int32))
+        # (c) rectangle corners inside the incident quad (2D convex test) — lifted onto
+        # the incident face plane along the face normal direction.
+        inc_n = inc_n_ax * s_inc  # outward incident-face normal (points toward reference)
+        n_dim = pick(ref_axes, rdim)
+        plane_d = inc_n.dot(verts[0])
+        denom_w = inc_n.dot(n_dim)
+        for ci, (su, sv) in enumerate(signs):
+            cu = su * h_u
+            cv = sv * h_v
+            # inside incident quad: consistent cross signs in (u, v)
+            inside = jnp.ones((N,), bool)
+            for m in range(4):
+                eu = vu[(m + 1) % 4] - vu[m]
+                ev = vv[(m + 1) % 4] - vv[m]
+                cross = eu * (cv - vv[m]) - ev * (cu - vu[m])
+                # winding sign per record: use the quad's own signed area
+                inside = inside & (cross * _quad_winding(vu, vv) >= -eps)
+            base = u_ax * cu + v_ax * cv  # point in the u,v plane through origin
+            w = (plane_d - inc_n.dot(base)) / jnp.where(jnp.abs(denom_w) > 1e-9, denom_w, 1e-9)
+            pt = base + n_dim * w
+            cand_pts.append(pt)
+            cand_mask.append(inside & (jnp.abs(denom_w) > 1e-9))
+            cand_feat.append(jnp.full((N,), 64 + ci, jnp.int32))
+
+        pts = Vec3(
+            jnp.stack([p.x for p in cand_pts], -1),
+            jnp.stack([p.y for p in cand_pts], -1),
+            jnp.stack([p.z for p in cand_pts], -1),
+        )
+        mask = jnp.stack(cand_mask, -1)
+        feat = jnp.stack(cand_feat, -1)
+        return pts, mask, feat
+
+    def _quad_winding(vu, vv):
+        # 2x signed area of incident quad in (u, v); sign gives winding.
+        area = jnp.zeros_like(vu[0])
+        for m in range(4):
+            area = area + vu[m] * vv[(m + 1) % 4] - vu[(m + 1) % 4] * vv[m]
+        return jnp.sign(jnp.where(area == 0, 1.0, area))
+
+    # A as reference (work in A frame).
+    n_ref_a = -1.0 * n_local  # from A toward B
+    pts_a, mask_a, feat_a = face_candidates(n_ref_a, ha, a_axes, b_axes, hb, t)
+    # B as reference (work in B frame): transform n_local and A's pose into B frame.
+    rb_t_rows = [
+        Vec3(rb.rx.x, rb.ry.x, rb.rz.x),
+        Vec3(rb.rx.y, rb.ry.y, rb.rz.y),
+        Vec3(rb.rx.z, rb.ry.z, rb.rz.z),
+    ]  # rows of rb^T = A's axes expressed in B frame? (columns of rb)
+
+    def to_b_frame(v: Vec3) -> Vec3:
+        return Vec3(rb.rx.dot(v), rb.ry.dot(v), rb.rz.dot(v))
+
+    n_local_b = to_b_frame(n_local)
+    t_b = to_b_frame(-1.0 * t)  # A center in B frame
+    ones_b = jnp.ones((N,), jnp.float32)
+    b_frame_axes = [Vec3(ones_b, zeros, zeros), Vec3(zeros, ones_b, zeros), Vec3(zeros, zeros, ones_b)]
+    a_axes_in_b = rb_t_rows  # images of A's axes in B frame
+    pts_b, mask_b, feat_b = face_candidates(
+        1.0 * n_local_b, hb, b_frame_axes, a_axes_in_b, ha, t_b
+    )
+    # Transform B-frame candidate points into A frame: p_a = t + R p_b (R rows = b_axes).
+    def from_b_frame(p: Vec3) -> Vec3:
+        return Vec3(
+            t.x[:, None] + rb.rx.x[:, None] * p.x + rb.ry.x[:, None] * p.y + rb.rz.x[:, None] * p.z,
+            t.y[:, None] + rb.rx.y[:, None] * p.x + rb.ry.y[:, None] * p.y + rb.rz.y[:, None] * p.z,
+            t.z[:, None] + rb.rx.z[:, None] * p.x + rb.ry.z[:, None] * p.y + rb.rz.z[:, None] * p.z,
+        )
+
+    pts_b_in_a = from_b_frame(pts_b)
+
+    am = a_is_ref[:, None]
+    pts = Vec3(
+        jnp.where(am, pts_a.x, pts_b_in_a.x),
+        jnp.where(am, pts_a.y, pts_b_in_a.y),
+        jnp.where(am, pts_a.z, pts_b_in_a.z),
+    )
+    cmask = jnp.where(am, mask_a, mask_b)
+    cfeat = jnp.where(am, feat_a, feat_b + 4096)
+
+    # Per-candidate depth along n (n points B→A): A's face toward B at n·x = −s_a ⇒
+    # depth = s_a + n·p ; B's face toward A at n·(x−t) = +s_b ⇒ depth = s_b + n·t − n·p.
+    s_a = project_a(n_local)
+    s_b = project_b(n_local)
+    np_dot = n_local.x[:, None] * pts.x + n_local.y[:, None] * pts.y + n_local.z[:, None] * pts.z
+    depth_a_ref = s_a[:, None] + np_dot
+    depth_b_ref = (s_b + n_local.dot(t))[:, None] - np_dot
+    depth_pts = jnp.where(am, depth_a_ref, depth_b_ref)
+    neg_big = -3.0e38
+    depth_masked = jnp.where(cmask, depth_pts, neg_big)
+
+    # ---- Reduce ≤24 candidates to ≤4: deepest, farthest, then two extremal sides.
+    K = depth_masked.shape[1]
+    rows = jnp.arange(N)
+
+    def pick_max(scores, taken):
+        return jnp.argmax(jnp.where(taken, neg_big, scores), -1)
+
+    g = lambda arr, i: jnp.take_along_axis(arr, i[:, None], 1)[:, 0]
+    taken = ~cmask
+    i0 = pick_max(depth_masked, taken)
+    p0 = Vec3(g(pts.x, i0), g(pts.y, i0), g(pts.z, i0))
+    taken = taken.at[rows, i0].set(True)
+    d0 = Vec3(pts.x - p0.x[:, None], pts.y - p0.y[:, None], pts.z - p0.z[:, None])
+    d0sq = d0.length_squared()
+    i1 = pick_max(d0sq, taken)
+    p1 = Vec3(g(pts.x, i1), g(pts.y, i1), g(pts.z, i1))
+    taken = taken.at[rows, i1].set(True)
+    edge = p1 - p0
+    cr = Vec3(
+        edge.y[:, None] * d0.z - edge.z[:, None] * d0.y,
+        edge.z[:, None] * d0.x - edge.x[:, None] * d0.z,
+        edge.x[:, None] * d0.y - edge.y[:, None] * d0.x,
+    )
+    side = cr.x * n_local.x[:, None] + cr.y * n_local.y[:, None] + cr.z * n_local.z[:, None]
+    i2 = pick_max(side, taken)
+    taken = taken.at[rows, i2].set(True)
+    i3 = pick_max(-side, taken)
+
+    sel = jnp.stack([i0, i1, i2, i3], -1)
+    valid_sel = jnp.take_along_axis(cmask, sel, 1)
+    for a_i in range(1, 4):
+        dup = jnp.zeros(N, bool)
+        for b_i in range(a_i):
+            dup = dup | (sel[:, a_i] == sel[:, b_i])
+        valid_sel = valid_sel.at[:, a_i].set(valid_sel[:, a_i] & ~dup)
+
+    c_pts = Vec3(
+        jnp.take_along_axis(pts.x, sel, 1),
+        jnp.take_along_axis(pts.y, sel, 1),
+        jnp.take_along_axis(pts.z, sel, 1),
+    )
+    c_depth = jnp.take_along_axis(jnp.where(cmask, depth_pts, 0.0), sel, 1)
+    c_feat = jnp.take_along_axis(cfeat, sel, 1)
+
+    # ---- Edge-edge: single contact at closest point between support edges.
+    ei = (best_id - 6) // 3
+    ej = (best_id - 6) % 3
+
+    def pick_abs(vecs, k):
+        return Vec3(
+            jnp.where(k == 0, vecs[0].x, jnp.where(k == 1, vecs[1].x, vecs[2].x)),
+            jnp.where(k == 0, vecs[0].y, jnp.where(k == 1, vecs[1].y, vecs[2].y)),
+            jnp.where(k == 0, vecs[0].z, jnp.where(k == 1, vecs[1].z, vecs[2].z)),
+        )
+
+    a_dir = pick_abs(a_axes, ei)
+    b_dir = pick_abs(b_axes, ej)
+    to_b = -1.0 * n_local
+    corner_a = Vec3(
+        jnp.where(ei == 0, 0.0, jnp.sign(to_b.x) * ha.x),
+        jnp.where(ei == 1, 0.0, jnp.sign(to_b.y) * ha.y),
+        jnp.where(ei == 2, 0.0, jnp.sign(to_b.z) * ha.z),
+    )
+    to_a_b = Vec3(b_axes[0].dot(n_local), b_axes[1].dot(n_local), b_axes[2].dot(n_local))
+    corner_b_local = Vec3(
+        jnp.where(ej == 0, 0.0, jnp.sign(to_a_b.x) * hb.x),
+        jnp.where(ej == 1, 0.0, jnp.sign(to_a_b.y) * hb.y),
+        jnp.where(ej == 2, 0.0, jnp.sign(to_a_b.z) * hb.z),
+    )
+    corner_b = t + Vec3(
+        rb.rx.x * corner_b_local.x + rb.ry.x * corner_b_local.y + rb.rz.x * corner_b_local.z,
+        rb.rx.y * corner_b_local.x + rb.ry.y * corner_b_local.y + rb.rz.y * corner_b_local.z,
+        rb.rx.z * corner_b_local.x + rb.ry.z * corner_b_local.y + rb.rz.z * corner_b_local.z,
+    )
+    w0 = corner_a - corner_b
+    b_ = a_dir.dot(b_dir)
+    d_ = a_dir.dot(w0)
+    e_ = b_dir.dot(w0)
+    den = 1.0 - b_ * b_
+    s_par = jnp.where(jnp.abs(den) > 1e-9, (b_ * e_ - d_) / jnp.where(jnp.abs(den) > 1e-9, den, 1.0), 0.0)
+    edge_pt = corner_a + a_dir * s_par
+
+    fm = face_contact[:, None]
+    z4 = jnp.zeros((N, 4), jnp.float32)
+    out_pts = Vec3(
+        jnp.where(fm, c_pts.x, z4.at[:, 0].set(edge_pt.x)),
+        jnp.where(fm, c_pts.y, z4.at[:, 0].set(edge_pt.y)),
+        jnp.where(fm, c_pts.z, z4.at[:, 0].set(edge_pt.z)),
+    )
+    out_depth = jnp.where(fm, c_depth, z4.at[:, 0].set(best_depth))
+    out_feat = jnp.where(fm, c_feat, jnp.full((N, 4), 8192, jnp.int32) + best_id[:, None])
+    out_mask = jnp.where(fm, valid_sel, jnp.zeros((N, 4), bool).at[:, 0].set(True))
+
+    # Rotate back to world (contact offsets from A's center).
+    ma = orn_a.to_matrix()
+    world_pts = Vec3(
+        ma.rx.x[:, None] * out_pts.x + ma.ry.x[:, None] * out_pts.y + ma.rz.x[:, None] * out_pts.z,
+        ma.rx.y[:, None] * out_pts.x + ma.ry.y[:, None] * out_pts.y + ma.rz.y[:, None] * out_pts.z,
+        ma.rx.z[:, None] * out_pts.x + ma.ry.z[:, None] * out_pts.y + ma.rz.z[:, None] * out_pts.z,
+    )
+    world_normal = orn_a.rotate(n_local)
+
+    return Manifold(
+        normal=world_normal,
+        offset_a=world_pts,
+        depth=out_depth,
+        feature=out_feat,
+        contact_mask=out_mask,
+    )

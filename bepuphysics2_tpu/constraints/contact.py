@@ -1,0 +1,322 @@
+"""Convex contact manifold constraint: one masked kernel for all of Contact1-4{,OneBody}.
+
+The reference generates 14 contact constraint types (Contact1-4 × {two-body, one-body} +
+nonconvex variants) via T4 templates (reference: Constraints/Contact/ContactConvexTypes.cs,
+DefaultTypes.cs:50-66). On TPU a single vectorized kernel with a per-contact mask covers
+every convex manifold: inactive contact slots contribute zero impulse, and a static/
+kinematic partner's zero inverse inertia reproduces the one-body specializations exactly.
+
+Math follows the reference exactly:
+- penetration: Constraints/Contact/PenetrationLimit.cs (speculative bias =
+  min(depth/dt, depth·errToVel, maxRecovery); accumulated impulse clamped ≥ 0)
+- tangent friction: 2-DOF block solve at the depth-weighted manifold center with maximum
+  impulse μ·ΣP/n (Constraints/Contact/TangentFriction.cs, FrictionHelpers.ComputeFrictionCenter
+  ContactConvexTypes.cs:124-196)
+- twist friction around the normal with lever-arm-scaled maximum
+  (Constraints/Contact/TwistFriction.cs)
+- incremental per-substep depth update from relative contact velocity
+  (PenetrationLimit.UpdatePenetrationDepth)
+
+Solve order matches the reference (penetration first, then friction: ContactConvexTypes
+comment "friction constraints more authoritative, since they happen last").
+
+Data layout: each contact-constraint record is a row in fixed-capacity SoA arrays; the
+4-contact dimension is a trailing axis of size 4 (arrays shaped (MP, 4)).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..utils.spring import SpringSettings, compute_springiness
+from ..utils.vec import Sym2, Sym3, Vec2, Vec3, build_orthonormal_basis
+
+
+class ContactPrestep(NamedTuple):
+    """Per-record prestep data (reference Contact{N}PrestepData)."""
+
+    body_a: jnp.ndarray  # (MP,) int32 body slot
+    body_b: jnp.ndarray  # (MP,) int32 body slot (may be static/kinematic slot)
+    normal: Vec3  # (MP,) unit, calibrated to point from B to A
+    offset_a: Vec3  # (MP, 4) contact offset from A's center (world)
+    offset_b: Vec3  # (MP,) B's center relative to A's center (world): posB - posA
+    depth: jnp.ndarray  # (MP, 4) penetration depth (negative = speculative)
+    contact_mask: jnp.ndarray  # (MP, 4) bool — which contact slots are live
+    valid: jnp.ndarray  # (MP,) bool — whole record live
+    friction: jnp.ndarray  # (MP,)
+    spring: SpringSettings  # (MP,)
+    max_recovery_velocity: jnp.ndarray  # (MP,)
+    feature: jnp.ndarray  # (MP, 4) int32 — warm-start redistribution ids (PairCache.cs:78)
+
+
+class ContactImpulses(NamedTuple):
+    """Accumulated impulses (reference Contact{N}AccumulatedImpulses)."""
+
+    penetration: jnp.ndarray  # (MP, 4)
+    tangent: Vec2  # (MP,) xy in tangent basis
+    twist: jnp.ndarray  # (MP,)
+
+    @staticmethod
+    def zeros(capacity: int) -> "ContactImpulses":
+        return ContactImpulses(
+            jnp.zeros((capacity, 4), jnp.float32),
+            Vec2.zeros(capacity),
+            jnp.zeros(capacity, jnp.float32),
+        )
+
+
+class BodyVel(NamedTuple):
+    linear: Vec3
+    angular: Vec3
+
+
+class GatheredInertia(NamedTuple):
+    inv_mass: jnp.ndarray
+    inv_inertia: Sym3  # world-frame
+
+
+def _friction_center(offset_a: Vec3, depth, contact_mask):
+    """Depth-weighted manifold center (reference ContactConvexTypes.cs:124-196): active
+    (depth ≥ 0) contacts weigh 1, speculative weigh 0; fallback = mean of live contacts."""
+    live = contact_mask.astype(jnp.float32)
+    w = jnp.where(depth < 0.0, 0.0, 1.0) * live
+    wsum = jnp.sum(w, axis=-1)
+    fallback = wsum == 0.0
+    live_count = jnp.maximum(jnp.sum(live, axis=-1), 1.0)
+    w = jnp.where(fallback[:, None], live / live_count[:, None], w / jnp.maximum(wsum, 1.0)[:, None])
+    return Vec3(
+        jnp.sum(offset_a.x * w, axis=-1),
+        jnp.sum(offset_a.y * w, axis=-1),
+        jnp.sum(offset_a.z * w, axis=-1),
+    )
+
+
+def _apply_pair_impulse(
+    lin_impulse_a: Vec3,
+    ang_impulse_a: Vec3,
+    ang_impulse_b: Vec3,
+    ia: GatheredInertia,
+    ib: GatheredInertia,
+    va: BodyVel,
+    vb: BodyVel,
+):
+    """Apply world-space impulse (linear impulse on A; −same on B) to gathered velocities."""
+    new_va = BodyVel(
+        va.linear + lin_impulse_a * ia.inv_mass,
+        va.angular + ia.inv_inertia.transform(ang_impulse_a),
+    )
+    new_vb = BodyVel(
+        vb.linear - lin_impulse_a * ib.inv_mass,
+        vb.angular + ib.inv_inertia.transform(ang_impulse_b),
+    )
+    return new_va, new_vb
+
+
+def warm_start(
+    prestep: ContactPrestep,
+    imp: ContactImpulses,
+    ia: GatheredInertia,
+    ib: GatheredInertia,
+    va: BodyVel,
+    vb: BodyVel,
+):
+    """Apply accumulated impulses (per-substep estimates) to gathered velocities.
+    reference: Contact{N}Functions.WarmStart."""
+    n = prestep.normal
+    t1, t2 = build_orthonormal_basis(n)
+    center_a = _friction_center(prestep.offset_a, prestep.depth, prestep.contact_mask)
+    center_b = center_a - prestep.offset_b
+
+    # Tangent friction impulse at manifold center.
+    tangent_w = t1 * imp.tangent.x + t2 * imp.tangent.y
+    lin = tangent_w
+    ang_a = center_a.cross(tangent_w)
+    ang_b = tangent_w.cross(center_b)
+
+    # Penetration impulses per contact (sum of per-contact wrenches).
+    pen = imp.penetration * prestep.contact_mask  # (MP,4)
+    pen_total = jnp.sum(pen, axis=-1)
+    lin = lin + n * pen_total
+    # angular terms: Σ pen_i * (offset_i × n) on A; Σ pen_i * (n × offset_b_i) on B
+    off = prestep.offset_a  # (MP,4) components
+    n4 = Vec3(n.x[:, None], n.y[:, None], n.z[:, None])
+    ang_a_pen = off.cross(n4)  # (MP,4)
+    ang_a = ang_a + Vec3(
+        jnp.sum(ang_a_pen.x * pen, -1), jnp.sum(ang_a_pen.y * pen, -1), jnp.sum(ang_a_pen.z * pen, -1)
+    )
+    off_b = Vec3(
+        off.x - prestep.offset_b.x[:, None],
+        off.y - prestep.offset_b.y[:, None],
+        off.z - prestep.offset_b.z[:, None],
+    )
+    ang_b_pen = n4.cross(off_b)
+    ang_b = ang_b + Vec3(
+        jnp.sum(ang_b_pen.x * pen, -1), jnp.sum(ang_b_pen.y * pen, -1), jnp.sum(ang_b_pen.z * pen, -1)
+    )
+
+    # Twist friction: angular-only, jacobian = ±normal.
+    ang_a = ang_a + n * imp.twist
+    ang_b = ang_b - n * imp.twist
+
+    return _apply_pair_impulse(lin, ang_a, ang_b, ia, ib, va, vb)
+
+
+def solve(
+    prestep: ContactPrestep,
+    imp: ContactImpulses,
+    ia: GatheredInertia,
+    ib: GatheredInertia,
+    va: BodyVel,
+    vb: BodyVel,
+    dt,
+    inv_dt,
+):
+    """One velocity iteration for all records (masked). Returns (imp', va', vb')."""
+    n = prestep.normal
+    err_to_vel, cfm_scale, softness = compute_springiness(prestep.spring, dt)
+
+    # ---- Penetration constraints (4 sequential per-contact solves; they share bodies so
+    # within-record sequencing matters and is kept, matching the reference order).
+    pen = imp.penetration
+    for k in range(4):
+        off_k = Vec3(prestep.offset_a.x[:, k], prestep.offset_a.y[:, k], prestep.offset_a.z[:, k])
+        off_bk = off_k - prestep.offset_b
+        ang_a = off_k.cross(n)
+        ang_b = n.cross(off_bk)
+        ang_a_contrib = ia.inv_inertia.vector_sandwich(ang_a)
+        ang_b_contrib = ib.inv_inertia.vector_sandwich(ang_b)
+        linear = ia.inv_mass + ib.inv_mass
+        effective_mass = cfm_scale / (linear + ang_a_contrib + ang_b_contrib)
+
+        depth_k = prestep.depth[:, k]
+        bias = jnp.minimum(
+            depth_k * inv_dt, jnp.minimum(depth_k * err_to_vel, prestep.max_recovery_velocity)
+        )
+
+        csv = (
+            va.linear.dot(n)
+            - vb.linear.dot(n)
+            + va.angular.dot(ang_a)
+            + vb.angular.dot(ang_b)
+        )
+        acc_k = pen[:, k]
+        negated_csi = acc_k * softness + (csv - bias) * effective_mass
+        new_acc = jnp.maximum(0.0, acc_k - negated_csi)
+        live = prestep.contact_mask[:, k] & prestep.valid
+        new_acc = jnp.where(live, new_acc, acc_k)
+        corrective = jnp.where(live, new_acc - acc_k, 0.0)
+        pen = pen.at[:, k].set(new_acc)
+        va, vb = _apply_pair_impulse(
+            n * corrective, ang_a * corrective, ang_b * corrective, ia, ib, va, vb
+        )
+
+    # ---- Tangent friction (2-DOF block at manifold center).
+    t1, t2 = build_orthonormal_basis(n)
+    center_a = _friction_center(prestep.offset_a, prestep.depth, prestep.contact_mask)
+    center_b = center_a - prestep.offset_b
+    ang_a1 = center_a.cross(t1)
+    ang_a2 = center_a.cross(t2)
+    ang_b1 = t1.cross(center_b)
+    ang_b2 = t2.cross(center_b)
+
+    imass = ia.inv_mass + ib.inv_mass
+    # inverse effective mass (symmetric 2x2): linear part = (ti·tj) * imass = I*imass
+    # angular parts: sandwich of jacobian rows with the inverse inertia tensors.
+    m11 = (
+        imass
+        + ia.inv_inertia.vector_sandwich(ang_a1)
+        + ib.inv_inertia.vector_sandwich(ang_b1)
+    )
+    m22 = (
+        imass
+        + ia.inv_inertia.vector_sandwich(ang_a2)
+        + ib.inv_inertia.vector_sandwich(ang_b2)
+    )
+    m12 = (
+        ia.inv_inertia.transform(ang_a1).dot(ang_a2)
+        + ib.inv_inertia.transform(ang_b1).dot(ang_b2)
+    )
+    eff = Sym2(m11, m12, m22).inverse()
+
+    # constraint-space *violating* velocity (reference TangentFriction.ComputeCorrectiveImpulse)
+    csv1 = vb.linear.dot(t1) - va.linear.dot(t1) - va.angular.dot(ang_a1) - vb.angular.dot(ang_b1)
+    csv2 = vb.linear.dot(t2) - va.linear.dot(t2) - va.angular.dot(ang_a2) - vb.angular.dot(ang_b2)
+    csi = eff.transform(Vec2(csv1, csv2))
+
+    contact_count = jnp.maximum(jnp.sum(prestep.contact_mask.astype(jnp.float32), -1), 1.0)
+    premul_friction = prestep.friction / contact_count
+    pen_masked = pen * prestep.contact_mask
+    max_tangent = premul_friction * jnp.sum(pen_masked, -1)
+
+    prev_t = imp.tangent
+    new_t = Vec2(prev_t.x + csi.x, prev_t.y + csi.y)
+    mag = new_t.length()
+    scale = jnp.minimum(1.0, max_tangent / jnp.maximum(1e-16, mag))
+    new_t = new_t * scale
+    rec_live = prestep.valid
+    new_t = Vec2(jnp.where(rec_live, new_t.x, prev_t.x), jnp.where(rec_live, new_t.y, prev_t.y))
+    corr_t = Vec2(new_t.x - prev_t.x, new_t.y - prev_t.y)
+    tangent_w = t1 * corr_t.x + t2 * corr_t.y
+    va, vb = _apply_pair_impulse(
+        tangent_w,
+        center_a.cross(tangent_w),
+        tangent_w.cross(center_b),
+        ia,
+        ib,
+        va,
+        vb,
+    )
+
+    # ---- Twist friction: lever = Σ pen_i · |offset_i − center| (depth lever for 1-contact
+    # manifolds, reference ContactConvexTypes Contact1 Solve).
+    dist = Vec3(
+        prestep.offset_a.x - center_a.x[:, None],
+        prestep.offset_a.y - center_a.y[:, None],
+        prestep.offset_a.z - center_a.z[:, None],
+    ).length()
+    single = contact_count <= 1.0
+    lever0 = jnp.maximum(0.0, prestep.depth[:, 0])
+    twist_cap = jnp.where(
+        single,
+        premul_friction * pen_masked[:, 0] * lever0,
+        premul_friction * jnp.sum(pen_masked * dist, -1),
+    )
+    ang_a_tw = ia.inv_inertia.vector_sandwich(n)
+    ang_b_tw = ib.inv_inertia.vector_sandwich(n)
+    inv_eff_tw = ang_a_tw + ang_b_tw
+    eff_tw = jnp.where(inv_eff_tw == 0.0, 0.0, 1.0 / jnp.maximum(inv_eff_tw, 1e-30))
+    csv_tw = va.angular.dot(n) - vb.angular.dot(n)
+    csi_tw = -csv_tw * eff_tw
+    prev_tw = imp.twist
+    new_tw = jnp.clip(prev_tw + csi_tw, -twist_cap, twist_cap)
+    new_tw = jnp.where(rec_live, new_tw, prev_tw)
+    corr_tw = new_tw - prev_tw
+    va, vb = _apply_pair_impulse(
+        Vec3.zeros(corr_tw.shape), n * corr_tw, -(n * corr_tw), ia, ib, va, vb
+    )
+
+    return ContactImpulses(pen, new_t, new_tw), va, vb
+
+
+def incremental_depth_update(prestep: ContactPrestep, va: BodyVel, vb: BodyVel, dt) -> ContactPrestep:
+    """Per-substep depth update from relative contact velocity
+    (reference PenetrationLimit.UpdatePenetrationDepth)."""
+    off = prestep.offset_a  # (MP,4)
+    wa = Vec3(va.angular.x[:, None], va.angular.y[:, None], va.angular.z[:, None])
+    la = Vec3(va.linear.x[:, None], va.linear.y[:, None], va.linear.z[:, None])
+    contact_vel_a = wa.cross(off) + la
+    off_b = Vec3(
+        off.x - prestep.offset_b.x[:, None],
+        off.y - prestep.offset_b.y[:, None],
+        off.z - prestep.offset_b.z[:, None],
+    )
+    wb = Vec3(vb.angular.x[:, None], vb.angular.y[:, None], vb.angular.z[:, None])
+    lb = Vec3(vb.linear.x[:, None], vb.linear.y[:, None], vb.linear.z[:, None])
+    contact_vel_b = wb.cross(off_b) + lb
+    dv = contact_vel_a - contact_vel_b
+    n4 = Vec3(
+        prestep.normal.x[:, None], prestep.normal.y[:, None], prestep.normal.z[:, None]
+    )
+    depth_change = n4.dot(dv) * dt
+    return prestep._replace(depth=prestep.depth - depth_change)

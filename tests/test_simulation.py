@@ -1,0 +1,133 @@
+"""End-to-end simulation tests — the reference's SimpleSelfContainedDemo equivalent
+(reference: Demos/Demos/SimpleSelfContainedDemo.cs; headless CI model HeadlessDemo.cs)."""
+import numpy as np
+import pytest
+
+from bepuphysics2_tpu import (
+    BodyDescription,
+    Box,
+    Capsule,
+    SimConfig,
+    Simulation,
+    Sphere,
+    StaticDescription,
+)
+
+
+def make_sim(**kw):
+    defaults = dict(body_capacity=64, max_pairs=256, substeps=8, velocity_iterations=1)
+    defaults.update(kw)
+    return Simulation(SimConfig(**defaults))
+
+
+def test_sphere_rests_on_ground_box():
+    sim = make_sim()
+    ground_shape = sim.add_shape(Box(50.0, 0.5, 50.0))
+    ball_shape = sim.add_shape(Sphere(0.5))
+    sim.add_static(StaticDescription(position=(0, -0.5, 0), shape=ground_shape))
+    ball = sim.add_body(
+        BodyDescription.dynamic((0, 2.0, 0), ball_shape, mass=1.0, shape_obj=Sphere(0.5))
+    )
+    sim.run(180, dt=1 / 60.0)  # 3 seconds
+    pos, orn, vel, omega = sim.get_body(ball)
+    # Ball should rest with center ~0.5 above ground top (y=0).
+    assert abs(pos[1] - 0.5) < 0.05, f"ball rest height {pos[1]}"
+    assert np.linalg.norm(vel) < 0.05, f"ball residual velocity {vel}"
+
+
+def test_sphere_bounces_not_through_ground():
+    """Even from high drop, speculative contacts must prevent tunneling."""
+    sim = make_sim()
+    ground_shape = sim.add_shape(Box(50.0, 0.5, 50.0))
+    ball_shape = sim.add_shape(Sphere(0.25))
+    sim.add_static(StaticDescription(position=(0, -0.5, 0), shape=ground_shape))
+    ball = sim.add_body(
+        BodyDescription.dynamic((0, 30.0, 0), ball_shape, mass=1.0, shape_obj=Sphere(0.25))
+    )
+    for _ in range(240):
+        sim.timestep(1 / 60.0)
+        pos, _, _, _ = sim.get_body(ball)
+        assert pos[1] > 0.0, f"ball tunneled through ground: y={pos[1]}"
+
+
+def test_box_stack_stable():
+    """Small box stack must remain standing (warm start + friction + TGS stability)."""
+    sim = make_sim(substeps=8)
+    ground_shape = sim.add_shape(Box(50.0, 0.5, 50.0))
+    box = Box(0.5, 0.5, 0.5)
+    box_shape = sim.add_shape(box)
+    sim.add_static(StaticDescription(position=(0, -0.5, 0), shape=ground_shape))
+    handles = []
+    for i in range(3):
+        handles.append(
+            sim.add_body(
+                BodyDescription.dynamic((0, 0.5 + i * 1.0, 0), box_shape, mass=1.0, shape_obj=box)
+            )
+        )
+    sim.run(240, dt=1 / 60.0)
+    for i, h in enumerate(handles):
+        pos, orn, vel, omega = sim.get_body(h)
+        expected_y = 0.5 + i * 1.0
+        assert abs(pos[1] - expected_y) < 0.1, f"box {i} at y={pos[1]} expected {expected_y}"
+        assert abs(pos[0]) < 0.2 and abs(pos[2]) < 0.2, f"box {i} drifted to {pos}"
+
+
+def test_two_spheres_collide_and_separate():
+    """Head-on equal-mass collision: momentum transfer (frictionless-ish, inelastic)."""
+    sim = make_sim(integrator=__import__("bepuphysics2_tpu.integrator", fromlist=["IntegratorConfig"]).IntegratorConfig(gravity=(0, 0, 0)))
+    s = Sphere(0.5)
+    shape = sim.add_shape(s)
+    a = sim.add_body(BodyDescription.dynamic((-2, 0, 0), shape, 1.0, s, velocity=(4, 0, 0)))
+    b = sim.add_body(BodyDescription.dynamic((2, 0, 0), shape, 1.0, s))
+    sim.run(90, dt=1 / 60.0)
+    pa, _, va, _ = sim.get_body(a)
+    pb, _, vb, _ = sim.get_body(b)
+    # Total momentum conserved: 4 = va + vb
+    assert abs((va[0] + vb[0]) - 4.0) < 0.05
+    # B should have been pushed to the right.
+    assert vb[0] > 1.0
+    assert pb[0] > 2.1
+
+
+def test_sphere_rolls_on_capsule_free_space():
+    """Capsule testers smoke test: sphere resting on a horizontal capsule (no crash,
+    contact generated)."""
+    import math
+
+    sim = make_sim()
+    ground_shape = sim.add_shape(Box(50.0, 0.5, 50.0))
+    sim.add_static(StaticDescription(position=(0, -0.5, 0), shape=ground_shape))
+    cap = Capsule(0.5, 1.0)
+    cap_shape = sim.add_shape(cap)
+    # capsule lying along Y would stand up; rotate to lie along X: rotate local Y to world X
+    q = (0.0, 0.0, -math.sin(math.pi / 4), math.cos(math.pi / 4))
+    c = sim.add_body(
+        BodyDescription.dynamic((0, 0.6, 0), cap_shape, 1.0, cap, orientation=q)
+    )
+    sim.run(120, dt=1 / 60.0)
+    pos, _, vel, _ = sim.get_body(c)
+    assert abs(pos[1] - 0.5) < 0.1, f"capsule rest height {pos[1]}"
+    assert np.linalg.norm(vel) < 0.1
+
+
+def test_determinism():
+    """Identical runs must produce bit-identical trajectories (reference DeterminismTest)."""
+
+    def run():
+        sim = make_sim()
+        ground_shape = sim.add_shape(Box(10.0, 0.5, 10.0))
+        s = Sphere(0.4)
+        shape = sim.add_shape(s)
+        sim.add_static(StaticDescription(position=(0, -0.5, 0), shape=ground_shape))
+        rng = np.random.default_rng(42)
+        for i in range(10):
+            p = rng.uniform(-2, 2, 3)
+            p[1] = 1.0 + i * 0.9
+            sim.add_body(BodyDescription.dynamic(tuple(p), shape, 1.0, s))
+        sim.run(120, dt=1 / 60.0)
+        sim._sync_from_device()
+        return np.stack([sim._host.px, sim._host.py, sim._host.pz, sim._host.qx])
+
+    r1 = run()
+    r2 = run()
+    np.testing.assert_array_equal(r1, r2)

@@ -29,14 +29,13 @@ def main():
     )
 
     dt = 1.0 / 60.0
-    # Warmup: compile + let the pile develop contacts.
-    for _ in range(10):
-        sim.timestep(dt)
+    # Warmup: compile both the single-step and scanned-chunk programs, then let the
+    # pile develop contacts.
+    sim.run(32, dt)
     jax.block_until_ready(sim.state)
 
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        sim.timestep(dt)
+    sim.run(STEPS, dt)
     jax.block_until_ready(sim.state)
     elapsed = time.perf_counter() - t0
 

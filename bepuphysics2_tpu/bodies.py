@@ -52,6 +52,11 @@ class BodyState(NamedTuple):
     # Activity (sleep candidacy, reference BodyActivity):
     sleep_threshold: jnp.ndarray  # (NB,) velocity-squared heuristic threshold; <0 = never sleep
     sleep_timer: jnp.ndarray  # (NB,) accumulated time below threshold
+    sleep_island: jnp.ndarray  # (NB,) int32 — island label stored at sleep time (for wake)
+    # Collision filtering (reference INarrowPhaseCallbacks.AllowContactGeneration + the
+    # demos' SubgroupCollisionFilter): two bodies sharing the same NONZERO group generate
+    # no contacts (vehicles/ragdolls suppress self-collision this way). 0 = collide with all.
+    collision_group: jnp.ndarray  # (NB,) int32
 
     @property
     def exists(self):
@@ -89,6 +94,8 @@ class BodyState(NamedTuple):
             max_recovery_velocity=z,
             sleep_threshold=z,
             sleep_timer=z,
+            sleep_island=jnp.zeros(capacity, jnp.int32),
+            collision_group=jnp.zeros(capacity, jnp.int32),
         )
 
 
@@ -111,13 +118,22 @@ class BodyDescription:
     max_recovery_velocity: float = 2.0
     sleep_threshold: float = 0.01
     speculative_margin: float = 0.1
+    collision_group: int = 0  # same nonzero group → no contacts (self-collision filter)
 
     @staticmethod
     def dynamic(position, shape, mass, shape_obj=None, **kw) -> "BodyDescription":
         """Convenience: compute inertia from the shape object (host registry entry)."""
         if shape_obj is not None:
-            inv_mass, diag = shape_obj.compute_inertia(mass)
-            inv_inertia = (diag[0], 0.0, diag[1], 0.0, 0.0, diag[2])
+            res = shape_obj.compute_inertia(mass)
+            if len(res) == 3:  # hull: full symmetric inverse inertia
+                inv_mass, _diag, inv = res
+                inv_inertia = (
+                    float(inv[0, 0]), float(inv[1, 0]), float(inv[1, 1]),
+                    float(inv[2, 0]), float(inv[2, 1]), float(inv[2, 2]),
+                )
+            else:
+                inv_mass, diag = res
+                inv_inertia = (diag[0], 0.0, diag[1], 0.0, 0.0, diag[2])
         else:
             inv_mass = 1.0 / mass
             inv_inertia = (inv_mass, 0.0, inv_mass, 0.0, 0.0, inv_mass)
@@ -142,6 +158,7 @@ class StaticDescription:
     spring_frequency: float = 30.0
     spring_damping: float = 1.0
     max_recovery_velocity: float = 2.0
+    collision_group: int = 0
 
 
 class BodyBuffer:
@@ -164,6 +181,8 @@ class BodyBuffer:
         self.kind = np.zeros(capacity, np.int32)
         self.awake = np.zeros(capacity, bool)
         self.shape = np.full(capacity, -1, np.int32)
+        self.sleep_island = np.zeros(capacity, np.int32)
+        self.collision_group = np.zeros(capacity, np.int32)
         self._free = list(range(capacity - 1, -1, -1))
 
     def add(self, d) -> int:
@@ -197,6 +216,7 @@ class BodyBuffer:
         self.spring_frequency[i] = d.spring_frequency
         self.spring_damping[i] = d.spring_damping
         self.max_recovery_velocity[i] = d.max_recovery_velocity
+        self.collision_group[i] = getattr(d, "collision_group", 0)
         self.sleep_timer[i] = 0.0
         return i
 
@@ -230,6 +250,8 @@ class BodyBuffer:
             max_recovery_velocity=jnp.asarray(self.max_recovery_velocity),
             sleep_threshold=jnp.asarray(self.sleep_threshold),
             sleep_timer=jnp.asarray(self.sleep_timer),
+            sleep_island=jnp.asarray(self.sleep_island),
+            collision_group=jnp.asarray(self.collision_group),
         )
 
     def load(self, state: BodyState) -> None:
@@ -241,3 +263,4 @@ class BodyBuffer:
         self.wx, self.wy, self.wz = (np.array(c) for c in state.omega)
         self.awake = np.array(state.awake)
         self.sleep_timer = np.array(state.sleep_timer)
+        self.sleep_island = np.array(state.sleep_island)

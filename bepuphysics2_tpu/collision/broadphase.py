@@ -33,17 +33,20 @@ class PairList(NamedTuple):
     overflow: jnp.ndarray  # () bool — candidate count exceeded capacity
 
 
-def _pair_filter(kind, awake):
-    """(N, N) upper-triangular admissibility: at least one awake dynamic, both exist."""
+def _pair_filter(kind, awake, group):
+    """(N, N) upper-triangular admissibility: at least one awake dynamic, both exist,
+    not filtered by a shared nonzero collision group (reference
+    INarrowPhaseCallbacks.AllowContactGeneration / demo SubgroupCollisionFilter)."""
     exists = kind != KIND_EMPTY
     active_dynamic = (kind == KIND_DYNAMIC) & awake
     either_active = active_dynamic[:, None] | active_dynamic[None, :]
     both_exist = exists[:, None] & exists[None, :]
+    group_ok = (group[:, None] != group[None, :]) | (group == 0)[:, None]
     iu = jnp.triu(jnp.ones((kind.shape[0], kind.shape[0]), bool), k=1)
-    return both_exist & either_active & iu
+    return both_exist & either_active & group_ok & iu
 
 
-def brute_force(aabb_min: Vec3, aabb_max: Vec3, kind, awake, max_pairs: int) -> PairList:
+def brute_force(aabb_min: Vec3, aabb_max: Vec3, kind, awake, group, max_pairs: int) -> PairList:
     n = kind.shape[0]
     overlap = (
         (aabb_min.x[:, None] <= aabb_max.x[None, :])
@@ -53,7 +56,7 @@ def brute_force(aabb_min: Vec3, aabb_max: Vec3, kind, awake, max_pairs: int) -> 
         & (aabb_max.y[:, None] >= aabb_min.y[None, :])
         & (aabb_max.z[:, None] >= aabb_min.z[None, :])
     )
-    mask = overlap & _pair_filter(kind, awake)
+    mask = overlap & _pair_filter(kind, awake, group)
     count = jnp.sum(mask)
     ai, bi = jnp.nonzero(mask, size=max_pairs, fill_value=0)
     idx = jnp.arange(max_pairs)
@@ -61,7 +64,47 @@ def brute_force(aabb_min: Vec3, aabb_max: Vec3, kind, awake, max_pairs: int) -> 
     return PairList(ai.astype(jnp.int32), bi.astype(jnp.int32), valid, count > max_pairs)
 
 
-def sweep(aabb_min: Vec3, aabb_max: Vec3, kind, awake, max_pairs: int, window: int = 64) -> PairList:
+def brute_force_rows(
+    aabb_min: Vec3, aabb_max: Vec3, kind, awake, group, row_start, row_count: int,
+    max_pairs: int,
+) -> PairList:
+    """Row-block brute force for the sharded single-world step: tests rows
+    [row_start, row_start+row_count) of the upper-triangular N×N pair matrix. Each device
+    of a mesh owns one row block (pair (a,b), a<b, lives on the device owning row a —
+    stable across frames, so the warm-start cache stays local). ``row_start`` may be a
+    traced value (device index × block)."""
+    import jax
+
+    n = kind.shape[0]
+    rows = row_start + jnp.arange(row_count)
+    r = lambda x: jax.lax.dynamic_slice_in_dim(x, row_start, row_count)
+    overlap = (
+        (r(aabb_min.x)[:, None] <= aabb_max.x[None, :])
+        & (r(aabb_min.y)[:, None] <= aabb_max.y[None, :])
+        & (r(aabb_min.z)[:, None] <= aabb_max.z[None, :])
+        & (r(aabb_max.x)[:, None] >= aabb_min.x[None, :])
+        & (r(aabb_max.y)[:, None] >= aabb_min.y[None, :])
+        & (r(aabb_max.z)[:, None] >= aabb_min.z[None, :])
+    )
+    exists = kind != KIND_EMPTY
+    active_dynamic = (kind == KIND_DYNAMIC) & awake
+    either_active = r(active_dynamic)[:, None] | active_dynamic[None, :]
+    both_exist = r(exists)[:, None] & exists[None, :]
+    group_ok = (r(group)[:, None] != group[None, :]) | (r(group) == 0)[:, None]
+    upper = rows[:, None] < jnp.arange(n)[None, :]
+    mask = overlap & both_exist & either_active & group_ok & upper
+    count = jnp.sum(mask)
+    ai, bi = jnp.nonzero(mask, size=max_pairs, fill_value=0)
+    valid = jnp.arange(max_pairs) < count
+    return PairList(
+        (ai.astype(jnp.int32) + row_start).astype(jnp.int32),
+        bi.astype(jnp.int32),
+        valid,
+        count > max_pairs,
+    )
+
+
+def sweep(aabb_min: Vec3, aabb_max: Vec3, kind, awake, group, max_pairs: int, window: int = 64) -> PairList:
     """Windowed sweep-and-prune along x. Fixed shapes: (N, window) candidate matrix."""
     n = kind.shape[0]
     exists = kind != KIND_EMPTY
@@ -74,6 +117,7 @@ def sweep(aabb_min: Vec3, aabb_max: Vec3, kind, awake, max_pairs: int, window: i
     s_max = aabb_max[order]
     s_kind = kind[order]
     s_awake = awake[order]
+    s_group = group[order]
 
     # Candidate j = order position i+1 … i+window.
     offs = jnp.arange(1, window + 1)
@@ -102,7 +146,9 @@ def sweep(aabb_min: Vec3, aabb_max: Vec3, kind, awake, max_pairs: int, window: i
     active_dyn_j = (o_kind == KIND_DYNAMIC) & o_awake
     exist_i = (s_kind != KIND_EMPTY)[:, None]
     exist_j = o_kind != KIND_EMPTY
-    ok = ok & (active_dyn_i | active_dyn_j) & exist_i & exist_j
+    o_group = s_group[j_clamped]
+    group_ok = (s_group[:, None] != o_group) | (s_group == 0)[:, None]
+    ok = ok & (active_dyn_i | active_dyn_j) & exist_i & exist_j & group_ok
 
     # Window overflow: some body's x-interval reaches beyond its window.
     last = jnp.minimum(jnp.arange(n) + window, n - 1)
@@ -118,3 +164,120 @@ def sweep(aabb_min: Vec3, aabb_max: Vec3, kind, awake, max_pairs: int, window: i
     b = jnp.maximum(orig_i, orig_j).astype(jnp.int32)
     valid = jnp.arange(max_pairs) < count
     return PairList(a, b, valid, (count > max_pairs) | overflow_window)
+
+def grid(
+    aabb_min: Vec3,
+    aabb_max: Vec3,
+    kind,
+    awake,
+    group,
+    max_pairs: int,
+    cell_size: float,
+    cell_capacity: int = 12,
+    max_large: int = 64,
+) -> PairList:
+    """Hashed uniform-grid broad phase — the TPU-native large-N structure.
+
+    Small bodies (AABB extent ≤ cell_size) hash their center cell into H buckets; each
+    body gathers candidates from its 27 neighboring cells via one global sort +
+    searchsorted ranges (false positives from hash collisions are culled by the AABB
+    test). Bodies larger than a cell (ground slabs, meshes) go to a 'large' set tested
+    against everyone. Replaces the reference's BVH traversal with sort+gather — the
+    pattern TPUs execute well (SURVEY §7 'sort-based pair enumeration').
+
+    Overflow (cell fuller than cell_capacity, more large bodies than max_large, or more
+    pairs than max_pairs) is detected and reported, never silent.
+    """
+    n = kind.shape[0]
+    exists = kind != KIND_EMPTY
+    active_dynamic = (kind == KIND_DYNAMIC) & awake
+
+    center = (aabb_min + aabb_max) * 0.5
+    ext = aabb_max - aabb_min
+    max_ext = jnp.maximum(ext.x, jnp.maximum(ext.y, ext.z))
+    large = exists & (max_ext > cell_size)
+    small = exists & ~large
+
+    inv_cs = 1.0 / cell_size
+    cx = jnp.floor(center.x * inv_cs).astype(jnp.int32)
+    cy = jnp.floor(center.y * inv_cs).astype(jnp.int32)
+    cz = jnp.floor(center.z * inv_cs).astype(jnp.int32)
+
+    H = 1 << max(1, (2 * n - 1).bit_length())  # ≥2n buckets
+
+    def cell_hash(ix, iy, iz):
+        return ((ix * 73856093) ^ (iy * 19349663) ^ (iz * 83492791)) & (H - 1)
+
+    key = jnp.where(small, cell_hash(cx, cy, cz), H)  # large/empty sort to the end
+    order = jnp.argsort(key)
+    sorted_key = key[order]
+
+    # For each body, candidates from 27 neighbor cells: range via searchsorted, first
+    # `cell_capacity` entries of each.
+    offs = jnp.arange(cell_capacity)
+    cand_cols = []
+    cand_ok_cols = []
+    for dx_ in (-1, 0, 1):
+        for dy_ in (-1, 0, 1):
+            for dz_ in (-1, 0, 1):
+                nk = cell_hash(cx + dx_, cy + dy_, cz + dz_)
+                start = jnp.searchsorted(sorted_key, nk)
+                end = jnp.searchsorted(sorted_key, nk, side="right")
+                idx = jnp.minimum(start[:, None] + offs[None, :], n - 1)
+                ok = (start[:, None] + offs[None, :]) < end[:, None]
+                cand_cols.append(order[idx])
+                cand_ok_cols.append(ok)
+    cand = jnp.concatenate(cand_cols, axis=1)  # (N, 27*K)
+    cand_ok = jnp.concatenate(cand_ok_cols, axis=1)
+
+    # Per-cell overflow: any cell fuller than capacity.
+    cell_count = jnp.searchsorted(sorted_key, key, side="right") - jnp.searchsorted(
+        sorted_key, key
+    )
+    overflow_cell = jnp.any(jnp.where(small, cell_count, 0) > cell_capacity)
+
+    def overlap(i, j):
+        return (
+            (aabb_min.x[i] <= aabb_max.x[j]) & (aabb_max.x[i] >= aabb_min.x[j])
+            & (aabb_min.y[i] <= aabb_max.y[j]) & (aabb_max.y[i] >= aabb_min.y[j])
+            & (aabb_min.z[i] <= aabb_max.z[j]) & (aabb_max.z[i] >= aabb_min.z[j])
+        )
+
+    me = jnp.arange(n)[:, None]
+    group_ok_cand = (group[:, None] != group[cand]) | (group == 0)[:, None]
+    pair_ok = (
+        cand_ok
+        & small[:, None]
+        & small[cand]
+        & (cand > me)  # dedupe + self
+        & (active_dynamic[:, None] | active_dynamic[cand])
+        & group_ok_cand
+        & overlap(me, cand)
+    )
+
+    # Large bodies: test against everything (N × L).
+    large_count = jnp.sum(large)
+    large_idx = jnp.nonzero(large, size=max_large, fill_value=0)[0]
+    large_live = jnp.arange(max_large) < large_count
+    group_ok_lg = (group[:, None] != group[large_idx][None, :]) | (group == 0)[:, None]
+    lg_ok = (
+        large_live[None, :]
+        & exists[:, None]
+        & (large_idx[None, :] != me)
+        & (active_dynamic[:, None] | active_dynamic[large_idx][None, :])
+        & group_ok_lg
+        & overlap(me, large_idx[None, :].repeat(n, 0))
+        # dedupe large-large: keep i < j only
+        & (~large[:, None] | (me < large_idx[None, :]))
+    )
+
+    all_j = jnp.concatenate([cand, jnp.broadcast_to(large_idx[None, :], (n, max_large))], 1)
+    all_ok = jnp.concatenate([pair_ok, lg_ok], 1)
+
+    count = jnp.sum(all_ok)
+    ii, jj = jnp.nonzero(all_ok, size=max_pairs, fill_value=0)
+    a = jnp.minimum(ii.astype(jnp.int32), all_j[ii, jj].astype(jnp.int32))
+    b = jnp.maximum(ii.astype(jnp.int32), all_j[ii, jj].astype(jnp.int32))
+    valid = jnp.arange(max_pairs) < count
+    overflow = (count > max_pairs) | overflow_cell | (large_count > max_large)
+    return PairList(a, b, valid, overflow)

@@ -1,0 +1,232 @@
+"""Compound & mesh narrow phase: bounded child-pair expansion.
+
+The reference dispatches compound/mesh pairs through dedicated tasks that walk the
+compound's children or the mesh's embedded BVH, spawn child convex tests, and reduce the
+child manifolds (reference: CollisionDetection/CollisionTasks/ConvexCompoundCollisionTask.cs,
+CompoundPairCollisionTask.cs, *OverlapFinder.cs, NonconvexReduction.cs:25, MeshReduction.cs).
+
+TPU re-design (fixed shapes, SURVEY §7 phase 6):
+- broad-phase pairs touching a compound/mesh are compacted into MPC slots;
+- each slot expands into E child records; WHICH children occupy the slots is chosen on
+  device by an AABB prefilter in the compound's local frame (stable argsort — overlapping
+  children first), bounding the work exactly like the reference's per-pair BVH walk;
+- child records resolve to plain convex pairs (triangle children use the TRIANGLE type)
+  and run through the SAME tester registry / generic GJK-MPR kernel as body pairs;
+- instead of reducing child manifolds to one ≤4-contact nonconvex manifold, every child
+  record becomes its own contact-constraint record (same bodies, child-local offsets
+  rebased to the body center). This preserves MORE contact information than the
+  reference's reduction; warm starting stays exact because the cache key includes the
+  child slot.
+
+Current scope: compound/mesh vs convex. Compound-vs-compound/mesh pairs are detected and
+reported via the overflow diagnostic (deferred; the reference's CompoundPairCollisionTask).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..bodies import BodyState
+from ..shapes.registry import COMPOUND, MESH, TRIANGLE, ShapeData
+from ..utils.vec import Quat, Vec3
+
+
+class ChildPairs(NamedTuple):
+    """Expanded child-pair records (capacity MPC × E, flattened)."""
+
+    body_a: jnp.ndarray  # (M,) scene body owning the compound side A of the record
+    body_b: jnp.ndarray
+    slot: jnp.ndarray  # (M,) int32 — expansion slot (for cache keying)
+    valid: jnp.ndarray
+    # Resolved convex child data (canonical: type_i <= type_j):
+    type_i: jnp.ndarray
+    type_j: jnp.ndarray
+    params_i: jnp.ndarray  # (M, 12)
+    params_j: jnp.ndarray
+    pos_i: Vec3  # world child poses
+    pos_j: Vec3
+    orn_i: Quat
+    orn_j: Quat
+    shape_i: jnp.ndarray  # shape rows (for hull pools); -1 for triangles
+    shape_j: jnp.ndarray
+    swapped: jnp.ndarray  # (M,) bool — canonicalization swapped i/j relative to (a,b)
+    overflow: jnp.ndarray  # () bool
+
+
+def _child_aabb_overlap(shapes: ShapeData, child_rows, other_center_local: Vec3, other_radius):
+    """Conservative bounding-sphere test of each child vs the other body, in the
+    compound's local frame. child_rows: (MPC, W)."""
+    cs = shapes.child_shape[child_rows]
+    cpos = shapes.child_pos[child_rows]
+    # Child radius: registered shape's max radius, or triangle vertex max norm.
+    shape_r = shapes.max_radius[jnp.maximum(cs, 0)]
+    tri = shapes.child_tri[child_rows]
+    tri_r = jnp.sqrt(
+        jnp.maximum(
+            tri[..., 0] ** 2 + tri[..., 1] ** 2 + tri[..., 2] ** 2,
+            jnp.maximum(
+                tri[..., 3] ** 2 + tri[..., 4] ** 2 + tri[..., 5] ** 2,
+                tri[..., 6] ** 2 + tri[..., 7] ** 2 + tri[..., 8] ** 2,
+            ),
+        )
+    )
+    # Triangle children are stored relative to the mesh frame (cpos == 0): their own
+    # vertex norms bound them. Registered children: offset + shape radius.
+    r = jnp.where(cs >= 0, shape_r, tri_r)
+    dx = cpos[..., 0] - other_center_local.x[:, None]
+    dy = cpos[..., 1] - other_center_local.y[:, None]
+    dz = cpos[..., 2] - other_center_local.z[:, None]
+    d2 = dx * dx + dy * dy + dz * dz
+    reach = r + other_radius[:, None]
+    return d2 <= reach * reach
+
+
+def expand_compound_pairs(
+    state: BodyState,
+    shapes: ShapeData,
+    pair_a: jnp.ndarray,
+    pair_b: jnp.ndarray,
+    pair_valid: jnp.ndarray,
+    max_compound_pairs: int,
+    children_per_pair: int,
+    child_window: int,
+) -> ChildPairs:
+    """Compact compound/mesh-involved pairs and expand into child convex records."""
+    nb = state.pos.x.shape[0]
+    sa = jnp.maximum(state.shape[pair_a], 0)
+    sb = jnp.maximum(state.shape[pair_b], 0)
+    ta = jnp.where(state.shape[pair_a] >= 0, shapes.type[sa], -1)
+    tb = jnp.where(state.shape[pair_b] >= 0, shapes.type[sb], -1)
+    comp_a = (ta == COMPOUND) | (ta == MESH)
+    comp_b = (tb == COMPOUND) | (tb == MESH)
+    is_comp = pair_valid & (comp_a | comp_b)
+    both_comp = pair_valid & comp_a & comp_b  # unsupported this phase → overflow flag
+
+    count = jnp.sum(is_comp & ~both_comp)
+    sel = jnp.nonzero(is_comp & ~both_comp, size=max_compound_pairs, fill_value=0)[0]
+    live_pair = jnp.arange(max_compound_pairs) < count
+    overflow = (count > max_compound_pairs) | jnp.any(both_comp)
+
+    # Orient so C = the compound/mesh side, V = the convex side.
+    a_sel = pair_a[sel]
+    b_sel = pair_b[sel]
+    a_is_comp = comp_a[sel]
+    c_body = jnp.where(a_is_comp, a_sel, b_sel)
+    v_body = jnp.where(a_is_comp, b_sel, a_sel)
+    c_shape = jnp.maximum(state.shape[c_body], 0)
+    v_shape = jnp.maximum(state.shape[v_body], 0)
+
+    # Select children: bounding test in the compound's local frame, overlapping first.
+    c_pos = state.pos[c_body]
+    c_orn = state.orn[c_body]
+    v_pos = state.pos[v_body]
+    other_local = c_orn.rotate_inverse(v_pos - c_pos)
+    v_radius = shapes.max_radius[v_shape]
+
+    W = child_window
+    offs = jnp.arange(W)
+    start = shapes.child_start[c_shape]
+    cnt = shapes.child_count[c_shape]
+    rows = jnp.minimum(start[:, None] + offs[None, :], shapes.child_shape.shape[0] - 1)
+    in_range = offs[None, :] < cnt[:, None]
+    ov = _child_aabb_overlap(shapes, rows, other_local, v_radius) & in_range
+    child_overflow = jnp.any(jnp.sum(ov, -1) > children_per_pair)
+    overflow = overflow | child_overflow | jnp.any(cnt > W)
+    # Stable argsort: overlapping children first, original order preserved.
+    order = jnp.argsort(~ov, axis=-1, stable=True)
+    pick = order[:, :children_per_pair]  # (MPC, E)
+    picked_rows = jnp.take_along_axis(rows, pick, -1)
+    picked_ok = jnp.take_along_axis(ov, pick, -1)
+
+    E = children_per_pair
+    MPC = max_compound_pairs
+    M = MPC * E
+
+    def flat(x):
+        return x.reshape(M, *x.shape[2:])
+
+    rec_pair = jnp.repeat(jnp.arange(MPC), E)
+    rec_slot = jnp.tile(jnp.arange(E, dtype=jnp.int32), MPC)
+    child_row = flat(picked_rows)
+    rec_valid = flat(picked_ok) & live_pair[rec_pair]
+
+    cb = c_body[rec_pair]
+    vb = v_body[rec_pair]
+    body_a = jnp.minimum(cb, vb)
+    body_b = jnp.maximum(cb, vb)
+
+    # Resolve child convex shape + world pose.
+    cs = shapes.child_shape[child_row]
+    is_tri = cs < 0
+    cs_c = jnp.maximum(cs, 0)
+    child_type = jnp.where(is_tri, TRIANGLE, shapes.type[cs_c])
+    child_params = jnp.where(
+        is_tri[:, None], shapes.child_tri[child_row].astype(jnp.float32) @ _TRI_PAD,
+        shapes.params[cs_c],
+    )
+    local_p = Vec3(
+        shapes.child_pos[child_row, 0],
+        shapes.child_pos[child_row, 1],
+        shapes.child_pos[child_row, 2],
+    )
+    local_q = Quat(
+        shapes.child_orn[child_row, 0],
+        shapes.child_orn[child_row, 1],
+        shapes.child_orn[child_row, 2],
+        shapes.child_orn[child_row, 3],
+    )
+    cpos_r = state.pos[cb]
+    corn_r = state.orn[cb]
+    child_pos = cpos_r + corn_r.rotate(local_p)
+    child_orn = corn_r.mul(local_q)
+
+    v_type = shapes.type[v_shape][rec_pair]
+    v_params = shapes.params[v_shape][rec_pair]
+    v_pos_r = state.pos[vb]
+    v_orn_r = state.orn[vb]
+    v_shape_r = v_shape[rec_pair]
+
+    # Canonical order: lower type id = i.
+    swap = child_type > v_type
+    type_i = jnp.where(swap, v_type, child_type)
+    type_j = jnp.where(swap, child_type, v_type)
+    params_i = jnp.where(swap[:, None], v_params, child_params)
+    params_j = jnp.where(swap[:, None], child_params, v_params)
+    pos_i = v_pos_r.where(swap, child_pos)
+    pos_j = child_pos.where(swap, v_pos_r)
+    orn_i = v_orn_r.where(swap, child_orn)
+    orn_j = child_orn.where(swap, v_orn_r)
+    shape_i = jnp.where(swap, v_shape_r, jnp.where(is_tri, -1, cs_c))
+    shape_j = jnp.where(swap, jnp.where(is_tri, -1, cs_c), v_shape_r)
+    # 'swapped' relative to (body_a, body_b): the manifold comes out relative to pose_i's
+    # owner; record which scene body that is.
+    i_owner = jnp.where(swap, vb, cb)
+    swapped_rel_a = i_owner != body_a
+
+    return ChildPairs(
+        body_a=body_a,
+        body_b=body_b,
+        slot=(rec_pair * E + rec_slot).astype(jnp.int32),
+        valid=rec_valid,
+        type_i=type_i,
+        type_j=type_j,
+        params_i=params_i,
+        params_j=params_j,
+        pos_i=pos_i,
+        pos_j=pos_j,
+        orn_i=orn_i,
+        orn_j=orn_j,
+        shape_i=shape_i,
+        shape_j=shape_j,
+        swapped=swapped_rel_a,
+        overflow=overflow,
+    )
+
+
+# Maps a 9-wide triangle row into the 12-wide params layout (first 9 columns).
+# Kept as a host numpy constant: a module-level jnp array would bind to whatever
+# trace is active if this module is first imported inside a jit trace.
+import numpy as _np
+
+_TRI_PAD = _np.eye(9, 12, dtype=_np.float32)

@@ -1,0 +1,582 @@
+"""Generic convex-convex collision: support mappings + vectorized GJK/MPR.
+
+The reference implements 21 hand-derived SIMD pair testers plus a generic simplex-descent
+depth solver ("Tootbird search" DepthRefiner.cs:26) for the hard pairs
+(cylinder/convex-hull families). The TPU-native design inverts the ratio: a few analytic
+fast paths (sphere/capsule/box families in testers.py) plus ONE generic fixed-iteration
+masked kernel built on support mappings that covers every convex pair:
+
+- **GJK** (distance, fixed iterations, per-lane convergence masks) for the separated /
+  speculative-contact regime → closest points, separating normal, negative "depth";
+- **MPR** (Minkowski portal refinement, fixed iterations) for the penetrating regime →
+  penetration normal and depth;
+- manifold expansion by re-sampling supports under small rotations of the contact normal
+  (up to 4 contacts with stable feature ids), standing in for the reference's per-pair
+  face clipping.
+
+Everything is branch-free over the full pair array; iteration counts are compile-time
+constants (SURVEY §7 'masked fixed-iteration kernels').
+
+Supports operate in the A-local frame with B's orientation/offset expressed there, with a
+'core shape + radius margin' decomposition (sphere/capsule contribute their radius as
+margin, like the reference's convex radius handling in sweeps).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..shapes.registry import BOX, CAPSULE, CONVEX_HULL, CYLINDER, SPHERE, TRIANGLE
+from ..utils.vec import Quat, Vec3, build_orthonormal_basis
+from .manifold import Manifold
+
+GJK_ITERS = 24
+MPR_ITERS = 24
+
+
+def support_core(stype, params, hull_points, hull_start, hull_count, d: Vec3) -> tuple:
+    """Support point of the shape's CORE (margin removed) in its local frame, for
+    direction d (need not be unit). Returns (point: Vec3, margin: radius-like float).
+
+    - SPHERE: core = point at origin, margin = radius
+    - CAPSULE: core = segment, margin = radius
+    - BOX: corner support, margin 0
+    - CYLINDER: rim/cap support, margin 0
+    - TRIANGLE: vertex support, margin 0
+    - CONVEX_HULL: argmax over the pooled point cloud, margin 0
+    """
+    zero = jnp.zeros_like(d.x)
+
+    # Sphere: origin.
+    sphere_pt = Vec3(zero, zero, zero)
+    sphere_margin = params[..., 0]
+
+    # Capsule: (0, ±hl, 0).
+    cap_y = jnp.where(d.y >= 0.0, params[..., 1], -params[..., 1])
+    capsule_pt = Vec3(zero, cap_y, zero)
+    capsule_margin = params[..., 0]
+
+    # Box: sign corner.
+    box_pt = Vec3(
+        jnp.where(d.x >= 0.0, params[..., 0], -params[..., 0]),
+        jnp.where(d.y >= 0.0, params[..., 1], -params[..., 1]),
+        jnp.where(d.z >= 0.0, params[..., 2], -params[..., 2]),
+    )
+
+    # Cylinder: radial direction in xz + signed cap.
+    horiz = jnp.sqrt(d.x * d.x + d.z * d.z)
+    inv_h = jnp.where(horiz > 1e-12, 1.0 / jnp.maximum(horiz, 1e-12), 0.0)
+    cyl_pt = Vec3(
+        d.x * inv_h * params[..., 0],
+        jnp.where(d.y >= 0.0, params[..., 1], -params[..., 1]),
+        d.z * inv_h * params[..., 0],
+    )
+
+    # Triangle: best of 3 vertices.
+    va = Vec3(params[..., 0], params[..., 1], params[..., 2])
+    vb = Vec3(params[..., 3], params[..., 4], params[..., 5])
+    vc = Vec3(params[..., 6], params[..., 7], params[..., 8])
+    da_, db_, dc_ = d.dot(va), d.dot(vb), d.dot(vc)
+    tri_pt = va.where((da_ >= db_) & (da_ >= dc_), vb.where(db_ >= dc_, vc))
+
+    # Convex hull: masked argmax over pooled points (windowed gather).
+    if hull_points is not None:
+        MAXH = hull_points.x.shape[0]  # flat pool; per-record start/count
+        # For vectorization we evaluate over a fixed window of max hull size per record.
+        W = 64  # max supported hull vertex count per shape (round 1)
+        offs = jnp.arange(W)
+        idx = jnp.minimum(hull_start[..., None] + offs, MAXH - 1)
+        live = offs[None, :] < hull_count[..., None]
+        px = hull_points.x[idx]
+        py = hull_points.y[idx]
+        pz = hull_points.z[idx]
+        dots = d.x[..., None] * px + d.y[..., None] * py + d.z[..., None] * pz
+        dots = jnp.where(live, dots, -3.0e38)
+        best = jnp.argmax(dots, axis=-1)
+        take = lambda arr: jnp.take_along_axis(arr, best[..., None], -1)[..., 0]
+        hull_pt = Vec3(take(px), take(py), take(pz))
+    else:
+        hull_pt = Vec3(zero, zero, zero)
+
+    pt = box_pt
+    pt = sphere_pt.where(stype == SPHERE, pt)
+    pt = capsule_pt.where(stype == CAPSULE, pt)
+    pt = cyl_pt.where(stype == CYLINDER, pt)
+    pt = tri_pt.where(stype == TRIANGLE, pt)
+    pt = hull_pt.where(stype == CONVEX_HULL, pt)
+    margin = jnp.where(stype == SPHERE, sphere_margin, jnp.where(stype == CAPSULE, capsule_margin, 0.0))
+    return pt, margin
+
+
+class SupportCtx(NamedTuple):
+    """Per-pair data to evaluate Minkowski-difference supports in A's local frame."""
+
+    type_a: jnp.ndarray
+    params_a: jnp.ndarray
+    type_b: jnp.ndarray
+    params_b: jnp.ndarray
+    orn_ab: Quat  # rotation taking B-local vectors to A frame
+    pos_ab: Vec3  # B center in A frame
+    hull_points: object  # Vec3 pool or None
+    hull_start_a: jnp.ndarray
+    hull_count_a: jnp.ndarray
+    hull_start_b: jnp.ndarray
+    hull_count_b: jnp.ndarray
+
+
+def minkowski_support(ctx: SupportCtx, d: Vec3):
+    """Support of (A − B) in direction d (A frame). Returns (w, pa, margin_sum) where
+    w = core support difference, pa = support point on A's core."""
+    sa, ma = support_core(
+        ctx.type_a, ctx.params_a, ctx.hull_points, ctx.hull_start_a, ctx.hull_count_a, d
+    )
+    d_b = ctx.orn_ab.rotate_inverse(-1.0 * d)
+    sb_local, mb = support_core(
+        ctx.type_b, ctx.params_b, ctx.hull_points, ctx.hull_start_b, ctx.hull_count_b, d_b
+    )
+    sb = ctx.orn_ab.rotate(sb_local) + ctx.pos_ab
+    return sa - sb, sa, ma + mb
+
+
+def _closest_on_simplex(pts, mask):
+    """Distance subalgorithm via masked projection onto all sub-simplices of ≤4 points.
+    pts: list of 4 Vec3 (each (N,)), mask: (N, 4) live points.
+    Returns (closest: Vec3, bary: (N,4), new_mask: (N,4)) for the minimal face."""
+    N = pts[0].x.shape[0]
+    big = jnp.full((N,), 3.0e38)
+
+    best_d2 = big
+    best_bary = jnp.zeros((N, 4))
+    best_keep = jnp.zeros((N, 4), bool)
+
+    def consider(d2, bary, keep, ok, best):
+        best_d2, best_bary, best_keep = best
+        better = ok & (d2 < best_d2)
+        return (
+            jnp.where(better, d2, best_d2),
+            jnp.where(better[:, None], bary, best_bary),
+            jnp.where(better[:, None], keep, best_keep),
+        )
+
+    best = (best_d2, best_bary, best_keep)
+
+    # Vertices.
+    for i in range(4):
+        d2 = pts[i].length_squared()
+        bary = jnp.zeros((N, 4)).at[:, i].set(1.0)
+        keep = jnp.zeros((N, 4), bool).at[:, i].set(True)
+        best = consider(d2, bary, keep, mask[:, i], best)
+
+    # Edges.
+    for i in range(4):
+        for j in range(i + 1, 4):
+            a, b = pts[i], pts[j]
+            ab = b - a
+            denom = ab.length_squared()
+            t = jnp.clip(-a.dot(ab) / jnp.maximum(denom, 1e-30), 0.0, 1.0)
+            p = a + ab * t
+            d2 = p.length_squared()
+            interior = (t > 0.0) & (t < 1.0)
+            bary = jnp.zeros((N, 4)).at[:, i].set(1.0 - t).at[:, j].set(t)
+            keep = jnp.zeros((N, 4), bool).at[:, i].set(True).at[:, j].set(True)
+            ok = mask[:, i] & mask[:, j] & (denom > 1e-30) & interior
+            best = consider(d2, bary, keep, ok, best)
+
+    # Triangle faces.
+    for i in range(4):
+        for j in range(i + 1, 4):
+            for k in range(j + 1, 4):
+                a, b, c = pts[i], pts[j], pts[k]
+                ab = b - a
+                ac = c - a
+                n = ab.cross(ac)
+                nn = n.length_squared()
+                # Projection of the origin onto the plane {x: n·x = n·a}: p = n (n·a)/|n|².
+                d_ = a.dot(n) / jnp.maximum(nn, 1e-30)
+                p = n * d_
+                # barycentric of p in (a,b,c):
+                ap = p - a
+                d00 = ab.dot(ab)
+                d01 = ab.dot(ac)
+                d11 = ac.dot(ac)
+                d20 = ap.dot(ab)
+                d21 = ap.dot(ac)
+                den = d00 * d11 - d01 * d01
+                v = (d11 * d20 - d01 * d21) / jnp.maximum(jnp.abs(den), 1e-30) * jnp.sign(jnp.where(den == 0, 1.0, den))
+                w = (d00 * d21 - d01 * d20) / jnp.maximum(jnp.abs(den), 1e-30) * jnp.sign(jnp.where(den == 0, 1.0, den))
+                u = 1.0 - v - w
+                interior = (u > 0.0) & (v > 0.0) & (w > 0.0)
+                d2 = p.length_squared()
+                bary = (
+                    jnp.zeros((N, 4)).at[:, i].set(u).at[:, j].set(v).at[:, k].set(w)
+                )
+                keep = (
+                    jnp.zeros((N, 4), bool).at[:, i].set(True).at[:, j].set(True).at[:, k].set(True)
+                )
+                ok = mask[:, i] & mask[:, j] & mask[:, k] & (nn > 1e-30) & interior
+                best = consider(d2, bary, keep, ok, best)
+
+    best_d2, best_bary, best_keep = best
+    closest = Vec3(
+        sum(best_bary[:, i] * pts[i].x for i in range(4)),
+        sum(best_bary[:, i] * pts[i].y for i in range(4)),
+        sum(best_bary[:, i] * pts[i].z for i in range(4)),
+    )
+    return closest, best_bary, best_keep
+
+
+def gjk_closest(ctx: SupportCtx):
+    """Vectorized GJK distance between the cores. Returns (dist, normal_ba: Vec3 unit
+    pointing B→A, point_on_a_core: Vec3, margin_sum). For overlapping cores dist→~0 and
+    the normal degrades; callers switch to MPR below a threshold."""
+    n_rec = ctx.type_a.shape[0]
+    d0 = (-1.0 * ctx.pos_ab).where(ctx.pos_ab.length_squared() > 1e-12, Vec3.full((n_rec,), 0.0, 1.0, 0.0))
+    w0, pa0, margin = minkowski_support(ctx, d0)
+
+    pts = [w0, Vec3.zeros((n_rec,)), Vec3.zeros((n_rec,)), Vec3.zeros((n_rec,))]
+    pas = [pa0, Vec3.zeros((n_rec,)), Vec3.zeros((n_rec,)), Vec3.zeros((n_rec,))]
+    mask = jnp.zeros((n_rec, 4), bool).at[:, 0].set(True)
+    done = jnp.zeros((n_rec,), bool)
+
+    def body(carry, _):
+        pts, pas, mask, done = carry
+        closest, bary, keep = _closest_on_simplex(pts, mask)
+        dist2 = closest.length_squared()
+        search = -1.0 * closest  # toward origin
+        # New support.
+        w, pa, _ = minkowski_support(ctx, search)
+        # Convergence: support makes no progress toward origin.
+        progress = (-1.0 * w.dot(closest) + dist2) > 1e-6 * jnp.maximum(dist2, 1e-6)
+        new_done = done | (~progress) | (dist2 < 1e-12)
+        # Insert w into the first non-kept slot — one-hot select (no scatter: TPU
+        # scatters serialize; this is pure elementwise VPU work).
+        free_slot = jnp.argmin(keep.astype(jnp.int32), -1)
+        onehot = jnp.arange(4)[None, :] == free_slot[:, None]
+        write = onehot & ~new_done[:, None]
+
+        def upd(comp_list, new_vec):
+            return [
+                jnp.where(write[:, i], new_vec, comp_list[i]) for i in range(4)
+            ]
+
+        px = upd([p.x for p in pts], w.x)
+        py = upd([p.y for p in pts], w.y)
+        pz = upd([p.z for p in pts], w.z)
+        pax = upd([p.x for p in pas], pa.x)
+        pay = upd([p.y for p in pas], pa.y)
+        paz = upd([p.z for p in pas], pa.z)
+        new_pts = [Vec3(px[i], py[i], pz[i]) for i in range(4)]
+        new_pas = [Vec3(pax[i], pay[i], paz[i]) for i in range(4)]
+        new_mask = jnp.where(new_done[:, None], mask, keep | write)
+        new_pts = [p.where(~new_done, q) for p, q in zip(new_pts, pts)]
+        new_pas = [p.where(~new_done, q) for p, q in zip(new_pas, pas)]
+        return (new_pts, new_pas, new_mask, new_done), None
+
+    carry = (pts, pas, mask, done)
+    carry = jax.lax.fori_loop(0, GJK_ITERS, lambda _, c: body(c, None)[0], carry)
+    pts, pas, mask, done = carry
+
+    closest, bary, keep = _closest_on_simplex(pts, mask)
+    dist = closest.length()
+    # Origin-in-tetrahedron containment: _closest_on_simplex only sees faces, so a
+    # penetrating pair would otherwise report the positive face distance. If the final
+    # 4-point simplex contains the origin, the true distance is 0.
+    if True:
+        def same_side(a, b, c, d):
+            n_f = (b - a).cross(c - a)
+            return (n_f.dot(-1.0 * a)) * (n_f.dot(d - a)) >= 0.0
+
+        all4 = mask.all(-1)
+        contained = (
+            all4
+            & same_side(pts[0], pts[1], pts[2], pts[3])
+            & same_side(pts[0], pts[1], pts[3], pts[2])
+            & same_side(pts[0], pts[2], pts[3], pts[1])
+            & same_side(pts[1], pts[2], pts[3], pts[0])
+        )
+        dist = jnp.where(contained, 0.0, dist)
+    # normal pointing B→A = direction from B's core toward A's core = +closest/|closest|
+    # (closest = point on A−B nearest origin; A is on the +closest side).
+    inv = jnp.where(dist > 1e-9, 1.0 / jnp.maximum(dist, 1e-9), 0.0)
+    normal = closest * inv
+    point_a = Vec3(
+        sum(bary[:, i] * pas[i].x for i in range(4)),
+        sum(bary[:, i] * pas[i].y for i in range(4)),
+        sum(bary[:, i] * pas[i].z for i in range(4)),
+    )
+    return dist, normal, point_a, margin
+
+
+def mpr_penetration(ctx: SupportCtx):
+    """Vectorized MPR (XenoCollide-style): penetration normal (B→A, A frame) and depth
+    for overlapping cores. Portal discovery + pierce-test refinement, fixed iterations,
+    fully masked — robust for the shallow contacts that matter for stacking."""
+    n_rec = ctx.type_a.shape[0]
+    # Interior ray origin inside A−B: center difference (A center − B center = −pos_ab).
+    v0 = -1.0 * ctx.pos_ab
+    degenerate0 = v0.length_squared() < 1e-10
+    v0 = v0.where(~degenerate0, Vec3.full((n_rec,), 1e-3, 1.3e-3, 0.7e-3))
+
+    def pierce(a: Vec3, b: Vec3, c: Vec3):
+        """Does the ray from v0 through the ORIGIN pass through triangle (a,b,c)?
+        All three tetra orientations det(x−v0, y−v0, −v0) must share a sign."""
+        ra = a - v0
+        rb = b - v0
+        rc = c - v0
+        ro = -1.0 * v0
+        s1 = ra.cross(rb).dot(ro)
+        s2 = rb.cross(rc).dot(ro)
+        s3 = rc.cross(ra).dot(ro)
+        pos = (s1 >= 0) & (s2 >= 0) & (s3 >= 0)
+        neg = (s1 <= 0) & (s2 <= 0) & (s3 <= 0)
+        return pos | neg
+
+    # Initial portal.
+    v1, pa1, margin = minkowski_support(ctx, -1.0 * v0)
+    d2 = v1.cross(v0)
+    deg2 = d2.length_squared() < 1e-12
+    fallback, _ = build_orthonormal_basis(v0.normalize())
+    d2 = d2.where(~deg2, fallback)
+    v2, pa2, _ = minkowski_support(ctx, d2)
+    d3 = (v1 - v0).cross(v2 - v0)
+    flip3 = d3.dot(-1.0 * v0) < 0.0  # orient toward the origin side
+    d3 = d3.where(~flip3, -1.0 * d3)
+    v3, pa3, _ = minkowski_support(ctx, d3)
+
+    # Discovery: a few rounds swapping portal verts until the origin ray pierces it.
+    def discover(_, c):
+        v1, v2, v3, pa1, pa2, pa3 = c
+        ok = pierce(v1, v2, v3)
+        # Try the alternative portal with v2/v3 roles rotated via fresh supports.
+        d_new = (v3 - v0).cross(v1 - v0)
+        flip = d_new.dot(-1.0 * v0) < 0.0
+        d_new = d_new.where(~flip, -1.0 * d_new)
+        v_new, pa_new, _ = minkowski_support(ctx, d_new)
+        v2n = v3.where(~ok, v2)
+        pa2n = pa3.where(~ok, pa2)
+        v3n = v_new.where(~ok, v3)
+        pa3n = pa_new.where(~ok, pa3)
+        return (v1, v2n, v3n, pa1, pa2n, pa3n)
+
+    (v1, v2, v3, pa1, pa2, pa3) = jax.lax.fori_loop(
+        0, 6, discover, (v1, v2, v3, pa1, pa2, pa3)
+    )
+
+    def refine(_, carry):
+        v1, v2, v3, pa1, pa2, pa3 = carry
+        n = (v2 - v1).cross(v3 - v1)
+        outward = n.dot(v1 - v0) >= 0.0
+        n = n.where(outward, -1.0 * n)
+        nn = n.normalize()
+        v4, pa4, _ = minkowski_support(ctx, nn)
+
+        # Which sub-portal does the origin ray pierce after inserting v4?
+        p12 = pierce(v4, v1, v2)
+        p23 = pierce(v4, v2, v3)
+        # default: portal (v4, v3, v1)
+        # keep (v4,v1,v2) → drop v3 ; keep (v4,v2,v3) → drop v1 ; else drop v2.
+        drop3 = p12
+        drop1 = (~p12) & p23
+        new_v1 = v4.where(drop1, v1)
+        new_pa1 = pa4.where(drop1, pa1)
+        new_v2 = v4.where(~drop1 & ~drop3, v2)
+        new_pa2 = pa4.where(~drop1 & ~drop3, pa2)
+        new_v3 = v4.where(drop3, v3)
+        new_pa3 = pa4.where(drop3, pa3)
+        return (new_v1, new_v2, new_v3, new_pa1, new_pa2, new_pa3)
+
+    carry = (v1, v2, v3, pa1, pa2, pa3)
+    carry = jax.lax.fori_loop(0, MPR_ITERS, refine, carry)
+    v1, v2, v3, pa1, pa2, pa3 = carry
+
+    # Final portal: penetration direction = outward portal normal; depth = distance of the
+    # portal plane from the origin along it.
+    n = (v2 - v1).cross(v3 - v1)
+    outward = n.dot(v1 - v0) >= 0.0
+    n = n.where(outward, -1.0 * n)
+    nn_len = n.length()
+    n_unit = n * jnp.where(nn_len > 1e-12, 1.0 / jnp.maximum(nn_len, 1e-12), 0.0)
+    depth_core = v1.dot(n_unit)
+    # Surface point on A: blend portal A-points by barycentric of the origin's projection
+    # onto the portal plane (cheap approximation: area coordinates).
+    # Project origin onto portal plane:
+    p = n_unit * depth_core
+    ab = v2 - v1
+    ac = v3 - v1
+    ap = p - v1
+    d00 = ab.dot(ab)
+    d01 = ab.dot(ac)
+    d11 = ac.dot(ac)
+    d20 = ap.dot(ab)
+    d21 = ap.dot(ac)
+    den = d00 * d11 - d01 * d01
+    safe = jnp.abs(den) > 1e-20
+    inv_den = jnp.where(safe, 1.0 / jnp.where(safe, den, 1.0), 0.0)
+    w2 = jnp.clip((d11 * d20 - d01 * d21) * inv_den, 0.0, 1.0)
+    w3 = jnp.clip((d00 * d21 - d01 * d20) * inv_den, 0.0, 1.0)
+    w1 = jnp.clip(1.0 - w2 - w3, 0.0, 1.0)
+    point_a = Vec3(
+        pa1.x * w1 + pa2.x * w2 + pa3.x * w3,
+        pa1.y * w1 + pa2.y * w2 + pa3.y * w3,
+        pa1.z * w1 + pa2.z * w2 + pa3.z * w3,
+    )
+    return depth_core, n_unit, point_a, margin
+
+
+def generic_convex_manifold(ctx: SupportCtx, orn_a: Quat) -> Manifold:
+    """Full manifold via GJK/MPR + normal-perturbation manifold expansion.
+    Returns world-frame manifold relative to A's center."""
+    n_rec = ctx.type_a.shape[0]
+    dist, n_gjk, pa_gjk, margin = gjk_closest(ctx)
+    pen_depth, n_mpr, pa_mpr, _ = mpr_penetration(ctx)
+
+    # Overlap classification: GJK alone is unreliable for penetrating shapes (without an
+    # origin-in-tetrahedron test it can stall at a positive face distance), so a pair is
+    # overlapping when EITHER GJK reaches ~0 OR MPR's portal plane lies beyond the origin
+    # (positive core depth) — MPR's sign is exactly the containment test.
+    overlapping = (dist < 1e-6) | (pen_depth > 0.0)
+    # GJK's closest-point direction already points B→A; MPR's portal normal points from
+    # the Minkowski interior OUT through the origin ray, which is the A→B-ish direction —
+    # negate it for the B→A convention.
+    normal_local = (-1.0 * n_mpr).where(overlapping, n_gjk)
+    # Depth including margins: separated: margin − dist; penetrating: core depth + margin.
+    depth0 = jnp.where(overlapping, pen_depth + margin, margin - dist)
+    pa0 = pa_mpr.where(overlapping, pa_gjk)
+    # Surface point on A = core point − margin_a along normal... use combined: push the
+    # core point toward B by A's share of the margin (adequate: offsets feed lever arms).
+    contact0 = pa0 - normal_local * (0.5 * margin)
+
+    # Manifold expansion: sample supports of BOTH shapes under small tilts of the contact
+    # normal; a tilted support that stays near the contact plane lies on the flat contact
+    # patch (cylinder cap rim, box face corner, ...). Candidates from the larger shape's
+    # far-away features fail the coplanarity gate automatically.
+    t1, t2 = build_orthonormal_basis(normal_local)
+    tilt = 0.15
+    # Support planes along the shared normal: A's toward B along −n, B's toward A along n.
+    d_bn = ctx.orn_ab.rotate_inverse(normal_local)
+    sb_plane_l, _ = support_core(
+        ctx.type_b, ctx.params_b, ctx.hull_points, ctx.hull_start_b, ctx.hull_count_b, d_bn
+    )
+    sb_plane = (ctx.orn_ab.rotate(sb_plane_l) + ctx.pos_ab).dot(normal_local)
+    sa_plane_l, _ = support_core(
+        ctx.type_a, ctx.params_a, ctx.hull_points, ctx.hull_start_a, ctx.hull_count_a,
+        -1.0 * normal_local,
+    )
+    sa_plane = sa_plane_l.dot(normal_local)
+
+    cand_pts = []
+    cand_depth = []
+    cand_ok = []
+    cand_feat = []
+    tilts = [t1 * tilt, -1.0 * (t1 * tilt), t2 * tilt, -1.0 * (t2 * tilt)]
+    for k, tv in enumerate(tilts):
+        # Sample on A: direction −(n + tilt) (A's surface toward B).
+        da = -1.0 * (normal_local + tv)
+        sa_k, _ = support_core(
+            ctx.type_a, ctx.params_a, ctx.hull_points, ctx.hull_start_a, ctx.hull_count_a, da
+        )
+        d_a = (sb_plane - sa_k.dot(normal_local)) + margin
+        cand_pts.append(sa_k - normal_local * (0.5 * margin))
+        cand_depth.append(d_a)
+        cand_ok.append(jnp.abs(d_a - depth0) < 0.05 + 0.1 * jnp.abs(depth0))
+        cand_feat.append(jnp.full((n_rec,), 10 + k, jnp.int32))
+        # Sample on B: direction (n + tilt) in B's frame.
+        db = ctx.orn_ab.rotate_inverse(normal_local + tv)
+        sb_k_l, _ = support_core(
+            ctx.type_b, ctx.params_b, ctx.hull_points, ctx.hull_start_b, ctx.hull_count_b, db
+        )
+        sb_k = ctx.orn_ab.rotate(sb_k_l) + ctx.pos_ab
+        d_b = (sb_k.dot(normal_local) - sa_plane) + margin
+        cand_pts.append(sb_k - normal_local * (sb_k.dot(normal_local) - sa_plane + 0.5 * margin))
+        cand_depth.append(d_b)
+        cand_ok.append(jnp.abs(d_b - depth0) < 0.05 + 0.1 * jnp.abs(depth0))
+        cand_feat.append(jnp.full((n_rec,), 20 + k, jnp.int32))
+
+    K = len(cand_pts)
+    cpx = jnp.stack([p.x for p in cand_pts], -1)
+    cpy = jnp.stack([p.y for p in cand_pts], -1)
+    cpz = jnp.stack([p.z for p in cand_pts], -1)
+    cdep = jnp.stack(cand_depth, -1)
+    cok = jnp.stack(cand_ok, -1)
+    cft = jnp.stack(cand_feat, -1)
+
+    # Tangential mutual-bounding gate: depth alone cannot reject far-away coplanar
+    # features (a huge ground face's corners lie exactly on the contact plane). A
+    # candidate from shape A is only on the contact PATCH if it lies within the other
+    # shape's tangential footprint — approximated by the (t1,t2) bounding box of the other
+    # shape's own candidates + the central contact. Candidates alternate A,B,A,B,… .
+    cu = cpx * t1.x[:, None] + cpy * t1.y[:, None] + cpz * t1.z[:, None]
+    cv = cpx * t2.x[:, None] + cpy * t2.y[:, None] + cpz * t2.z[:, None]
+    u0 = contact0.dot(t1)
+    v0 = contact0.dot(t2)
+    is_a = jnp.asarray([k % 2 == 0 for k in range(K)])
+    pad = 0.05 + 0.1 * jnp.abs(depth0)[:, None]
+    big_u = 3.0e38
+
+    def bbox(side_mask):
+        sel_ok = cok & side_mask[None, :]
+        umin = jnp.min(jnp.where(sel_ok, cu, big_u), -1)
+        umax = jnp.max(jnp.where(sel_ok, cu, -big_u), -1)
+        vmin = jnp.min(jnp.where(sel_ok, cv, big_u), -1)
+        vmax = jnp.max(jnp.where(sel_ok, cv, -big_u), -1)
+        return (
+            jnp.minimum(umin, u0), jnp.maximum(umax, u0),
+            jnp.minimum(vmin, v0), jnp.maximum(vmax, v0),
+        )
+
+    a_umin, a_umax, a_vmin, a_vmax = bbox(is_a)
+    b_umin, b_umax, b_vmin, b_vmax = bbox(~is_a)
+    in_b = (
+        (cu >= b_umin[:, None] - pad) & (cu <= b_umax[:, None] + pad)
+        & (cv >= b_vmin[:, None] - pad) & (cv <= b_vmax[:, None] + pad)
+    )
+    in_a = (
+        (cu >= a_umin[:, None] - pad) & (cu <= a_umax[:, None] + pad)
+        & (cv >= a_vmin[:, None] - pad) & (cv <= a_vmax[:, None] + pad)
+    )
+    cok = cok & jnp.where(is_a[None, :], in_b, in_a)
+    # Drop candidates too close to contact0 or to each other (greedy, fixed order).
+    min_sep2 = 1e-4
+    d0x = cpx - contact0.x[:, None]
+    d0y = cpy - contact0.y[:, None]
+    d0z = cpz - contact0.z[:, None]
+    cok = cok & (d0x * d0x + d0y * d0y + d0z * d0z > min_sep2)
+    for i_c in range(K):
+        for j_c in range(i_c + 1, K):
+            dx = cpx[:, i_c] - cpx[:, j_c]
+            dy = cpy[:, i_c] - cpy[:, j_c]
+            dz = cpz[:, i_c] - cpz[:, j_c]
+            close = dx * dx + dy * dy + dz * dz <= min_sep2
+            cok = cok.at[:, j_c].set(cok[:, j_c] & ~(close & cok[:, i_c]))
+
+    # Select up to 3 extra candidates (priority: valid, then deepest).
+    slots_p = [contact0]
+    slots_d = [depth0]
+    slots_f = [jnp.zeros((n_rec,), jnp.int32)]
+    slots_m = [jnp.ones((n_rec,), bool)]
+    taken = ~cok
+    for _ in range(3):
+        score = jnp.where(taken, -3.0e38, cdep)
+        pick = jnp.argmax(score, -1)
+        ok = jnp.take_along_axis(~taken, pick[:, None], 1)[:, 0]
+        g = lambda arr: jnp.take_along_axis(arr, pick[:, None], 1)[:, 0]
+        slots_p.append(Vec3(g(cpx), g(cpy), g(cpz)))
+        slots_d.append(g(cdep))
+        slots_f.append(g(cft))
+        slots_m.append(ok)
+        taken = taken | (jnp.arange(K)[None, :] == pick[:, None])
+
+    offset = Vec3(
+        jnp.stack([orn_a.rotate(p).x for p in slots_p], -1),
+        jnp.stack([orn_a.rotate(p).y for p in slots_p], -1),
+        jnp.stack([orn_a.rotate(p).z for p in slots_p], -1),
+    )
+    return Manifold(
+        normal=orn_a.rotate(normal_local),
+        offset_a=offset,
+        depth=jnp.stack(slots_d, -1),
+        feature=jnp.stack(slots_f, -1),
+        contact_mask=jnp.stack(slots_m, -1),
+    )

@@ -21,12 +21,14 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..bodies import BodyState
-from ..shapes.registry import BOX, CAPSULE, SPHERE, ShapeData
+from ..shapes.registry import BOX, CAPSULE, CONVEX_HULL, CYLINDER, SPHERE, TRIANGLE, ShapeData
 from ..utils.spring import SpringSettings
 from ..utils.vec import Vec2, Vec3
 from ..constraints.contact import ContactImpulses, ContactPrestep
 from . import testers
 from .broadphase import PairList
+from .compound import expand_compound_pairs
+from .convex import SupportCtx, generic_convex_manifold
 from .manifold import Manifold
 
 
@@ -83,6 +85,66 @@ TESTER_REGISTRY = [
 ]
 
 
+def run_convex_testers(
+    shapes: ShapeData,
+    ti, tj, params_i, params_j, pos_i, pos_j, orn_i, orn_j, shape_i, shape_j,
+    valid, present_types=None, include_triangles=False,
+) -> Manifold:
+    """Run the analytic tester registry + the generic GJK/MPR fallback over canonical
+    (type_i ≤ type_j) convex pair records. ``shape_i/j``: registry rows (−1 = raw
+    triangle params). Returns a manifold relative to the i-side pose."""
+    mp = ti.shape[0]
+    pos_ij = pos_j - pos_i
+    manifold = Manifold.empty(mp)
+    present = set(present_types) if present_types is not None else None
+    if present is not None and include_triangles:
+        present = present | {TRIANGLE}
+    covered = jnp.zeros(mp, bool)
+    for t0, t1, fn in TESTER_REGISTRY:
+        sel_types = (ti == t0) & (tj == t1)
+        covered = covered | sel_types
+        if present is not None and (t0 not in present or t1 not in present):
+            continue  # trace-time skip: this type pair cannot occur in the scene
+        m = fn(pos_ij, orn_i, orn_j, params_i, params_j)
+        sel = valid & sel_types
+        manifold = m.where(sel, manifold)
+
+    # Generic support-mapping fallback for every other convex pair (cylinder/hull/
+    # triangle families, capsule-box, ... — the reference's DepthRefiner-backed testers).
+    generic_possible = True
+    if present is not None:
+        analytic = {(t0, t1) for t0, t1, _ in TESTER_REGISTRY}
+        convex_present = sorted(p for p in present if 0 <= p <= CONVEX_HULL)
+        generic_possible = any(
+            (x, y) not in analytic
+            for xi, x in enumerate(convex_present)
+            for y in convex_present[xi:]
+        )
+    if generic_possible:
+        from ..utils.vec import Vec3 as _V3
+
+        si = jnp.maximum(shape_i, 0)
+        sj = jnp.maximum(shape_j, 0)
+        ctx = SupportCtx(
+            type_a=ti,
+            params_a=params_i,
+            type_b=tj,
+            params_b=params_j,
+            orn_ab=orn_i.conjugate().mul(orn_j),
+            pos_ab=orn_i.rotate_inverse(pos_ij),
+            hull_points=_V3(shapes.hull_x, shapes.hull_y, shapes.hull_z),
+            hull_start_a=shapes.hull_start[si],
+            hull_count_a=shapes.hull_count[si],
+            hull_start_b=shapes.hull_start[sj],
+            hull_count_b=shapes.hull_count[sj],
+        )
+        gm = generic_convex_manifold(ctx, orn_i)
+        convex_pair = (ti >= 0) & (ti <= CONVEX_HULL) & (tj >= 0) & (tj <= CONVEX_HULL)
+        gsel = valid & convex_pair & ~covered
+        manifold = gm.where(gsel, manifold)
+    return manifold
+
+
 def narrow_phase(
     state: BodyState,
     shapes: ShapeData,
@@ -90,6 +152,7 @@ def narrow_phase(
     cache: PairCache,
     dt,
     spec_margin_max: float = 1.0e30,
+    present_types: tuple = None,
 ):
     """Run all testers and build contact constraint records (+warm-started impulses)."""
     n_bodies = state.pos.x.shape[0]
@@ -107,20 +170,20 @@ def narrow_phase(
     j = jnp.where(swap, a, b)
     ti = jnp.where(swap, tb, ta)
     tj = jnp.where(swap, ta, tb)
-    params_i = shapes.params[jnp.where(swap, shape_b, shape_a)]
-    params_j = shapes.params[jnp.where(swap, shape_a, shape_b)]
+    shape_i = jnp.where(swap, shape_b, shape_a)
+    shape_j = jnp.where(swap, shape_a, shape_b)
+    params_i = shapes.params[shape_i]
+    params_j = shapes.params[shape_j]
 
     pos_i = state.pos[i]
     pos_j = state.pos[j]
     orn_i = state.orn[i]
     orn_j = state.orn[j]
-    pos_ij = pos_j - pos_i
 
-    manifold = Manifold.empty(mp)
-    for t0, t1, fn in TESTER_REGISTRY:
-        m = fn(pos_ij, orn_i, orn_j, params_i, params_j)
-        sel = pairs.valid & (ti == t0) & (tj == t1)
-        manifold = m.where(sel, manifold)
+    manifold = run_convex_testers(
+        shapes, ti, tj, params_i, params_j, pos_i, pos_j, orn_i, orn_j,
+        shape_i, shape_j, pairs.valid, present_types,
+    )
 
     # Un-flip manifolds of swapped pairs so offsets are relative to scene body `a` and the
     # normal points from b to a. For swapped pairs the tester's A is scene body b, so the
@@ -191,6 +254,110 @@ def update_cache(prestep: ContactPrestep, imp: ContactImpulses, n_bodies: int) -
     key = jnp.where(prestep.valid, prestep.body_a * n_bodies + prestep.body_b, -1)
     return PairCache(
         key=key,
+        feature=prestep.feature,
+        penetration=imp.penetration,
+        tangent=imp.tangent,
+        twist=imp.twist,
+        valid=prestep.valid,
+    )
+
+def narrow_phase_compound(
+    state: BodyState,
+    shapes: ShapeData,
+    pairs: PairList,
+    cache: PairCache,
+    dt,
+    max_compound_pairs: int,
+    children_per_pair: int,
+    child_window: int,
+    present_types: tuple = None,
+):
+    """Compound/mesh pair path: expand into child convex records and build a second
+    contact bank (see collision/compound.py). Cache keys combine (pair key, child slot)."""
+    n_bodies = state.pos.x.shape[0]
+    cp = expand_compound_pairs(
+        state, shapes, pairs.a, pairs.b, pairs.valid,
+        max_compound_pairs, children_per_pair, child_window,
+    )
+
+    manifold = run_convex_testers(
+        shapes, cp.type_i, cp.type_j, cp.params_i, cp.params_j,
+        cp.pos_i, cp.pos_j, cp.orn_i, cp.orn_j, cp.shape_i, cp.shape_j,
+        cp.valid, present_types, include_triangles=True,
+    )
+
+    # Rebase offsets from the i-side pose to scene body_a's center; flip the normal when
+    # the i-side belongs to scene body_b.
+    rebase = cp.pos_i - state.pos[cp.body_a]
+    manifold = manifold._replace(
+        offset_a=Vec3(
+            manifold.offset_a.x + rebase.x[:, None],
+            manifold.offset_a.y + rebase.y[:, None],
+            manifold.offset_a.z + rebase.z[:, None],
+        ),
+        normal=manifold.normal.where(~cp.swapped, -1.0 * manifold.normal),
+    )
+
+    a, b = cp.body_a, cp.body_b
+    rel_speed = (state.vel[a] - state.vel[b]).length()
+    margin = rel_speed * dt + 0.1
+    contact_ok = cp.valid[:, None] & manifold.contact_mask & (manifold.depth > -margin[:, None])
+    record_valid = cp.valid & jnp.any(contact_ok, axis=-1)
+
+    friction = jnp.sqrt(state.friction[a] * state.friction[b])
+    freq = jnp.minimum(state.spring_frequency[a], state.spring_frequency[b])
+    damping = jnp.maximum(state.spring_damping[a], state.spring_damping[b])
+    max_rec = jnp.minimum(state.max_recovery_velocity[a], state.max_recovery_velocity[b])
+
+    prestep = ContactPrestep(
+        body_a=a,
+        body_b=b,
+        normal=manifold.normal,
+        offset_a=manifold.offset_a,
+        offset_b=state.pos[b] - state.pos[a],
+        depth=manifold.depth,
+        contact_mask=contact_ok,
+        valid=record_valid,
+        friction=friction,
+        spring=SpringSettings.make(freq, damping),
+        max_recovery_velocity=max_rec,
+        feature=manifold.feature,
+    )
+
+    # Warm start: composite key = pair_key * E + child slot (slot is stable because child
+    # enumeration order is deterministic). Requires NB² · E < 2^31.
+    E = children_per_pair
+    imp = _warm_start_from_cache_keyed(
+        prestep, cache, (a * n_bodies + b) * E + (cp.slot % E)
+    )
+    return prestep, imp, (cp.slot % E), cp.overflow
+
+
+def _warm_start_from_cache_keyed(prestep: ContactPrestep, cache: PairCache, key) -> ContactImpulses:
+    """Generic cache carry given explicit record keys."""
+    sort_idx = jnp.argsort(jnp.where(cache.valid, cache.key, 2**31 - 1))
+    sorted_keys = jnp.where(cache.valid, cache.key, 2**31 - 1)[sort_idx]
+    pos = jnp.searchsorted(sorted_keys, key)
+    pos_c = jnp.minimum(pos, sorted_keys.shape[0] - 1)
+    hit_slot = sort_idx[pos_c]
+    matched = (sorted_keys[pos_c] == key) & prestep.valid & cache.valid[hit_slot]
+
+    old_feat = cache.feature[hit_slot]
+    eq = (prestep.feature[:, :, None] == old_feat[:, None, :]) & prestep.contact_mask[:, :, None]
+    old_pen = cache.penetration[hit_slot]
+    pen = jnp.sum(jnp.where(eq, old_pen[:, None, :], 0.0), axis=-1)
+    pen = jnp.where(matched[:, None], pen, 0.0)
+    tangent = Vec2(
+        jnp.where(matched, cache.tangent.x[hit_slot], 0.0),
+        jnp.where(matched, cache.tangent.y[hit_slot], 0.0),
+    )
+    twist = jnp.where(matched, cache.twist[hit_slot], 0.0)
+    return ContactImpulses(pen, tangent, twist)
+
+
+def update_cache_keyed(prestep: ContactPrestep, imp: ContactImpulses, key) -> PairCache:
+    return PairCache(
+        key=jnp.where(prestep.valid, key, -1),
         feature=prestep.feature,
         penetration=imp.penetration,
         tangent=imp.tangent,

@@ -164,11 +164,14 @@ def _ray_triangle(o: Vec3, d: Vec3, va: Vec3, vb: Vec3, vc: Vec3):
 
 
 def ray_cast_all(
-    state: BodyState, shapes: ShapeData, origin: Vec3, direction: Vec3, max_t
+    state: BodyState, shapes: ShapeData, origin: Vec3, direction: Vec3, max_t,
+    exclude=None,
 ) -> RayHit:
     """Cast ray(s) against every collidable; min-t reduction. ``origin``/``direction``
     may be single vectors (scalar components) or batched (R,) components — broadcasting
-    produces an (R, N) test grid reduced over N."""
+    produces an (R, N) test grid reduced over N. ``exclude``: optional body slot to skip
+    (a self-cast filter — the reference expresses this through IRayHitHandler.AllowTest,
+    Simulation_Queries.cs:35)."""
     n_bodies = state.pos.x.shape[0]
     batched = jnp.ndim(origin.x) > 0
     if batched:
@@ -212,6 +215,8 @@ def ray_cast_all(
         n_local = nn.where(sel, n_local)
 
     exists = state.exists & (state.shape >= 0)
+    if exclude is not None:
+        exists = exists & (jnp.arange(n_bodies) != exclude)
     t = jnp.where(exists & (t <= max_t_b), t, _INF)
 
     best = jnp.argmin(t, axis=-1)

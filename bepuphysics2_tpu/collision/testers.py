@@ -250,17 +250,33 @@ def box_box(pos_ab: Vec3, orn_a: Quat, orn_b: Quat, params_a, params_b) -> Manif
     best_axis = Vec3.full((N,), 0.0, 1.0, 0.0)
     best_id = jnp.zeros((N,), jnp.int32)
 
+    # Characteristic contact scale for tie-break penalties (works for negative/speculative
+    # depths too, where a multiplicative bias would invert its meaning).
+    min_ext = jnp.minimum(
+        jnp.minimum(jnp.minimum(ha.x, ha.y), ha.z),
+        jnp.minimum(jnp.minimum(hb.x, hb.y), hb.z),
+    )
+
     def consider(depth, axis, axis_id, best_depth, best_axis, best_id, bias=1.0):
         # Calibrate the axis to point from B to A (axis·t < 0; t = A→B in A frame).
         flip = axis.dot(t) > 0.0
         axis = axis.where(~flip, -1.0 * axis)
-        better = depth * bias < best_depth
+        penalty = (bias - 1.0) * (0.05 * min_ext + jnp.abs(depth))
+        better = depth + penalty < best_depth
         return (
             jnp.where(better, depth, best_depth),
             axis.where(better, best_axis),
             jnp.where(better, axis_id, best_id),
         )
 
+    # Axis-preference biases: near-degenerate stacking makes face and edge depths equal
+    # to float noise, and any frame-to-frame winner flip changes the manifold's feature
+    # ids (losing warm starts) or collapses 4 contacts to 1 (edge) — the classic box-stack
+    # jitter. Deterministic tie-breaks: B faces must be clearly shallower than A faces,
+    # and edge axes clearly shallower than any face (same idea as the reference's
+    # BoxPairTester margins / Bullet's SAT relative tolerance).
+    FACE_B_BIAS = 1.0 + 1e-3
+    EDGE_BIAS = 1.05
     for i in range(3):  # face axes of A (ids 0-2)
         axis = a_axes[i]
         depth = ha_arr[i] + project_b(axis) - jnp.abs(axis.dot(t))
@@ -268,8 +284,10 @@ def box_box(pos_ab: Vec3, orn_a: Quat, orn_b: Quat, params_a, params_b) -> Manif
     for j in range(3):  # face axes of B (ids 3-5)
         axis = b_axes[j]
         depth = project_a(axis) + hb_arr[j] - jnp.abs(axis.dot(t))
-        best_depth, best_axis, best_id = consider(depth, axis, 3 + j, best_depth, best_axis, best_id)
-    for i in range(3):  # edge-edge axes (ids 6-14); slight bias prefers face manifolds
+        best_depth, best_axis, best_id = consider(
+            depth, axis, 3 + j, best_depth, best_axis, best_id, bias=FACE_B_BIAS
+        )
+    for i in range(3):  # edge-edge axes (ids 6-14); strong bias prefers face manifolds
         for j in range(3):
             raw = a_axes[i].cross(b_axes[j])
             ln = raw.length()
@@ -277,7 +295,7 @@ def box_box(pos_ab: Vec3, orn_a: Quat, orn_b: Quat, params_a, params_b) -> Manif
             axis = raw * jnp.where(ok, 1.0 / jnp.maximum(ln, 1e-6), 0.0)
             depth = jnp.where(ok, project_a(axis) + project_b(axis) - jnp.abs(axis.dot(t)), big)
             best_depth, best_axis, best_id = consider(
-                depth, axis, 6 + i * 3 + j, best_depth, best_axis, best_id, bias=1.0 + 1e-4
+                depth, axis, 6 + i * 3 + j, best_depth, best_axis, best_id, bias=EDGE_BIAS
             )
 
     face_contact = best_id < 6
@@ -459,7 +477,7 @@ def box_box(pos_ab: Vec3, orn_a: Quat, orn_b: Quat, params_a, params_b) -> Manif
 
     # ---- Reduce ≤24 candidates to ≤4: deepest, farthest, then two extremal sides.
     K = depth_masked.shape[1]
-    rows = jnp.arange(N)
+    kk = jnp.arange(K)[None, :]
 
     def pick_max(scores, taken):
         return jnp.argmax(jnp.where(taken, neg_big, scores), -1)
@@ -468,12 +486,12 @@ def box_box(pos_ab: Vec3, orn_a: Quat, orn_b: Quat, params_a, params_b) -> Manif
     taken = ~cmask
     i0 = pick_max(depth_masked, taken)
     p0 = Vec3(g(pts.x, i0), g(pts.y, i0), g(pts.z, i0))
-    taken = taken.at[rows, i0].set(True)
+    taken = taken | (kk == i0[:, None])
     d0 = Vec3(pts.x - p0.x[:, None], pts.y - p0.y[:, None], pts.z - p0.z[:, None])
     d0sq = d0.length_squared()
     i1 = pick_max(d0sq, taken)
     p1 = Vec3(g(pts.x, i1), g(pts.y, i1), g(pts.z, i1))
-    taken = taken.at[rows, i1].set(True)
+    taken = taken | (kk == i1[:, None])
     edge = p1 - p0
     cr = Vec3(
         edge.y[:, None] * d0.z - edge.z[:, None] * d0.y,
@@ -482,7 +500,7 @@ def box_box(pos_ab: Vec3, orn_a: Quat, orn_b: Quat, params_a, params_b) -> Manif
     )
     side = cr.x * n_local.x[:, None] + cr.y * n_local.y[:, None] + cr.z * n_local.z[:, None]
     i2 = pick_max(side, taken)
-    taken = taken.at[rows, i2].set(True)
+    taken = taken | (kk == i2[:, None])
     i3 = pick_max(-side, taken)
 
     sel = jnp.stack([i0, i1, i2, i3], -1)

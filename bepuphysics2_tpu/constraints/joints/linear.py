@@ -219,10 +219,7 @@ class CenterDistance:
         # approaching. error = dist − target; want csv → error/… sign: bias = error·k.
         error = dist - p[:, 0]
         bias = error * err_to_vel
-        return _axis_1dof_solve(ctx, axis, bias, cfm, softness, imp[:, 0])
-
-    @staticmethod
-    def _finish(new_acc, dva, dvb):
+        new_acc, dva, dvb = _axis_1dof_solve(ctx, axis, bias, cfm, softness, imp[:, 0])
         return new_acc[:, None], dva, dvb
 
 

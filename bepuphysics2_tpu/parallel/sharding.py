@@ -63,3 +63,126 @@ def replicate_state(state: SimState, batch: int) -> SimState:
     return jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x[None], (batch,) + x.shape), state
     )
+
+
+def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str = "world"):
+    """ONE world, constraints sharded over the mesh — the reference's multithreaded
+    solve mapped to chips (SURVEY §5.8): bodies replicated, the pair/contact pipeline and
+    every joint bank sharded along their slot axes, per-color velocity deltas combined
+    with ``psum`` over ICI. Exactness: the device-side graph coloring is computed over the
+    all-gathered global constraint table (identical on every device), and within a color
+    no two constraints anywhere share a body, so psum of shard deltas == the single-device
+    Gauss-Seidel update (solver/solve.py ``axis_name``).
+
+    Pair→device assignment is by broad-phase row block (pair (a,b) lives with row a), so
+    the warm-start PairCache stays device-local across frames.
+
+    Constraints (round-1 scope): brute-force broad phase; convex pairs only (no
+    compound/mesh expansion); sleeping must be disabled (wake propagation needs a global
+    reduction not yet wired). body_capacity, max_pairs, and every joint bank capacity must
+    be divisible by the mesh size.
+    """
+    import numpy as np
+    from functools import partial
+    from jax.experimental.shard_map import shard_map
+
+    from ..collision import broadphase as bp
+    from ..collision.narrowphase import narrow_phase, update_cache
+    from ..shapes import compute_body_bounds
+    from ..simulation import StepDiagnostics
+    from ..solver.solve import solve_all
+    from ..utils.vec import Vec3
+
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    nb = config.body_capacity
+    if nb % n_dev or config.max_pairs % n_dev:
+        raise ValueError(
+            f"body_capacity ({nb}) and max_pairs ({config.max_pairs}) must divide by the "
+            f"mesh size ({n_dev})"
+        )
+    if config.enable_sleep:
+        raise ValueError("sharded_step_fn requires SimConfig(enable_sleep=False)")
+    rows_per_dev = nb // n_dev
+    local_pairs = config.max_pairs // n_dev
+
+    def _local_step(state: SimState, shapes, joint_banks, dt):
+        bodies = state.bodies
+        aabb_min, aabb_max = compute_body_bounds(
+            bodies.pos, bodies.orn, bodies.vel, bodies.omega, bodies.shape, shapes, dt
+        )
+        has_shape = bodies.shape >= 0
+        big = jnp.float32(3.0e38)
+        aabb_min = aabb_min.where(has_shape, Vec3.full(has_shape.shape, big, big, big))
+        aabb_max = aabb_max.where(has_shape, Vec3.full(has_shape.shape, -big, -big, -big))
+
+        dev = jax.lax.axis_index(axis)
+        pairs = bp.brute_force_rows(
+            aabb_min, aabb_max, bodies.kind, bodies.awake, bodies.collision_group,
+            dev * rows_per_dev, rows_per_dev, local_pairs,
+        )
+        prestep, imp = narrow_phase(
+            bodies, shapes, pairs, state.cache, dt, present_types=present_types
+        )
+        banks = {
+            name: dict(joint_banks[name], impulse=state.joint_impulses[name])
+            for name in joint_banks
+        }
+        new_bodies, imps, joint_imps = solve_all(
+            bodies, [(prestep, imp)], banks, config.integrator, config.solve_config(),
+            dt, axis_name=axis,
+        )
+        cache = update_cache(prestep, imps[0], nb)
+        diag = StepDiagnostics(
+            pair_count=jax.lax.psum(jnp.sum(pairs.valid), axis),
+            contact_count=jax.lax.psum(
+                jnp.sum(prestep.contact_mask & prestep.valid[:, None]), axis
+            ),
+            overflow=jax.lax.psum(pairs.overflow.astype(jnp.int32), axis) > 0,
+        )
+        return SimState(new_bodies, cache, state.ccache, joint_imps), diag
+
+    rep = P()
+    shard0 = P(axis)
+
+    def state_specs(state: SimState) -> SimState:
+        return SimState(
+            bodies=jax.tree_util.tree_map(lambda _: rep, state.bodies),
+            cache=jax.tree_util.tree_map(lambda _: shard0, state.cache),
+            ccache=jax.tree_util.tree_map(lambda _: rep, state.ccache),
+            joint_impulses=jax.tree_util.tree_map(lambda _: shard0, state.joint_impulses),
+        )
+
+    def make(state: SimState, shapes, joint_banks):
+        """Build the jitted sharded step for these concrete pytree structures."""
+        in_specs = (
+            state_specs(state),
+            jax.tree_util.tree_map(lambda _: rep, shapes),
+            jax.tree_util.tree_map(lambda _: shard0, joint_banks),
+            rep,
+        )
+        out_specs = (
+            state_specs(state),
+            StepDiagnostics(pair_count=rep, contact_count=rep, overflow=rep),
+        )
+        fn = shard_map(
+            _local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
+        return jax.jit(fn)
+
+    return make
+
+
+def shard_state(state: SimState, mesh: Mesh, axis: str = "world") -> SimState:
+    """Place a SimState for the sharded single-world step: bodies/ccache replicated,
+    cache and joint impulses sharded along their leading (slot) axis."""
+    rep = NamedSharding(mesh, P())
+    sh = NamedSharding(mesh, P(axis))
+    return SimState(
+        bodies=jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state.bodies),
+        cache=jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), state.cache),
+        ccache=jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state.ccache),
+        joint_impulses=jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sh), state.joint_impulses
+        ),
+    )

@@ -1,4 +1,7 @@
 from .registry import (
+    ConvexHull,
+    Compound,
+    Mesh,
     SHAPE_NONE,
     SPHERE,
     CAPSULE,
@@ -22,5 +25,5 @@ from .bounds import compute_body_bounds
 __all__ = [
     "SHAPE_NONE", "SPHERE", "CAPSULE", "BOX", "TRIANGLE", "CYLINDER", "CONVEX_HULL",
     "COMPOUND", "BIG_COMPOUND", "MESH", "ShapeData", "ShapeRegistry",
-    "Sphere", "Capsule", "Box", "Cylinder", "Triangle", "compute_body_bounds",
+    "Sphere", "Capsule", "Box", "Cylinder", "Triangle", "ConvexHull", "Compound", "Mesh", "compute_body_bounds",
 ]

@@ -149,22 +149,180 @@ class Triangle:
         return float(max(np.linalg.norm(self.a), np.linalg.norm(self.b), np.linalg.norm(self.c)))
 
 
+@dataclasses.dataclass(frozen=True)
+class ConvexHull:
+    """Convex hull of a point cloud. Host-side construction runs qhull (the analogue of
+    the reference's quickhull builder, Collidables/ConvexHullHelper.cs:87) and recenters
+    the vertices on the volume centroid; the device keeps only the hull vertices in the
+    shared point pool (support-mapping collision needs vertices only)."""
+
+    points: tuple  # hull vertices (recentered), as a tuple of (x, y, z) tuples
+    center_offset: tuple = (0.0, 0.0, 0.0)  # original-space centroid (for user reference)
+
+    @staticmethod
+    def from_points(points) -> "ConvexHull":
+        from scipy.spatial import ConvexHull as QHull
+
+        pts = np.asarray(points, np.float64)
+        hull = QHull(pts)
+        verts = pts[hull.vertices]
+        # Volume centroid via signed tetrahedra against the hull triangulation. qhull
+        # simplices carry no consistent winding — orient each against its outward
+        # facet normal (hull.equations) first.
+        total_v = 0.0
+        centroid = np.zeros(3)
+        for simplex, eq in zip(hull.simplices, hull.equations):
+            a, b, c = pts[simplex]
+            if np.dot(np.cross(b - a, c - a), eq[:3]) < 0:
+                b, c = c, b
+            v = np.dot(a, np.cross(b, c)) / 6.0
+            total_v += v
+            centroid += v * (a + b + c) / 4.0
+        centroid = centroid / total_v if abs(total_v) > 1e-12 else verts.mean(0)
+        verts = verts - centroid
+        return ConvexHull(tuple(map(tuple, verts.tolist())), tuple(centroid.tolist()))
+
+    def pack(self):
+        return CONVEX_HULL, []
+
+    def compute_inertia(self, mass: float):
+        """Hull inertia via tetrahedron decomposition against the centroid (reference
+        MeshInertiaHelper / ConvexHull.ComputeInertia semantics)."""
+        from scipy.spatial import ConvexHull as QHull
+
+        pts = np.asarray(self.points, np.float64)
+        hull = QHull(pts)
+        covariance = np.zeros((3, 3))
+        total_v = 0.0
+        # Canonical tetrahedron covariance (unit tet at origin).
+        canonical = np.array(
+            [[1 / 60.0, 1 / 120.0, 1 / 120.0],
+             [1 / 120.0, 1 / 60.0, 1 / 120.0],
+             [1 / 120.0, 1 / 120.0, 1 / 60.0]]
+        )
+        for simplex, eq in zip(hull.simplices, hull.equations):
+            a, b, c = pts[simplex]
+            if np.dot(np.cross(b - a, c - a), eq[:3]) < 0:
+                b, c = c, b
+            m = np.stack([a, b, c])
+            det = np.dot(a, np.cross(b, c))
+            covariance += det * (m.T @ canonical @ m)
+            total_v += det / 6.0
+        if abs(total_v) < 1e-12:
+            raise ValueError("degenerate hull: zero volume")
+        density = mass / abs(total_v)
+        covariance *= density
+        trace = np.trace(covariance)
+        inertia = np.eye(3) * trace - covariance
+        inv = np.linalg.inv(inertia)
+        inv_mass = 1.0 / mass
+        return inv_mass, (inv[0, 0], inv[1, 1], inv[2, 2]), inv
+
+    def maximum_radius(self):
+        return float(np.linalg.norm(np.asarray(self.points), axis=1).max())
+
+
+@dataclasses.dataclass(frozen=True)
+class Compound:
+    """A rigid collection of posed convex children (reference Collidables/Compound.cs:
+    children as (shape, local pose) pairs; BigCompound.cs adds an internal BVH, which the
+    TPU build replaces with bounded child enumeration per pair). ``children`` is a tuple of
+    (shape_id, local_position(3), local_orientation(4))."""
+
+    children: tuple
+
+    @staticmethod
+    def build(children) -> "Compound":
+        norm = []
+        for c in children:
+            shape_id, pos = c[0], tuple(c[1])
+            orn = tuple(c[2]) if len(c) > 2 else (0.0, 0.0, 0.0, 1.0)
+            norm.append((int(shape_id), pos, orn))
+        return Compound(tuple(norm))
+
+    def pack(self):
+        return COMPOUND, []
+
+    def maximum_radius(self):
+        # Registry recomputes with child radii; placeholder uses child offsets only.
+        return max((np.linalg.norm(c[1]) for c in self.children), default=0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class Mesh:
+    """Triangle soup collidable (reference Collidables/Mesh.cs:36 — triangles + embedded
+    Tree + scale). The TPU build stores triangles in the shared child pool; per-pair
+    narrow phase selects overlapping triangles by AABB test over the mesh's triangle
+    range (bounded enumeration; the embedded-BVH acceleration returns with the LBVH)."""
+
+    triangles: tuple  # tuple of ((ax,ay,az),(bx,by,bz),(cx,cy,cz))
+    scale: tuple = (1.0, 1.0, 1.0)
+
+    @staticmethod
+    def build(triangles, scale=(1.0, 1.0, 1.0)) -> "Mesh":
+        s = np.asarray(scale, np.float64)
+        tris = tuple(
+            tuple(tuple((np.asarray(v, np.float64) * s).tolist()) for v in t) for t in triangles
+        )
+        return Mesh(tris, tuple(np.asarray(scale).tolist()))
+
+    def pack(self):
+        return MESH, []
+
+    def maximum_radius(self):
+        return float(
+            max(
+                (np.linalg.norm(v) for t in self.triangles for v in t),
+                default=0.0,
+            )
+        )
+
+
 class ShapeData(NamedTuple):
     """Device snapshot of the registry (closed over by the jitted step)."""
 
     type: jnp.ndarray  # (MS,) int32, SHAPE_NONE for empty rows
     params: jnp.ndarray  # (MS, N_PARAMS) float32
     max_radius: jnp.ndarray  # (MS,) float32 — bounding sphere radius, for angular AABB expansion
+    hull_x: jnp.ndarray  # (HULL_POOL,) flat hull vertex pool
+    hull_y: jnp.ndarray
+    hull_z: jnp.ndarray
+    hull_start: jnp.ndarray  # (MS,) int32 — row's slice into the pool
+    hull_count: jnp.ndarray  # (MS,) int32
+    # Compound/mesh child pool: per child a shape row reference + local pose. Mesh
+    # triangles are children whose shape row is -1 and whose geometry lives in tri_*.
+    child_shape: jnp.ndarray  # (CHILD_POOL,) int32 shape row, or -1 for mesh triangle
+    child_pos: jnp.ndarray  # (CHILD_POOL, 3) local position
+    child_orn: jnp.ndarray  # (CHILD_POOL, 4) local orientation
+    child_tri: jnp.ndarray  # (CHILD_POOL, 9) triangle vertices for mesh children
+    child_start: jnp.ndarray  # (MS,) int32
+    child_count: jnp.ndarray  # (MS,) int32
 
 
 class ShapeRegistry:
     """Host-side shape storage with recycled rows (analogue of reference Shapes registry)."""
+
+    HULL_POOL = 4096  # total hull vertices across all hull shapes
+    MAX_HULL_VERTS = 64  # per-shape cap (support kernel window size)
+    CHILD_POOL = 8192  # total compound children / mesh triangles across all shapes
 
     def __init__(self, capacity: int = 256):
         self.capacity = capacity
         self.types = np.full(capacity, SHAPE_NONE, np.int32)
         self.params = np.zeros((capacity, N_PARAMS), np.float32)
         self.max_radius = np.zeros(capacity, np.float32)
+        self.hull_pool = np.zeros((self.HULL_POOL, 3), np.float32)
+        self.hull_start = np.zeros(capacity, np.int32)
+        self.hull_count = np.zeros(capacity, np.int32)
+        self._hull_used = 0
+        self.child_shape = np.full(self.CHILD_POOL, -1, np.int32)
+        self.child_pos = np.zeros((self.CHILD_POOL, 3), np.float32)
+        self.child_orn = np.zeros((self.CHILD_POOL, 4), np.float32)
+        self.child_orn[:, 3] = 1.0
+        self.child_tri = np.zeros((self.CHILD_POOL, 9), np.float32)
+        self.child_start = np.zeros(capacity, np.int32)
+        self.child_count = np.zeros(capacity, np.int32)
+        self._child_used = 0
         self.shapes = [None] * capacity
         self._free = list(range(capacity - 1, -1, -1))
         self._dirty = True
@@ -179,6 +337,42 @@ class ShapeRegistry:
         self.params[idx, : len(packed)] = np.asarray(packed, np.float32)
         self.params[idx, len(packed):] = 0
         self.max_radius[idx] = shape.maximum_radius()
+        if type_id == CONVEX_HULL:
+            pts = np.asarray(shape.points, np.float32)
+            if len(pts) > self.MAX_HULL_VERTS:
+                raise ValueError(f"hull has {len(pts)} verts; cap is {self.MAX_HULL_VERTS}")
+            if self._hull_used + len(pts) > self.HULL_POOL:
+                raise RuntimeError("hull vertex pool full")
+            self.hull_start[idx] = self._hull_used
+            self.hull_count[idx] = len(pts)
+            self.hull_pool[self._hull_used : self._hull_used + len(pts)] = pts
+            self._hull_used += len(pts)
+        elif type_id == COMPOUND:
+            n = len(shape.children)
+            if self._child_used + n > self.CHILD_POOL:
+                raise RuntimeError("child pool full")
+            self.child_start[idx] = self._child_used
+            self.child_count[idx] = n
+            radius = 0.0
+            for k, (cs, cpos, corn) in enumerate(shape.children):
+                row = self._child_used + k
+                self.child_shape[row] = cs
+                self.child_pos[row] = cpos
+                self.child_orn[row] = corn
+                radius = max(radius, float(np.linalg.norm(cpos)) + float(self.max_radius[cs]))
+            self.max_radius[idx] = radius
+            self._child_used += n
+        elif type_id == MESH:
+            n = len(shape.triangles)
+            if self._child_used + n > self.CHILD_POOL:
+                raise RuntimeError("child pool full (mesh triangles)")
+            self.child_start[idx] = self._child_used
+            self.child_count[idx] = n
+            for k, tri in enumerate(shape.triangles):
+                row = self._child_used + k
+                self.child_shape[row] = -1
+                self.child_tri[row] = np.asarray(tri, np.float32).reshape(9)
+            self._child_used += n
         self.shapes[idx] = shape
         self._dirty = True
         return idx
@@ -198,6 +392,17 @@ class ShapeRegistry:
                 jnp.asarray(self.types),
                 jnp.asarray(self.params),
                 jnp.asarray(self.max_radius),
+                jnp.asarray(self.hull_pool[:, 0]),
+                jnp.asarray(self.hull_pool[:, 1]),
+                jnp.asarray(self.hull_pool[:, 2]),
+                jnp.asarray(self.hull_start),
+                jnp.asarray(self.hull_count),
+                jnp.asarray(self.child_shape),
+                jnp.asarray(self.child_pos),
+                jnp.asarray(self.child_orn),
+                jnp.asarray(self.child_tri),
+                jnp.asarray(self.child_start),
+                jnp.asarray(self.child_count),
             )
             self._dirty = False
         return self._device

@@ -24,8 +24,15 @@ import numpy as np
 
 from .bodies import BodyBuffer, BodyDescription, BodyState, StaticDescription
 from .collision import broadphase as bp
-from .collision.narrowphase import PairCache, narrow_phase, update_cache
+from .collision.narrowphase import (
+    PairCache,
+    narrow_phase,
+    narrow_phase_compound,
+    update_cache,
+    update_cache_keyed,
+)
 from .collision.raycast import ray_cast_all
+from .sleep import update_sleep, wake_touched
 from .constraints.joints import JOINT_TYPES, JointTypeStore, make_description
 from .integrator import IntegratorConfig
 from .shapes import ShapeRegistry, compute_body_bounds
@@ -45,11 +52,18 @@ class SimConfig:
     num_colors: int = 8
     broadphase: str = "auto"  # 'brute' | 'sweep' | 'auto'
     joint_capacity: int = 256  # per-type bank capacity
+    # Compound/mesh expansion (collision/compound.py):
+    max_compound_pairs: int = 256
+    children_per_pair: int = 8
+    child_window: int = 128
     sweep_window: int = 64
+    grid_cell_size: float = 2.5  # ≥ max dynamic AABB extent; larger bodies → 'large' set
+    grid_cell_capacity: int = 12
+    grid_max_large: int = 64
     integrator: IntegratorConfig = IntegratorConfig()
     # Sleeping (reference IslandSleeper velocity/timer heuristic, IslandSleeper.cs:28):
-    enable_sleep: bool = False  # round 1 default off; island logic lands with the sleeper
-    sleep_time: float = 1.0
+    enable_sleep: bool = True
+    sleep_time: float = 0.75
 
     def solve_config(self) -> SolveConfig:
         return SolveConfig(
@@ -63,7 +77,8 @@ class SimState(NamedTuple):
     """Full device-side simulation state (a pytree; checkpointable wholesale)."""
 
     bodies: BodyState
-    cache: PairCache
+    cache: PairCache  # convex body-pair contact records
+    ccache: PairCache  # compound/mesh child contact records
     joint_impulses: dict
 
 
@@ -73,8 +88,8 @@ class StepDiagnostics(NamedTuple):
     overflow: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def step(state: SimState, shapes, joint_banks, dt, config: SimConfig):
+@functools.partial(jax.jit, static_argnames=("config", "present_types"))
+def step(state: SimState, shapes, joint_banks, dt, config: SimConfig, present_types=None):
     """One full timestep. Pure function: (state, shapes, joints, dt) → (state', diagnostics)."""
     bodies = state.bodies
 
@@ -91,35 +106,104 @@ def step(state: SimState, shapes, joint_banks, dt, config: SimConfig):
     # --- Broad phase.
     method = config.broadphase
     if method == "auto":
-        method = "brute" if config.body_capacity <= 2048 else "sweep"
+        # Brute force is exact but its NB² nonzero-compaction dominates on TPU beyond a
+        # few hundred bodies (measured: 157ms at 4k); the hashed grid scales.
+        method = "brute" if config.body_capacity <= 512 else "grid"
     if method == "brute":
-        pairs = bp.brute_force(aabb_min, aabb_max, bodies.kind, bodies.awake, config.max_pairs)
+        pairs = bp.brute_force(
+            aabb_min, aabb_max, bodies.kind, bodies.awake, bodies.collision_group,
+            config.max_pairs,
+        )
+    elif method == "grid":
+        pairs = bp.grid(
+            aabb_min, aabb_max, bodies.kind, bodies.awake, bodies.collision_group,
+            config.max_pairs,
+            config.grid_cell_size, config.grid_cell_capacity, config.grid_max_large,
+        )
     else:
         pairs = bp.sweep(
-            aabb_min, aabb_max, bodies.kind, bodies.awake, config.max_pairs, config.sweep_window
+            aabb_min, aabb_max, bodies.kind, bodies.awake, bodies.collision_group,
+            config.max_pairs, config.sweep_window,
         )
 
     # --- Narrow phase (manifolds + constraint records + warm-start carry).
-    prestep, imp = narrow_phase(bodies, shapes, pairs, state.cache, dt)
+    prestep, imp = narrow_phase(
+        bodies, shapes, pairs, state.cache, dt, present_types=present_types
+    )
+    from .shapes.registry import COMPOUND as _COMPOUND, MESH as _MESH
+
+    has_compounds = present_types is None or (
+        _COMPOUND in present_types or _MESH in present_types
+    )
+    if has_compounds:
+        cprestep, cimp, cslot, covfl = narrow_phase_compound(
+            bodies, shapes, pairs, state.ccache, dt,
+            config.max_compound_pairs, config.children_per_pair, config.child_window,
+            present_types=present_types,
+        )
+
+    # --- Wake sleeping bodies touched by awake dynamics (whole stored islands).
+    if config.enable_sleep:
+        bodies = wake_touched(bodies, prestep)
+        if has_compounds:
+            bodies = wake_touched(bodies, cprestep)
 
     # --- Solve (substepped TGS; includes all pose/velocity integration).
     banks = {
         name: dict(joint_banks[name], impulse=state.joint_impulses[name])
         for name in joint_banks
     }
-    bodies, imp, joint_imps = solve_all(
-        bodies, prestep, imp, banks, config.integrator, config.solve_config(), dt
+    contact_banks = [(prestep, imp)]
+    if has_compounds:
+        contact_banks.append((cprestep, cimp))
+    bodies, imps, joint_imps = solve_all(
+        bodies, contact_banks, banks, config.integrator, config.solve_config(), dt
     )
+    imp = imps[0]
+
+    # --- Island sleeping (velocity/timer candidacy + whole-island decision).
+    if config.enable_sleep:
+        sleep_presteps = [prestep] + ([cprestep] if has_compounds else [])
+        bodies = update_sleep(bodies, sleep_presteps, banks, dt, config.sleep_time)
 
     # --- Persist warm-start data.
     cache = update_cache(prestep, imp, config.body_capacity)
+    overflow = pairs.overflow
+    contact_count = jnp.sum(prestep.contact_mask & prestep.valid[:, None])
+    if has_compounds:
+        ckey = (cprestep.body_a * config.body_capacity + cprestep.body_b) * (
+            config.children_per_pair
+        ) + cslot
+        ccache = update_cache_keyed(cprestep, imps[1], ckey)
+        overflow = overflow | covfl
+        contact_count = contact_count + jnp.sum(
+            cprestep.contact_mask & cprestep.valid[:, None]
+        )
+    else:
+        ccache = state.ccache
 
     diag = StepDiagnostics(
         pair_count=jnp.sum(pairs.valid),
-        contact_count=jnp.sum(prestep.contact_mask & prestep.valid[:, None]),
-        overflow=pairs.overflow,
+        contact_count=contact_count,
+        overflow=overflow,
     )
-    return SimState(bodies, cache, joint_imps), diag
+    return SimState(bodies, cache, ccache, joint_imps), diag
+
+
+@functools.partial(jax.jit, static_argnames=("config", "present_types", "n"))
+def step_n(state: SimState, shapes, joint_banks, dt, config: SimConfig, present_types, n: int):
+    """Scan ``n`` timesteps in ONE dispatch. Amortizes per-dispatch latency (important
+    when the device sits behind a network tunnel) and lets XLA pipeline across steps.
+    Returns (state', diagnostics-of-last-step with sticky overflow)."""
+
+    def body(carry, _):
+        st, overflow = carry
+        st, diag = step(st, shapes, joint_banks, dt, config, present_types)
+        return (st, overflow | diag.overflow), diag
+
+    (state, overflow), diags = jax.lax.scan(body, (state, jnp.bool_(False)), None, length=n)
+    last = jax.tree_util.tree_map(lambda x: x[-1], diags)
+    return state, last._replace(overflow=overflow)
 
 
 class Simulation:
@@ -133,6 +217,15 @@ class Simulation:
         self._state: Optional[SimState] = None
         self._dirty = True
         self.last_diag: Optional[StepDiagnostics] = None
+        self._next_collision_group = 1
+
+    def new_collision_group(self) -> int:
+        """Fresh collision-group id: bodies sharing a nonzero group generate no contacts
+        with each other (vehicle/ragdoll self-collision suppression; reference
+        INarrowPhaseCallbacks.AllowContactGeneration + demo SubgroupCollisionFilter)."""
+        g = self._next_collision_group
+        self._next_collision_group += 1
+        return g
 
     # --- shape / body management -------------------------------------------------------
     def add_shape(self, shape) -> int:
@@ -172,6 +265,13 @@ class Simulation:
             )
         desc = make_description(type_name, **params)
         idx = self.joints[type_name].add(bodies, desc)
+        # New constraints wake their bodies (reference Solver.Add awakens islands).
+        import numpy as _np
+
+        for h in _np.atleast_1d(bodies):
+            if self._host.kind[int(h)] == 1:  # dynamic
+                self._host.awake[int(h)] = True
+                self._host.sleep_timer[int(h)] = 0.0
         return (type_name, idx)
 
     def remove_constraint(self, handle) -> None:
@@ -200,12 +300,17 @@ class Simulation:
 
     def _push(self) -> None:
         cache = self._state.cache if self._state is not None else PairCache.empty(self.config.max_pairs)
+        ccache = (
+            self._state.ccache
+            if self._state is not None
+            else PairCache.empty(self.config.max_compound_pairs * self.config.children_per_pair)
+        )
         joint_imps = {
             name: jnp.asarray(store.impulse)
             for name, store in self.joints.items()
             if store.count > 0
         }
-        self._state = SimState(self._host.device(), cache, joint_imps)
+        self._state = SimState(self._host.device(), cache, ccache, joint_imps)
         self._dirty = False
 
     @property
@@ -225,18 +330,44 @@ class Simulation:
             np.array([h.wx[handle], h.wy[handle], h.wz[handle]]),
         )
 
+    def set_pose(self, handle: int, position=None, orientation=None) -> None:
+        """Teleport a body (reference BodyReference.Pose set; wakes it)."""
+        self._sync_from_device()
+        self._dirty = True
+        if position is not None:
+            self._host.px[handle], self._host.py[handle], self._host.pz[handle] = position
+        if orientation is not None:
+            (self._host.qx[handle], self._host.qy[handle], self._host.qz[handle],
+             self._host.qw[handle]) = orientation
+        if self._host.kind[handle] == 1:
+            self._host.awake[handle] = True
+            self._host.sleep_timer[handle] = 0.0
+
+    def wake_body(self, handle: int) -> None:
+        """Explicit user wake (reference Bodies.Awaken)."""
+        self._sync_from_device()
+        self._dirty = True
+        if self._host.kind[handle] == 1:
+            self._host.awake[handle] = True
+            self._host.sleep_timer[handle] = 0.0
+
     def set_velocity(self, handle: int, linear=None, angular=None) -> None:
         self._sync_from_device()
+        self._dirty = True
+        if self._host.kind[handle] == 1:
+            self._host.awake[handle] = True
+            self._host.sleep_timer[handle] = 0.0
         if linear is not None:
             self._host.vx[handle], self._host.vy[handle], self._host.vz[handle] = linear
         if angular is not None:
             self._host.wx[handle], self._host.wy[handle], self._host.wz[handle] = angular
 
     # --- queries -----------------------------------------------------------------------
-    def ray_cast(self, origin, direction, max_t: float = 1.0e30):
+    def ray_cast(self, origin, direction, max_t: float = 1.0e30, exclude: int = None):
         """Scene ray cast (reference Simulation.RayCast, Simulation_Queries.cs:167).
         ``origin``/``direction``: 3-tuples or (R,3) arrays for batched rays.
-        Returns RayHit(hit, t, body, normal)."""
+        ``exclude``: body handle to skip (self-cast filter; reference
+        IRayHitHandler.AllowTest). Returns RayHit(hit, t, body, normal)."""
         import numpy as _np
 
         if self._dirty:
@@ -250,8 +381,145 @@ class Simulation:
             ov = Vec3(jnp.asarray(o[:, 0]), jnp.asarray(o[:, 1]), jnp.asarray(o[:, 2]))
             dv = Vec3(jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]), jnp.asarray(d[:, 2]))
         return ray_cast_all(
-            self._state.bodies, self.shapes.device(), ov, dv, jnp.float32(max_t)
+            self._state.bodies, self.shapes.device(), ov, dv, jnp.float32(max_t),
+            exclude=None if exclude is None else jnp.int32(exclude),
         )
+
+    def state_hash(self) -> int:
+        """Deterministic hash of the full device state (reference
+        InvasiveHashDiagnostics.cs:10 — cross-run divergence bisection)."""
+        import hashlib
+
+        import numpy as _np
+
+        if self._dirty:
+            self._push()
+        h = hashlib.sha256()
+        for leaf in jax.tree_util.tree_leaves(self._state):
+            h.update(_np.asarray(leaf).tobytes())
+        return int.from_bytes(h.digest()[:8], "little")
+
+    def save_checkpoint(self) -> bytes:
+        """Serialize full device state (incl. accumulated impulses for warm-start
+        preservation; reference parity: Solver.GetDescription/EnumerateAccumulatedImpulses)."""
+        from .checkpoint import state_to_bytes
+
+        if self._dirty:
+            self._push()
+        return state_to_bytes(self._state)
+
+    def load_checkpoint(self, data: bytes) -> None:
+        from .checkpoint import state_from_bytes
+
+        if self._dirty:
+            self._push()
+        self._state = state_from_bytes(self._state, data)
+        self._dirty = False
+        self._host.load(self._state.bodies)
+
+    def box_query(self, box_min, box_max):
+        """All bodies whose speculative AABB overlaps the query box (reference
+        Tree_VolumeQuery / BroadPhase volume queries). Returns a list of handles."""
+        import numpy as _np
+
+        self._sync_from_device()
+        h = self._host
+        lo = _np.asarray(box_min)
+        hi = _np.asarray(box_max)
+        out = []
+        for i in range(self.config.body_capacity):
+            if h.kind[i] == 0 or h.shape[i] < 0:
+                continue
+            r = float(self.shapes.max_radius[h.shape[i]])
+            c = _np.array([h.px[i], h.py[i], h.pz[i]])
+            if _np.all(c + r >= lo) and _np.all(c - r <= hi):
+                out.append(i)
+        return out
+
+    def contacts(self):
+        """Current contact records (reference ContactEventsDemo capability): list of
+        dicts with bodies, normal, depths for every live contact after the last step."""
+        import numpy as _np
+
+        if self._state is None:
+            return []
+        out = []
+        for cache_ps in [self._state.cache]:
+            valid = _np.asarray(cache_ps.valid)
+            keys = _np.asarray(cache_ps.key)
+            pen = _np.asarray(cache_ps.penetration)
+            nb = self.config.body_capacity
+            for i in _np.nonzero(valid)[0]:
+                out.append(
+                    dict(
+                        body_a=int(keys[i]) // nb,
+                        body_b=int(keys[i]) % nb,
+                        impulses=pen[i].tolist(),
+                    )
+                )
+        return out
+
+    def sweep_shape(self, shape_obj, position, velocity, max_t: float = 10.0,
+                    orientation=(0, 0, 0, 1), angular_velocity=(0, 0, 0)):
+        """Narrow shape sweep to time-of-impact via conservative advancement including
+        angular velocity (reference Simulation.Sweep, Simulation_Queries.cs:267 +
+        ConvexSweepTaskCommon.cs). Returns SweepHit(hit, t, body)."""
+        import numpy as _np
+
+        from .collision.sweeps import sweep_shape_all
+        from .utils.vec import Quat as _Q, Vec3 as _V
+
+        if self._dirty:
+            self._push()
+        type_id, packed = shape_obj.pack()
+        params = _np.zeros(12, _np.float32)
+        params[: len(packed)] = packed
+        # Hull shapes must be registered to have pooled points; find a matching row.
+        row = -1
+        for r, s in enumerate(self.shapes.shapes):
+            if s is shape_obj:
+                row = r
+                break
+        v3 = lambda t: _V(jnp.float32(t[0]), jnp.float32(t[1]), jnp.float32(t[2]))
+        q = _Q(*(jnp.float32(c) for c in orientation))
+        return sweep_shape_all(
+            self._state.bodies, self.shapes.device(), type_id, jnp.asarray(params),
+            jnp.int32(row), v3(position), q, v3(velocity), v3(angular_velocity),
+            jnp.float32(shape_obj.maximum_radius()), jnp.float32(max_t),
+        )
+
+    def sweep(self, shape_obj, position, direction, max_t: float = 100.0, samples: int = 64):
+        """Coarse bounding-sphere sweep (fast path; use ``sweep_shape`` for exact TOI).
+        Returns (hit, t, body)."""
+        import numpy as _np
+
+        if self._dirty:
+            self._push()
+        self._sync_from_device()
+        pos = _np.asarray(position, _np.float64)
+        d = _np.asarray(direction, _np.float64)
+        d = d / max(_np.linalg.norm(d), 1e-12)
+        r = shape_obj.maximum_radius()
+        h = self._host
+        exists = (h.kind != 0) & (h.shape >= 0)
+        centers = _np.stack([h.px, h.py, h.pz], -1)
+        radii = _np.array([
+            self.shapes.max_radius[h.shape[i]] if h.shape[i] >= 0 else 0.0
+            for i in range(len(h.shape))
+        ])
+        best_t, best_b = float("inf"), -1
+        for i in _np.nonzero(exists)[0]:
+            rel = centers[i] - pos
+            proj = float(rel @ d)
+            perp2 = float(rel @ rel) - proj * proj
+            rr = (r + radii[i]) ** 2
+            if perp2 > rr:
+                continue
+            dt_ = _np.sqrt(max(rr - perp2, 0.0))
+            t_hit = proj - dt_
+            if 0.0 <= t_hit <= max_t and t_hit < best_t:
+                best_t, best_b = t_hit, int(i)
+        return (best_b >= 0, best_t if best_b >= 0 else max_t, best_b)
 
     # --- stepping ----------------------------------------------------------------------
     def timestep(self, dt: float = 1.0 / 60.0) -> None:
@@ -264,10 +532,39 @@ class Simulation:
             for name, store in self.joints.items()
             if store.count > 0
         }
+        present = tuple(sorted({int(t) for t in self.shapes.types if t >= 0}))
         self._state, self.last_diag = step(
-            self._state, self.shapes.device(), banks, jnp.float32(dt), self.config
+            self._state, self.shapes.device(), banks, jnp.float32(dt), self.config, present
         )
 
-    def run(self, steps: int, dt: float = 1.0 / 60.0) -> None:
-        for _ in range(steps):
+    def run(self, steps: int, dt: float = 1.0 / 60.0, chunk: Optional[int] = None) -> None:
+        """Step many frames efficiently: scanned multi-step dispatches of ``chunk``
+        frames (one device round-trip per chunk), remainder via single steps.
+        ``chunk=None`` uses BEPUPHYSICS2_TPU_RUN_CHUNK (default 32); 0 disables the
+        scan entirely (per-step dispatch — used by the CPU test suite to avoid the
+        large scan-program compile)."""
+        if chunk is None:
+            import os as _os
+
+            chunk = int(_os.environ.get("BEPUPHYSICS2_TPU_RUN_CHUNK", "32"))
+        if chunk <= 1:
+            for _ in range(steps):
+                self.timestep(dt)
+            return
+        if self._dirty:
+            self._push()
+        banks = {
+            name: {k: v for k, v in store.device().items() if k != "impulse"}
+            for name, store in self.joints.items()
+            if store.count > 0
+        }
+        present = tuple(sorted({int(t) for t in self.shapes.types if t >= 0}))
+        remaining = steps
+        while remaining >= chunk:
+            self._state, self.last_diag = step_n(
+                self._state, self.shapes.device(), banks, jnp.float32(dt), self.config,
+                present, chunk,
+            )
+            remaining -= chunk
+        for _ in range(remaining):
             self.timestep(dt)

@@ -19,11 +19,11 @@ graph coloring (reference ConstraintBatch color classes, Solver.cs:984) computed
 over the K-ary body-reference table; the leftover Jacobi bucket uses per-body mass
 splitting (reference SequentialFallbackBatch.cs:37).
 
-The reference's multithreaded claim/sync machinery (Solver_Solve.cs:297-654) disappears:
-program order within the fused XLA program provides every synchronization point. Warm
-start needs no coloring at all (pure accumulation is order-independent). Solve passes
-process full constraint arrays per color with the color mask gating impulse updates — all
-gathers/scatters stay fixed-shape.
+TPU memory-op shape: body velocity lives in a packed (NB, 6) array and world inertia in a
+packed (NB, 7) array for the duration of the solve, so every constraint pass costs ONE
+gather and ONE scatter-add per body side instead of 12 scalar-component ops — scatters
+serialize on TPU and dominate the solver otherwise (this is the packed-row analogue of the
+reference's 256-bit BodyDynamics cache-line layout, BodyProperties.cs:319).
 """
 from __future__ import annotations
 
@@ -37,7 +37,7 @@ from ..constraints import contact as contact_mod
 from ..constraints.contact import BodyVel, ContactImpulses, ContactPrestep, GatheredInertia
 from ..constraints.joints import JOINT_TYPES, ONE_BODY_NAMES, JointContext, MultiBodyContext
 from ..integrator import IntegratorConfig, integrate_poses, integrate_velocities
-from ..utils.vec import Sym3, Vec3
+from ..utils.vec import Quat, Sym3, Vec3
 from .coloring import color_constraints_kary, jacobi_valence_kary
 
 
@@ -50,27 +50,59 @@ class SolveConfig:
     num_colors: int = 8  # Jacobi fallback beyond this (reference default 64 is CPU-motivated)
 
 
-def _gather_vel(state: BodyState, idx) -> BodyVel:
-    return BodyVel(state.vel[idx], state.omega[idx])
+# ---------------------------------------------------------------------------------------
+# packed-array helpers
+
+def _vel_to6(state: BodyState) -> jnp.ndarray:
+    return jnp.stack(
+        [state.vel.x, state.vel.y, state.vel.z, state.omega.x, state.omega.y, state.omega.z],
+        -1,
+    )
 
 
-def _gather_inertia(world_inv_inertia: Sym3, state: BodyState, idx) -> GatheredInertia:
-    return GatheredInertia(state.inv_mass[idx], world_inv_inertia[idx])
+def _vel_from6(state: BodyState, v6: jnp.ndarray) -> BodyState:
+    return state._replace(
+        vel=Vec3(v6[:, 0], v6[:, 1], v6[:, 2]),
+        omega=Vec3(v6[:, 3], v6[:, 4], v6[:, 5]),
+    )
+
+
+def _inertia7(state: BodyState, world_ii: Sym3) -> jnp.ndarray:
+    return jnp.stack(
+        [state.inv_mass, world_ii.xx, world_ii.yx, world_ii.yy, world_ii.zx, world_ii.zy, world_ii.zz],
+        -1,
+    )
+
+
+def _gather_vel(v6, idx) -> BodyVel:
+    g = v6[idx]
+    return BodyVel(Vec3(g[:, 0], g[:, 1], g[:, 2]), Vec3(g[:, 3], g[:, 4], g[:, 5]))
+
+
+def _gather_inertia(i7, idx, scale=None) -> GatheredInertia:
+    g = i7[idx]
+    if scale is not None:
+        g = g * scale[:, None]
+    return GatheredInertia(
+        g[:, 0], Sym3(g[:, 1], g[:, 2], g[:, 3], g[:, 4], g[:, 5], g[:, 6])
+    )
+
+
+def _pack_dv(dv: BodyVel) -> jnp.ndarray:
+    return jnp.stack(
+        [dv.linear.x, dv.linear.y, dv.linear.z, dv.angular.x, dv.angular.y, dv.angular.z], -1
+    )
+
+
+def _scatter_dv(v6, idx, dv: BodyVel, scale=None):
+    p = _pack_dv(dv)
+    if scale is not None:
+        p = p * scale[:, None]
+    return v6.at[idx].add(p)
 
 
 def _delta(new: BodyVel, old: BodyVel) -> BodyVel:
     return BodyVel(new.linear - old.linear, new.angular - old.angular)
-
-
-def _scale_vel(v: BodyVel, s) -> BodyVel:
-    return BodyVel(v.linear * s, v.angular * s)
-
-
-def _scatter(state: BodyState, idx, dv: BodyVel) -> BodyState:
-    return state._replace(
-        vel=state.vel.at_add(idx, dv.linear),
-        omega=state.omega.at_add(idx, dv.angular),
-    )
 
 
 def _pad_refs(bodies, dyn_cols, m):
@@ -85,19 +117,34 @@ def _pad_refs(bodies, dyn_cols, m):
 
 def solve_all(
     state: BodyState,
-    prestep: ContactPrestep,
-    imp: ContactImpulses,
+    contact_banks,
     joint_banks: dict,
     integrator_cfg: IntegratorConfig,
     cfg: SolveConfig,
     dt,
+    axis_name: str = None,
 ):
-    """Run the full substepped solve over contacts + joint banks.
-    Returns (state, contact_impulses, {name: joint_impulses})."""
+    """Run the full substepped solve over contact banks + joint banks.
+    ``contact_banks``: list of (ContactPrestep, ContactImpulses) — e.g. the body-pair bank
+    and the compound-child bank. Returns (state, [contact_impulses...], {name: jimps}).
+
+    ``axis_name``: when set, this call runs INSIDE shard_map over a device mesh axis with
+    body state replicated and every constraint bank sharded along its slot axis. Coloring
+    is computed over the all-gathered global constraint table (identical on every device,
+    so the color classes are globally conflict-free), and each velocity-update pass
+    accumulates a local (NB, 6) delta that is ``psum``-combined over the axis — within a
+    color no two constraints on ANY device share a body, so the psum of per-shard deltas
+    is exactly the single-device Gauss-Seidel result (SURVEY §5.8; the reference's
+    claim-based work distribution, Solver_Solve.cs:297, maps to this collective)."""
     h = dt / cfg.substeps
     inv_h = cfg.substeps / dt
     n_bodies = state.pos.x.shape[0]
     bank_names = sorted(joint_banks.keys())
+    n_cbanks = len(contact_banks)
+
+    def gather_global(x):
+        """Concatenate a sharded per-constraint array across the mesh axis."""
+        return jax.lax.all_gather(x, axis_name, axis=0, tiled=True) if axis_name else x
 
     # ---- Joint constraint activity: a joint sleeps when no endpoint is awake.
     def bank_live(bank, name):
@@ -111,13 +158,14 @@ def solve_all(
 
     # ---- Unified coloring table.
     dyn_of = lambda idx: state.kind[idx] == KIND_DYNAMIC
-    groups = []  # (key, refs, dyn, valid)
-    c_refs, c_dyn = _pad_refs(
-        [prestep.body_a, prestep.body_b],
-        [dyn_of(prestep.body_a), dyn_of(prestep.body_b)],
-        prestep.body_a.shape[0],
-    )
-    groups.append(("__contacts__", c_refs, c_dyn, prestep.valid))
+    groups = []
+    for ci, (ps, _) in enumerate(contact_banks):
+        c_refs, c_dyn = _pad_refs(
+            [ps.body_a, ps.body_b],
+            [dyn_of(ps.body_a), dyn_of(ps.body_b)],
+            ps.body_a.shape[0],
+        )
+        groups.append((f"__contacts{ci}__", c_refs, c_dyn, ps.valid))
     bank_valid = {}
     for name in bank_names:
         bank = joint_banks[name]
@@ -135,112 +183,124 @@ def solve_all(
         bank_valid[name] = v
         groups.append((name, refs, dyn, v))
 
-    all_refs = jnp.concatenate([g[1] for g in groups], axis=0)
-    all_dyn = jnp.concatenate([g[2] for g in groups], axis=0)
-    all_valid = jnp.concatenate([g[3] for g in groups], axis=0)
+    # Global constraint table: identical on every device under sharding, so the greedy
+    # coloring result is identical too — the invariant that makes per-color psum exact.
+    g_refs = [gather_global(g[1]) for g in groups]
+    all_refs = jnp.concatenate(g_refs, axis=0)
+    all_dyn = jnp.concatenate([gather_global(g[2]) for g in groups], axis=0)
+    all_valid = jnp.concatenate([gather_global(g[3]) for g in groups], axis=0)
     all_color = color_constraints_kary(all_refs, all_dyn, all_valid, n_bodies, cfg.num_colors)
     in_jacobi_all = all_valid & (all_color == cfg.num_colors)
     valence = jacobi_valence_kary(all_refs, all_dyn, in_jacobi_all, n_bodies)
 
-    # Split colors back per group.
+    dev = jax.lax.axis_index(axis_name) if axis_name else 0
     colors = {}
     off = 0
-    for key, refs, dyn, v in groups:
-        m = refs.shape[0]
-        colors[key] = all_color[off : off + m]
-        off += m
+    for gi, (key, refs, dyn, v) in enumerate(groups):
+        m = refs.shape[0]  # local size
+        m_g = g_refs[gi].shape[0]  # global size
+        local = jax.lax.dynamic_slice_in_dim(all_color[off : off + m_g], dev * m, m)
+        colors[key] = local
+        off += m_g
 
-    # ---- Contact pass ------------------------------------------------------------------
-    ca, cb = prestep.body_a, prestep.body_b
-    val_ca = valence[ca]
-    val_cb = valence[cb]
+    # ---- Contact pass (packed v6/i7) ---------------------------------------------------
+    cbank_refs = [(ps.body_a, ps.body_b) for ps, _ in contact_banks]
+    cbank_val = [(valence[a_], valence[b_]) for a_, b_ in cbank_refs]
 
-    def contact_pass(state, prestep_l, imp_l, world_ii, mask, jacobi: bool):
-        va = _gather_vel(state, ca)
-        vb = _gather_vel(state, cb)
-        ia = _gather_inertia(world_ii, state, ca)
-        ib = _gather_inertia(world_ii, state, cb)
+    # Fused A+B memory ops: ONE gather and ONE scatter-add per pass over the
+    # concatenated [a; b] index vector (halves the serialized-scatter count).
+    cbank_idx2 = [jnp.concatenate([a_, b_]) for a_, b_ in cbank_refs]
+    cbank_val2 = [jnp.concatenate([va_, vb_]) for va_, vb_ in cbank_val]
+
+    def apply_dv(v6, dv):
+        """Apply an accumulated velocity-delta array; under sharding the deltas from all
+        shards combine with one psum (exact within a color — see docstring)."""
+        if axis_name is not None:
+            dv = jax.lax.psum(dv, axis_name)
+        return v6 + dv
+
+    def contact_pass(v6, dv, i7, ci, prestep_l, imp_l, mask, jacobi: bool):
+        idx2 = cbank_idx2[ci]
+        m = idx2.shape[0] // 2
+        g = v6[idx2]
+        va = BodyVel(Vec3(g[:m, 0], g[:m, 1], g[:m, 2]), Vec3(g[:m, 3], g[:m, 4], g[:m, 5]))
+        vb = BodyVel(Vec3(g[m:, 0], g[m:, 1], g[m:, 2]), Vec3(g[m:, 3], g[m:, 4], g[m:, 5]))
+        gi = i7[idx2]
         if jacobi:
-            ia = GatheredInertia(ia.inv_mass * val_ca, ia.inv_inertia * val_ca)
-            ib = GatheredInertia(ib.inv_mass * val_cb, ib.inv_inertia * val_cb)
+            gi = gi * cbank_val2[ci][:, None]
+        ia = GatheredInertia(gi[:m, 0], Sym3(*(gi[:m, k] for k in range(1, 7))))
+        ib = GatheredInertia(gi[m:, 0], Sym3(*(gi[m:, k] for k in range(1, 7))))
         ps = prestep_l._replace(valid=mask)
         new_imp, nva, nvb = contact_mod.solve(ps, imp_l, ia, ib, va, vb, h, inv_h)
-        da = _delta(nva, va)
-        db = _delta(nvb, vb)
+        p2 = jnp.concatenate([_pack_dv(_delta(nva, va)), _pack_dv(_delta(nvb, vb))])
         if jacobi:
-            da = _scale_vel(da, 1.0 / val_ca)
-            db = _scale_vel(db, 1.0 / val_cb)
-        state = _scatter(_scatter(state, ca, da), cb, db)
-        return state, new_imp
+            p2 = p2 / cbank_val2[ci][:, None]
+        dv = dv.at[idx2].add(p2)
+        return dv, new_imp
 
     # ---- Joint passes ------------------------------------------------------------------
-    def two_body_ctx(state, bank, world_ii, active, jacobi):
+    def two_body_ctx(v6, i7, state, bank, active, jacobi):
         a = bank["bodies"][:, 0]
         b = bank["bodies"][:, 1]
-        ia = _gather_inertia(world_ii, state, a)
-        ib = _gather_inertia(world_ii, state, b)
-        if jacobi:
-            sa = valence[a]
-            sb = valence[b]
-            ia = GatheredInertia(ia.inv_mass * sa, ia.inv_inertia * sa)
-            ib = GatheredInertia(ib.inv_mass * sb, ib.inv_inertia * sb)
+        sa = valence[a] if jacobi else None
+        sb = valence[b] if jacobi else None
         return JointContext(
-            pos_a=state.pos[a], orn_a=state.orn[a], inertia_a=ia, vel_a=_gather_vel(state, a),
-            pos_b=state.pos[b], orn_b=state.orn[b], inertia_b=ib, vel_b=_gather_vel(state, b),
+            pos_a=state.pos[a], orn_a=state.orn[a],
+            inertia_a=_gather_inertia(i7, a, sa), vel_a=_gather_vel(v6, a),
+            pos_b=state.pos[b], orn_b=state.orn[b],
+            inertia_b=_gather_inertia(i7, b, sb), vel_b=_gather_vel(v6, b),
             active=active,
         )
 
-    def joint_pass(state, name, bank, imp_l, world_ii, mask, jacobi: bool):
+    def joint_pass(v6, dv, i7, state, name, bank, imp_l, mask, jacobi: bool):
         cls = JOINT_TYPES[name]
         nb = getattr(cls, "N_BODIES", 2)
         if nb <= 2:
             a = bank["bodies"][:, 0]
             b = bank["bodies"][:, 1]
-            ctx = two_body_ctx(state, bank, world_ii, mask, jacobi)
+            ctx = two_body_ctx(v6, i7, state, bank, mask, jacobi)
             new_imp, dva, dvb = cls.solve(bank["prestep"], imp_l, ctx, h, inv_h)
+            idx2 = jnp.concatenate([a, b])
+            p2 = jnp.concatenate([_pack_dv(dva), _pack_dv(dvb)])
             if jacobi:
-                dva = _scale_vel(dva, 1.0 / valence[a])
-                dvb = _scale_vel(dvb, 1.0 / valence[b])
-            state = _scatter(_scatter(state, a, dva), b, dvb)
-            return state, new_imp
-        # Multi-body (3-4): linear-jacobian constraints; gather per column.
+                p2 = p2 / jnp.concatenate([valence[a], valence[b]])[:, None]
+            dv = dv.at[idx2].add(p2)
+            return dv, new_imp
         idxs = [bank["bodies"][:, j] for j in range(nb)]
         ctx = MultiBodyContext(
             pos=[state.pos[i] for i in idxs],
-            vel=[_gather_vel(state, i) for i in idxs],
+            vel=[_gather_vel(v6, i) for i in idxs],
             inv_mass=[
-                state.inv_mass[i] * (valence[i] if jacobi else 1.0) for i in idxs
+                i7[i, 0] * (valence[i] if jacobi else 1.0) for i in idxs
             ],
             active=mask,
         )
         new_imp, dvs = cls.solve(bank["prestep"], imp_l, ctx, h, inv_h)
         for j, i in enumerate(idxs):
-            dv = dvs[j]
-            if jacobi:
-                dv = _scale_vel(dv, 1.0 / valence[i])
-            state = _scatter(state, i, dv)
-        return state, new_imp
+            dv = _scatter_dv(dv, i, dvs[j], (1.0 / valence[i]) if jacobi else None)
+        return dv, new_imp
 
-    def joint_warm_start(state, name, bank, imp_l, world_ii):
+    def joint_warm_start(v6, dv, i7, state, name, bank, imp_l):
         cls = JOINT_TYPES[name]
         nb = getattr(cls, "N_BODIES", 2)
         if nb <= 2:
             a = bank["bodies"][:, 0]
             b = bank["bodies"][:, 1]
-            ctx = two_body_ctx(state, bank, world_ii, bank_valid[name], False)
+            ctx = two_body_ctx(v6, i7, state, bank, bank_valid[name], False)
             dva, dvb = cls.warm_start(bank["prestep"], imp_l, ctx)
-            return _scatter(_scatter(state, a, dva), b, dvb)
+            dv = _scatter_dv(dv, a, dva)
+            return _scatter_dv(dv, b, dvb)
         idxs = [bank["bodies"][:, j] for j in range(nb)]
         ctx = MultiBodyContext(
             pos=[state.pos[i] for i in idxs],
-            vel=[_gather_vel(state, i) for i in idxs],
-            inv_mass=[state.inv_mass[i] for i in idxs],
+            vel=[_gather_vel(v6, i) for i in idxs],
+            inv_mass=[i7[i, 0] for i in idxs],
             active=bank_valid[name],
         )
         dvs = cls.warm_start(bank["prestep"], imp_l, ctx)
         for j, i in enumerate(idxs):
-            state = _scatter(state, i, dvs[j])
-        return state
+            dv = _scatter_dv(dv, i, dvs[j])
+        return dv
 
     # Joint impulses must be zero for inactive records before warm start.
     joint_imps = {
@@ -250,68 +310,105 @@ def solve_all(
 
     # ---- Substep loop ------------------------------------------------------------------
     def substep(carry, first: bool):
-        state, prestep_l, imp_l, jimps = carry
+        state, presteps_l, imps_l, jimps = carry
         if not first:
-            va = _gather_vel(state, ca)
-            vb = _gather_vel(state, cb)
-            prestep_l = contact_mod.incremental_depth_update(prestep_l, va, vb, h)
+            v6 = _vel_to6(state)
+            new_presteps = []
+            for ci in range(n_cbanks):
+                ca, cb = cbank_refs[ci]
+                va = _gather_vel(v6, ca)
+                vb = _gather_vel(v6, cb)
+                new_presteps.append(
+                    contact_mod.incremental_depth_update(presteps_l[ci], va, vb, h)
+                )
+            presteps_l = tuple(new_presteps)
             state = integrate_poses(state, integrator_cfg, h)
         state = integrate_velocities(state, integrator_cfg, h)
 
         world_ii = state.world_inv_inertia()
+        i7 = _inertia7(state, world_ii)
+        v6 = _vel_to6(state)
 
-        # Warm start (pure accumulation).
-        va = _gather_vel(state, ca)
-        vb = _gather_vel(state, cb)
-        ia = _gather_inertia(world_ii, state, ca)
-        ib = _gather_inertia(world_ii, state, cb)
-        nva, nvb = contact_mod.warm_start(prestep_l, imp_l, ia, ib, va, vb)
-        state = _scatter(_scatter(state, ca, _delta(nva, va)), cb, _delta(nvb, vb))
+        # Warm start (pure accumulation: deltas don't read velocities, so all banks
+        # accumulate into one delta array applied — and psum'd — once).
+        dv = jnp.zeros_like(v6)
+        for ci in range(n_cbanks):
+            idx2 = cbank_idx2[ci]
+            m = idx2.shape[0] // 2
+            g = v6[idx2]
+            va = BodyVel(Vec3(g[:m, 0], g[:m, 1], g[:m, 2]), Vec3(g[:m, 3], g[:m, 4], g[:m, 5]))
+            vb = BodyVel(Vec3(g[m:, 0], g[m:, 1], g[m:, 2]), Vec3(g[m:, 3], g[m:, 4], g[m:, 5]))
+            gi = i7[idx2]
+            ia = GatheredInertia(gi[:m, 0], Sym3(*(gi[:m, k] for k in range(1, 7))))
+            ib = GatheredInertia(gi[m:, 0], Sym3(*(gi[m:, k] for k in range(1, 7))))
+            nva, nvb = contact_mod.warm_start(presteps_l[ci], imps_l[ci], ia, ib, va, vb)
+            p2 = jnp.concatenate([_pack_dv(_delta(nva, va)), _pack_dv(_delta(nvb, vb))])
+            dv = dv.at[idx2].add(p2)
         for name in bank_names:
-            state = joint_warm_start(state, name, joint_banks[name], jimps[name], world_ii)
+            dv = joint_warm_start(v6, dv, i7, state, name, joint_banks[name], jimps[name])
+        v6 = apply_dv(v6, dv)
 
         def color_pass(c, sc):
-            state, imp_l, jimps = sc
-            mask_c = prestep_l.valid & (colors["__contacts__"] == c)
-            state, imp_l = contact_pass(state, prestep_l, imp_l, world_ii, mask_c, False)
+            # Within a color no two constraints (across banks or shards) share a body, so
+            # all banks accumulate one conflict-free delta applied with a single psum.
+            v6, imps_l, jimps = sc
+            dv = jnp.zeros_like(v6)
+            new_imps = list(imps_l)
+            for ci in range(n_cbanks):
+                mask_c = presteps_l[ci].valid & (colors[f"__contacts{ci}__"] == c)
+                dv, new_imps[ci] = contact_pass(
+                    v6, dv, i7, ci, presteps_l[ci], imps_l[ci], mask_c, False
+                )
             new_jimps = dict(jimps)
             for name in bank_names:
                 mask_j = bank_valid[name] & (colors[name] == c)
-                state, new_jimps[name] = joint_pass(
-                    state, name, joint_banks[name], jimps[name], world_ii, mask_j, False
+                dv, new_jimps[name] = joint_pass(
+                    v6, dv, i7, state, name, joint_banks[name], jimps[name], mask_j, False
                 )
-            return state, imp_l, new_jimps
+            return apply_dv(v6, dv), tuple(new_imps), new_jimps
 
         def iteration(_, sc):
             sc = jax.lax.fori_loop(0, cfg.num_colors, color_pass, sc)
-            state, imp_l, jimps = sc
-            mask_c = prestep_l.valid & (colors["__contacts__"] == cfg.num_colors)
-            state, imp_l = contact_pass(state, prestep_l, imp_l, world_ii, mask_c, True)
+            v6, imps_l, jimps = sc
+            # Jacobi bucket: constraints here MAY share bodies; mass splitting by global
+            # valence makes the single accumulated application the intended Jacobi step.
+            dv = jnp.zeros_like(v6)
+            new_imps = list(imps_l)
+            for ci in range(n_cbanks):
+                mask_c = presteps_l[ci].valid & (
+                    colors[f"__contacts{ci}__"] == cfg.num_colors
+                )
+                dv, new_imps[ci] = contact_pass(
+                    v6, dv, i7, ci, presteps_l[ci], imps_l[ci], mask_c, True
+                )
             new_jimps = dict(jimps)
             for name in bank_names:
                 mask_j = bank_valid[name] & (colors[name] == cfg.num_colors)
-                state, new_jimps[name] = joint_pass(
-                    state, name, joint_banks[name], jimps[name], world_ii, mask_j, True
+                dv, new_jimps[name] = joint_pass(
+                    v6, dv, i7, state, name, joint_banks[name], jimps[name], mask_j, True
                 )
-            return state, imp_l, new_jimps
+            return apply_dv(v6, dv), tuple(new_imps), new_jimps
 
-        state, imp_l, jimps = jax.lax.fori_loop(
-            0, cfg.velocity_iterations, iteration, (state, imp_l, jimps)
+        v6, imps_l, jimps = jax.lax.fori_loop(
+            0, cfg.velocity_iterations, iteration, (v6, imps_l, jimps)
         )
-        return state, prestep_l, imp_l, jimps
+        state = _vel_from6(state, v6)
+        return state, presteps_l, imps_l, jimps
 
-    carry = substep((state, prestep, imp, joint_imps), first=True)
+    presteps0 = tuple(ps for ps, _ in contact_banks)
+    imps0 = tuple(im for _, im in contact_banks)
+    carry = substep((state, presteps0, imps0, joint_imps), first=True)
     if cfg.substeps > 1:
         carry, _ = jax.lax.scan(
             lambda c, _: (substep(c, first=False), None), carry, None, length=cfg.substeps - 1
         )
-    state, prestep, imp, joint_imps = carry
+    state, presteps0, imps0, joint_imps = carry
 
     state = integrate_poses(state, integrator_cfg, h)
-    return state, imp, joint_imps
+    return state, list(imps0), joint_imps
 
 
 def solve_contacts(state, prestep, imp, integrator_cfg, cfg, dt):
-    """Contacts-only entry (kept for tests / minimal configs)."""
-    state, imp, _ = solve_all(state, prestep, imp, {}, integrator_cfg, cfg, dt)
-    return state, imp
+    """Single-contact-bank entry (kept for tests / minimal configs)."""
+    state, imps, _ = solve_all(state, [(prestep, imp)], {}, integrator_cfg, cfg, dt)
+    return state, imps[0]

@@ -1,0 +1,78 @@
+"""Model-layer tests: ragdoll, cloth, vehicle, character — the extension-point proofs
+(reference Demos: RagdollDemo, ClothDemo, SimpleCarDemo, CharacterDemo)."""
+import numpy as np
+import pytest
+
+from bepuphysics2_tpu import BodyDescription, Box, SimConfig, Simulation, StaticDescription
+from bepuphysics2_tpu.models import Character, SimpleCar, add_cloth, add_ragdoll
+
+
+def ground_sim(**kw):
+    defaults = dict(
+        body_capacity=64, max_pairs=512, substeps=4, velocity_iterations=2, num_colors=8,
+        joint_capacity=128, max_compound_pairs=16, children_per_pair=4, child_window=16,
+    )
+    defaults.update(kw)
+    sim = Simulation(SimConfig(**defaults))
+    g = sim.add_shape(Box(50.0, 0.5, 50.0))
+    sim.add_static(StaticDescription(position=(0, -0.5, 0), shape=g))
+    return sim
+
+
+def test_ragdoll_drops_and_holds_together():
+    sim = ground_sim()
+    bodies = add_ragdoll(sim, position=(0, 0.5, 0))
+    sim.run(240, 1 / 60.0)
+    pos = {k: sim.get_body(h)[0] for k, h in bodies.items()}
+    # Everything should land above the ground and stay connected (head near torso).
+    for k, p in pos.items():
+        assert p[1] > -0.2, f"{k} fell through the ground: {p}"
+    head_torso = np.linalg.norm(pos["head"] - pos["torso"])
+    assert head_torso < 1.2, f"ragdoll came apart: head-torso {head_torso}"
+
+
+def test_cloth_hangs_from_pins():
+    sim = ground_sim(joint_capacity=512)
+    grid = add_cloth(sim, origin=(-1.0, 3.0, 0.0), width=6, length=6, spacing=0.3)
+    sim.run(180, 1 / 60.0)
+    # Pinned corners stay; center sags below the pin row.
+    p_pin, _, _, _ = sim.get_body(int(grid[0, 0]))
+    p_mid, _, _, _ = sim.get_body(int(grid[3, 3]))
+    assert abs(p_pin[1] - 3.0) < 1e-5
+    assert p_mid[1] < 2.9, f"cloth did not sag: {p_mid}"
+    # Structural links keep the lattice from stretching wildly.
+    p_n, _, _, _ = sim.get_body(int(grid[3, 4]))
+    assert np.linalg.norm(p_mid - p_n) < 0.6
+
+
+def test_car_drives_forward():
+    sim = ground_sim(body_capacity=32)
+    car = SimpleCar(sim, position=(0, 0.8, 0))
+    sim.run(60, 1 / 60.0)  # settle on suspension
+    p0, _, _, _ = sim.get_body(car.body)
+    car.set_drive(8.0)
+    sim.run(180, 1 / 60.0)
+    p1, _, v1, _ = sim.get_body(car.body)
+    assert p1[1] > 0.2, f"car collapsed: {p1}"
+    dist = np.linalg.norm((p1 - p0)[[0, 2]])
+    assert dist > 1.0, f"car did not drive: moved {dist}"
+
+
+def test_character_walks_and_jumps():
+    sim = ground_sim(body_capacity=16)
+    ch = Character(sim, position=(0, 1.2, 0))
+    sim.run(60, 1 / 60.0)  # land
+    assert ch.supported(), "character should stand on the ground"
+    for _ in range(120):
+        ch.move((2.0, 0.0))
+        sim.timestep(1 / 60.0)
+    pos, _, _, _ = sim.get_body(ch.body)
+    assert pos[0] > 1.0, f"character did not walk: {pos}"
+    # Jump.
+    ch.move((0.0, 0.0), jump_speed=5.0)
+    max_y = pos[1]
+    for _ in range(30):
+        sim.timestep(1 / 60.0)
+        p, _, _, _ = sim.get_body(ch.body)
+        max_y = max(max_y, p[1])
+    assert max_y > pos[1] + 0.5, f"character did not jump: {max_y} vs {pos[1]}"

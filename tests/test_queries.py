@@ -1,0 +1,81 @@
+"""Scene query tests: ray casts (single + batched), volume query, sweep, checkpointing."""
+import numpy as np
+
+from bepuphysics2_tpu import (
+    BodyDescription,
+    Box,
+    Capsule,
+    Cylinder,
+    SimConfig,
+    Simulation,
+    Sphere,
+    StaticDescription,
+)
+
+
+def make_scene():
+    sim = Simulation(SimConfig(body_capacity=32, max_pairs=64, substeps=2, num_colors=2))
+    shapes = {
+        "sphere": (sim.add_shape(Sphere(0.5)), Sphere(0.5)),
+        "box": (sim.add_shape(Box(0.5, 0.5, 0.5)), Box(0.5, 0.5, 0.5)),
+        "capsule": (sim.add_shape(Capsule(0.3, 0.5)), Capsule(0.3, 0.5)),
+        "cylinder": (sim.add_shape(Cylinder(0.4, 0.5)), Cylinder(0.4, 0.5)),
+    }
+    handles = {}
+    handles["sphere"] = sim.add_body(BodyDescription.dynamic((0, 1, 0), shapes["sphere"][0], 1.0, shapes["sphere"][1]))
+    handles["box"] = sim.add_body(BodyDescription.dynamic((3, 1, 0), shapes["box"][0], 1.0, shapes["box"][1]))
+    handles["capsule"] = sim.add_body(BodyDescription.dynamic((6, 1, 0), shapes["capsule"][0], 1.0, shapes["capsule"][1]))
+    handles["cylinder"] = sim.add_body(BodyDescription.dynamic((9, 1, 0), shapes["cylinder"][0], 1.0, shapes["cylinder"][1]))
+    return sim, handles
+
+
+def test_ray_hits_each_shape():
+    sim, handles = make_scene()
+    for name, x in [("sphere", 0.0), ("box", 3.0), ("capsule", 6.0), ("cylinder", 9.0)]:
+        hit = sim.ray_cast((x, 5.0, 0.0), (0.0, -1.0, 0.0), 10.0)
+        assert bool(hit.hit), f"ray missed {name}"
+        assert int(hit.body) == handles[name], f"ray hit wrong body for {name}"
+        # Top surface: normal points up.
+        assert float(hit.normal.y) > 0.7, f"bad normal for {name}: {hit.normal}"
+    # Miss case.
+    miss = sim.ray_cast((50.0, 5.0, 0.0), (0.0, -1.0, 0.0), 10.0)
+    assert not bool(miss.hit)
+
+
+def test_batched_rays():
+    sim, handles = make_scene()
+    origins = np.array([[0, 5, 0], [3, 5, 0], [50, 5, 0]], np.float32)
+    dirs = np.tile(np.array([[0, -1, 0]], np.float32), (3, 1))
+    hit = sim.ray_cast(origins, dirs, 10.0)
+    assert list(np.asarray(hit.hit)) == [True, True, False]
+    assert int(np.asarray(hit.body)[0]) == handles["sphere"]
+    assert int(np.asarray(hit.body)[1]) == handles["box"]
+
+
+def test_box_query_and_sweep():
+    sim, handles = make_scene()
+    found = sim.box_query((-1, 0, -1), (4, 2, 1))
+    assert handles["sphere"] in found and handles["box"] in found
+    assert handles["cylinder"] not in found
+
+    hit, t, body = sim.sweep(Sphere(0.2), (0, 1, -5), (0, 0, 1), 20.0)
+    assert hit and body == handles["sphere"]
+    assert 3.0 < t < 5.0
+
+
+def test_checkpoint_roundtrip():
+    sim, handles = make_scene()
+    sim.run(30, 1 / 60.0)
+    blob = sim.save_checkpoint()
+    p_ref, _, v_ref, _ = sim.get_body(handles["sphere"])
+    sim.run(30, 1 / 60.0)
+    p_late, _, _, _ = sim.get_body(handles["sphere"])
+    assert not np.allclose(p_ref, p_late)  # state moved on
+    sim.load_checkpoint(blob)
+    p_back, _, v_back, _ = sim.get_body(handles["sphere"])
+    np.testing.assert_array_equal(p_ref, p_back)
+    np.testing.assert_array_equal(v_ref, v_back)
+    # Resumed trajectory matches the original continuation bit-exactly (warm starts kept).
+    sim.run(30, 1 / 60.0)
+    p_resumed, _, _, _ = sim.get_body(handles["sphere"])
+    np.testing.assert_array_equal(p_late, p_resumed)

@@ -131,3 +131,50 @@ def test_determinism():
     r1 = run()
     r2 = run()
     np.testing.assert_array_equal(r1, r2)
+
+
+def test_scanned_run_matches_per_step():
+    """The scanned multi-step dispatch (step_n / lax.scan) must be bit-identical to
+    per-step dispatch — the TPU production path vs the debug path."""
+
+    def run(chunk):
+        sim = make_sim(body_capacity=16, max_pairs=32, substeps=2, velocity_iterations=1)
+        ground_shape = sim.add_shape(Box(10.0, 0.5, 10.0))
+        s = Sphere(0.4)
+        shape = sim.add_shape(s)
+        sim.add_static(StaticDescription(position=(0, -0.5, 0), shape=ground_shape))
+        for i in range(4):
+            sim.add_body(BodyDescription.dynamic((0.1 * i, 1.0 + 0.9 * i, 0), shape, 1.0, s))
+        sim.run(16, dt=1 / 60.0, chunk=chunk)
+        sim._sync_from_device()
+        return np.stack([sim._host.px, sim._host.py, sim._host.pz, sim._host.qw])
+
+    np.testing.assert_array_equal(run(chunk=0), run(chunk=8))
+
+
+def test_collision_group_filtering():
+    """Bodies sharing a nonzero collision group generate no contacts with each other but
+    still collide with everything else (reference AllowContactGeneration filtering)."""
+    sim = make_sim()
+    ground_shape = sim.add_shape(Box(50.0, 0.5, 50.0))
+    s = Sphere(0.5)
+    shape = sim.add_shape(s)
+    sim.add_static(StaticDescription(position=(0, -0.5, 0), shape=ground_shape))
+    g = sim.new_collision_group()
+    # Two same-group spheres dropped overlapping: they must NOT push each other apart,
+    # and both must still rest on the (group 0) ground.
+    a = sim.add_body(BodyDescription.dynamic((0, 1.0, 0), shape, 1.0, s, collision_group=g))
+    b = sim.add_body(BodyDescription.dynamic((0.1, 1.8, 0), shape, 1.0, s, collision_group=g))
+    # A different-group control pair at x=10 with the same initial layout DOES separate.
+    c = sim.add_body(BodyDescription.dynamic((10, 1.0, 0), shape, 1.0, s))
+    d = sim.add_body(BodyDescription.dynamic((10.1, 1.8, 0), shape, 1.0, s))
+    sim.run(180, 1 / 60.0)
+    pa, _, _, _ = sim.get_body(a)
+    pb, _, _, _ = sim.get_body(b)
+    pc, _, _, _ = sim.get_body(c)
+    pd, _, _, _ = sim.get_body(d)
+    # Filtered pair: both rest ON the ground, fully overlapping (distance << diameter).
+    assert abs(pa[1] - 0.5) < 0.05 and abs(pb[1] - 0.5) < 0.05, (pa, pb)
+    assert np.linalg.norm(pa - pb) < 0.5, f"filtered pair pushed apart: {pa} {pb}"
+    # Control pair: separated by about a diameter.
+    assert np.linalg.norm(pc - pd) > 0.8, f"control pair failed to collide: {pc} {pd}"

@@ -12,7 +12,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_BODIES = int(os.environ.get("BENCH_BODIES", 4096))
-STEPS = int(os.environ.get("BENCH_STEPS", 100))
+STEPS = int(os.environ.get("BENCH_STEPS", 96))
 
 
 def main():
@@ -20,18 +20,20 @@ def main():
 
     from __graft_entry__ import _build_pile_sim
 
+    # Solver settings match the reference benchmark (ShapePileBenchmark.cs:106 uses
+    # SolveDescription(4, 1): 4 substeps, 1 velocity iteration).
     sim, config = _build_pile_sim(
         body_capacity=N_BODIES + 64,
-        max_pairs=max(4 * N_BODIES, 4096),
-        substeps=8,
+        max_pairs=max(6 * N_BODIES, 4096),
+        substeps=4,
         num_colors=8,
         n_bodies=N_BODIES,
     )
 
     dt = 1.0 / 60.0
-    # Warmup: compile both the single-step and scanned-chunk programs, then let the
-    # pile develop contacts.
-    sim.run(32, dt)
+    # Warmup: compile both the single-step and scanned-chunk programs (33 = one scan
+    # chunk + one single step), then let the pile develop contacts.
+    sim.run(33, dt)
     jax.block_until_ready(sim.state)
 
     t0 = time.perf_counter()

@@ -57,6 +57,10 @@ class BodyState(NamedTuple):
     # demos' SubgroupCollisionFilter): two bodies sharing the same NONZERO group generate
     # no contacts (vehicles/ragdolls suppress self-collision this way). 0 = collide with all.
     collision_group: jnp.ndarray  # (NB,) int32
+    # Continuous collision detection mode (reference ContinuousDetectionMode,
+    # Collidables/Collidable.cs:9): 0 = Discrete/Passive (speculative margins only),
+    # 1 = Continuous (fast pairs swept to time-of-impact in the narrow phase).
+    continuity: jnp.ndarray  # (NB,) int32
 
     @property
     def exists(self):
@@ -96,6 +100,7 @@ class BodyState(NamedTuple):
             sleep_timer=z,
             sleep_island=jnp.zeros(capacity, jnp.int32),
             collision_group=jnp.zeros(capacity, jnp.int32),
+            continuity=jnp.zeros(capacity, jnp.int32),
         )
 
 
@@ -119,6 +124,7 @@ class BodyDescription:
     sleep_threshold: float = 0.01
     speculative_margin: float = 0.1
     collision_group: int = 0  # same nonzero group → no contacts (self-collision filter)
+    continuity: int = 0  # 0 = Discrete/Passive; 1 = Continuous (swept CCD)
 
     @staticmethod
     def dynamic(position, shape, mass, shape_obj=None, **kw) -> "BodyDescription":
@@ -183,6 +189,7 @@ class BodyBuffer:
         self.shape = np.full(capacity, -1, np.int32)
         self.sleep_island = np.zeros(capacity, np.int32)
         self.collision_group = np.zeros(capacity, np.int32)
+        self.continuity = np.zeros(capacity, np.int32)
         self._free = list(range(capacity - 1, -1, -1))
 
     def add(self, d) -> int:
@@ -217,6 +224,7 @@ class BodyBuffer:
         self.spring_damping[i] = d.spring_damping
         self.max_recovery_velocity[i] = d.max_recovery_velocity
         self.collision_group[i] = getattr(d, "collision_group", 0)
+        self.continuity[i] = getattr(d, "continuity", 0)
         self.sleep_timer[i] = 0.0
         return i
 
@@ -252,6 +260,7 @@ class BodyBuffer:
             sleep_timer=jnp.asarray(self.sleep_timer),
             sleep_island=jnp.asarray(self.sleep_island),
             collision_group=jnp.asarray(self.collision_group),
+            continuity=jnp.asarray(self.continuity),
         )
 
     def load(self, state: BodyState) -> None:

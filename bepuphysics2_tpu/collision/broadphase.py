@@ -42,11 +42,28 @@ def _pair_filter(kind, awake, group):
     either_active = active_dynamic[:, None] | active_dynamic[None, :]
     both_exist = exists[:, None] & exists[None, :]
     group_ok = (group[:, None] != group[None, :]) | (group == 0)[:, None]
-    iu = jnp.triu(jnp.ones((kind.shape[0], kind.shape[0]), bool), k=1)
-    return both_exist & either_active & group_ok & iu
+    # Lower triangle: each pair lives in the LARGER index's row. Scenes list big statics
+    # (ground, meshes) first, so this keeps per-row partner counts bounded by local
+    # contact valence instead of concentrating thousands of pairs in the ground's row
+    # (matters for brute_force's per-row compaction cap).
+    tl = jnp.tril(jnp.ones((kind.shape[0], kind.shape[0]), bool), k=-1)
+    return both_exist & either_active & group_ok & tl
 
 
-def brute_force(aabb_min: Vec3, aabb_max: Vec3, kind, awake, group, max_pairs: int) -> PairList:
+def brute_force(
+    aabb_min: Vec3, aabb_max: Vec3, kind, awake, group, max_pairs: int,
+    row_candidates: int = 32,
+) -> PairList:
+    """Exact N×N AABB pair test with two-stage compaction.
+
+    A single ``jnp.nonzero`` over the N² mask lowers to a scatter over N² elements —
+    measured 151 ms at N=4160 on TPU, dominating the whole step. Instead: per-row prefix
+    sums locate each row's first ``row_candidates`` hits via vmapped binary search (cheap
+    fused reductions + (N·K) gathers), then one small nonzero compacts (N·K) → max_pairs.
+    Rows with more than ``row_candidates`` partners (b > a side only) raise the overflow
+    flag, never silently drop."""
+    import jax
+
     n = kind.shape[0]
     overlap = (
         (aabb_min.x[:, None] <= aabb_max.x[None, :])
@@ -57,11 +74,26 @@ def brute_force(aabb_min: Vec3, aabb_max: Vec3, kind, awake, group, max_pairs: i
         & (aabb_max.z[:, None] >= aabb_min.z[None, :])
     )
     mask = overlap & _pair_filter(kind, awake, group)
-    count = jnp.sum(mask)
-    ai, bi = jnp.nonzero(mask, size=max_pairs, fill_value=0)
-    idx = jnp.arange(max_pairs)
-    valid = idx < count
-    return PairList(ai.astype(jnp.int32), bi.astype(jnp.int32), valid, count > max_pairs)
+
+    k = min(row_candidates, n)
+    # Per-row compaction via top_k (a custom call XLA materializes once — a fused
+    # cumsum+binary-search formulation was rematerialized per consumer and cost 17ms/step
+    # in context): the k smallest column indices with mask set, per row.
+    score = jnp.where(mask, -jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1), -(2**30))
+    neg_cols, _ = jax.lax.top_k(score, k)
+    valid_rk = neg_cols > -(2**30)
+    cols = jnp.where(valid_rk, -neg_cols, 0)
+    row_counts = jnp.sum(mask, axis=1)
+
+    count = jnp.sum(jnp.minimum(row_counts, k))  # pairs actually harvested
+    ai, ki = jnp.nonzero(valid_rk, size=max_pairs, fill_value=0)
+    bi = cols[ai, ki]
+    valid = jnp.arange(max_pairs) < count
+    overflow = (count > max_pairs) | jnp.any(row_counts > k)
+    # Row index is the larger body (lower-triangle mask); report pairs as (a < b).
+    return PairList(
+        bi.astype(jnp.int32), ai.astype(jnp.int32), valid, overflow
+    )
 
 
 def brute_force_rows(
@@ -91,14 +123,16 @@ def brute_force_rows(
     either_active = r(active_dynamic)[:, None] | active_dynamic[None, :]
     both_exist = r(exists)[:, None] & exists[None, :]
     group_ok = (r(group)[:, None] != group[None, :]) | (r(group) == 0)[:, None]
-    upper = rows[:, None] < jnp.arange(n)[None, :]
-    mask = overlap & both_exist & either_active & group_ok & upper
+    # Pair lives in the LARGER index's row (see _pair_filter) — big early-slot statics
+    # don't concentrate every pair on one device.
+    lower = rows[:, None] > jnp.arange(n)[None, :]
+    mask = overlap & both_exist & either_active & group_ok & lower
     count = jnp.sum(mask)
     ai, bi = jnp.nonzero(mask, size=max_pairs, fill_value=0)
     valid = jnp.arange(max_pairs) < count
     return PairList(
-        (ai.astype(jnp.int32) + row_start).astype(jnp.int32),
         bi.astype(jnp.int32),
+        (ai.astype(jnp.int32) + row_start).astype(jnp.int32),
         valid,
         count > max_pairs,
     )
@@ -156,14 +190,27 @@ def sweep(aabb_min: Vec3, aabb_max: Vec3, kind, awake, group, max_pairs: int, wi
     tail_ok = (jnp.arange(n) + window) >= (n - 1)
     overflow_window = jnp.any(reach & ~tail_ok)
 
-    count = jnp.sum(ok)
-    ii, jj = jnp.nonzero(ok, size=max_pairs, fill_value=0)
+    # Two-stage compaction (see brute_force): per-row prefix sums + binary search pick
+    # each row's first ≤k hits from its window (the (N, window) cumsum is small enough
+    # to gather from quickly), then one small nonzero compacts (N·k) → max_pairs.
+    import jax
+
+    k = min(32, window)
+    row_cum = jnp.cumsum(ok.astype(jnp.int32), axis=1)
+    row_counts = row_cum[:, -1]
+    ks = jnp.arange(1, k + 1)
+    cand = jnp.minimum(jax.vmap(lambda rc: jnp.searchsorted(rc, ks))(row_cum), window - 1)
+    valid_rk = (ks - 1)[None, :] < row_counts[:, None]
+    count = jnp.sum(jnp.minimum(row_counts, k))
+    ii, ki = jnp.nonzero(valid_rk, size=max_pairs, fill_value=0)
+    jj = cand[ii, ki]
     orig_i = order[ii]
     orig_j = order[jnp.minimum(ii + 1 + jj, n - 1)]
     a = jnp.minimum(orig_i, orig_j).astype(jnp.int32)
     b = jnp.maximum(orig_i, orig_j).astype(jnp.int32)
     valid = jnp.arange(max_pairs) < count
-    return PairList(a, b, valid, (count > max_pairs) | overflow_window)
+    overflow = (count > max_pairs) | overflow_window | jnp.any(row_counts > k)
+    return PairList(a, b, valid, overflow)
 
 def grid(
     aabb_min: Vec3,

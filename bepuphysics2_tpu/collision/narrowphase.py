@@ -153,8 +153,16 @@ def narrow_phase(
     dt,
     spec_margin_max: float = 1.0e30,
     present_types: tuple = None,
+    max_ccd: int = 0,
 ):
-    """Run all testers and build contact constraint records (+warm-started impulses)."""
+    """Run all testers and build contact constraint records (+warm-started impulses).
+
+    ``max_ccd > 0`` enables continuous collision detection (reference
+    ContinuousDetectionMode.Continuous, NarrowPhaseCCDContinuations + SweepTasks): pairs
+    with a Continuous endpoint whose relative displacement this step risks tunneling are
+    swept to time-of-impact (collision/sweeps.py pair_toi); their manifolds are evaluated
+    at the TOI-advanced poses and the depths warped back to t=0 as speculative contacts,
+    so the solver stops motion exactly at impact."""
     n_bodies = state.pos.x.shape[0]
     mp = pairs.a.shape[0]
     a, b = pairs.a, pairs.b
@@ -180,6 +188,36 @@ def narrow_phase(
     orn_i = state.orn[i]
     orn_j = state.orn[j]
 
+    t_eval = None
+    if max_ccd > 0:
+        from .sweeps import pair_toi
+        from ..utils.vec import integrate_orientation
+
+        cont = state.continuity
+        ra = shapes.max_radius[shape_a]
+        rb = shapes.max_radius[shape_b]
+        rel_disp = (state.vel[a] - state.vel[b]).length() * dt
+        # Tunneling risk: displacement this step exceeds half the smaller shape's size.
+        risk = (
+            pairs.valid
+            & ((cont[a] > 0) | (cont[b] > 0))
+            & (rel_disp > 0.5 * jnp.minimum(ra, rb))
+        )
+        sel = jnp.nonzero(risk, size=max_ccd, fill_value=0)[0]
+        live = jnp.arange(max_ccd) < jnp.sum(risk)
+        t_hit = pair_toi(state, shapes, a[sel], b[sel], live, dt)
+        t_eval = (
+            jnp.zeros(mp, jnp.float32)
+            .at[jnp.where(live, sel, mp)]
+            .set(t_hit, mode="drop")
+        )
+        # Evaluate CCD pairs' manifolds at their TOI-advanced poses.
+        te_i = t_eval
+        pos_i = pos_i + state.vel[i] * te_i
+        pos_j = pos_j + state.vel[j] * te_i
+        orn_i = integrate_orientation(orn_i, state.omega[i], te_i)
+        orn_j = integrate_orientation(orn_j, state.omega[j], te_i)
+
     manifold = run_convex_testers(
         shapes, ti, tj, params_i, params_j, pos_i, pos_j, orn_i, orn_j,
         shape_i, shape_j, pairs.valid, present_types,
@@ -190,6 +228,13 @@ def narrow_phase(
     # offset correction is pos(tester A) − pos(scene a) = pos_b − pos_a = pos_i − pos_j.
     flipped = manifold.flipped(pos_i - pos_j)
     manifold = flipped.where(swap, manifold)
+
+    if t_eval is not None:
+        # Warp CCD depths back to t=0: depth(0) = depth(t) + n·(v_a − v_b)·t (the normal
+        # points B→A; approaching pairs get a negative speculative depth that lets the
+        # solver allow exactly the approach up to the TOI).
+        vn = manifold.normal.dot(state.vel[a] - state.vel[b])
+        manifold = manifold._replace(depth=manifold.depth + (vn * t_eval)[:, None])
 
     # Speculative margin acceptance (reference Collidable speculative margin clamp,
     # Collidables/Collidable.cs:115): discard contacts further than the pair margin.

@@ -127,3 +127,61 @@ def sweep_shape_all(
         t=jnp.where(found, best_t, jnp.asarray(max_t, jnp.float32)),
         body=jnp.where(found, best.astype(jnp.int32), -1),
     )
+
+
+def pair_toi(state: BodyState, shapes: ShapeData, a, b, live, max_t, iters: int = 12):
+    """Conservative-advancement time-of-impact for body pairs (a[i], b[i]) — the CCD
+    sweep of the reference's NarrowPhaseCCDContinuations/ConvexSweepTaskCommon, as one
+    fixed-iteration masked kernel over the compacted CCD pair set. Returns t_hit in
+    [0, max_t] (max_t when no impact within the step)."""
+    sa = jnp.maximum(state.shape[a], 0)
+    sb = jnp.maximum(state.shape[b], 0)
+    type_a = jnp.where(state.shape[a] >= 0, shapes.type[sa], -1)
+    type_b = jnp.where(state.shape[b] >= 0, shapes.type[sb], -1)
+    ra = shapes.max_radius[sa]
+    rb = shapes.max_radius[sb]
+    pos_a0, pos_b0 = state.pos[a], state.pos[b]
+    orn_a0, orn_b0 = state.orn[a], state.orn[b]
+    vel_a, vel_b = state.vel[a], state.vel[b]
+    om_a, om_b = state.omega[a], state.omega[b]
+
+    def ctx_at(t):
+        pa = pos_a0 + vel_a * t
+        pb = pos_b0 + vel_b * t
+        qa = integrate_orientation(orn_a0, om_a, t)
+        qb = integrate_orientation(orn_b0, om_b, t)
+        return SupportCtx(
+            type_a=type_a,
+            params_a=shapes.params[sa],
+            type_b=type_b,
+            params_b=shapes.params[sb],
+            orn_ab=qa.conjugate().mul(qb),
+            pos_ab=qa.rotate_inverse(pb - pa),
+            hull_points=Vec3(shapes.hull_x, shapes.hull_y, shapes.hull_z),
+            hull_start_a=shapes.hull_start[sa],
+            hull_count_a=shapes.hull_count[sa],
+            hull_start_b=shapes.hull_start[sb],
+            hull_count_b=shapes.hull_count[sb],
+        )
+
+    speed_bound = (
+        (vel_a - vel_b).length() + om_a.length() * ra + om_b.length() * rb + 1e-6
+    )
+
+    def body_fn(_, carry):
+        t, done, hit_t = carry
+        dist, _, _, margin = gjk_closest(ctx_at(t))
+        dist = dist - margin
+        impact = dist < 1e-4
+        new_hit_t = jnp.where(impact & ~done, t, hit_t)
+        advance = jnp.maximum(dist, 0.0) / speed_bound
+        new_t = t + jnp.maximum(advance, 1e-5)
+        new_done = done | impact | (new_t > max_t)
+        return (jnp.where(new_done, t, new_t), new_done, new_hit_t)
+
+    n = a.shape[0]
+    t0 = jnp.zeros((n,), jnp.float32)
+    done0 = ~live
+    hit0 = jnp.full((n,), jnp.asarray(max_t, jnp.float32))
+    _, _, hit_t = jax.lax.fori_loop(0, iters, body_fn, (t0, done0, hit0))
+    return jnp.where(live, jnp.minimum(hit_t, max_t), jnp.asarray(max_t, jnp.float32))

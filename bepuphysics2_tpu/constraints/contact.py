@@ -299,6 +299,232 @@ def solve(
     return ContactImpulses(pen, new_t, new_tw), va, vb
 
 
+class ContactKernel(NamedTuple):
+    """Velocity-independent solve data, hoisted out of the per-color iteration passes
+    (computed ONCE per substep by ``prepare``). The reference recomputes jacobians every
+    iteration to save CPU memory bandwidth (TypeProcessor comment); on TPU the iteration
+    passes are op-count-bound, so precomputing effective masses / premultiplied jacobians
+    cuts each color pass to a light gather→dot→clamp→scatter kernel."""
+
+    # Penetration, per contact slot (M, 4):
+    ang_a: Vec3  # r_a × n
+    ang_b: Vec3  # n × r_b
+    ang_a_im: Vec3  # I_a⁻¹ (r_a × n)
+    ang_b_im: Vec3  # I_b⁻¹ (n × r_b)
+    eff: jnp.ndarray  # effective mass (incl. cfm scale)
+    bias: jnp.ndarray
+    live: jnp.ndarray  # bool
+    # Shared (M,):
+    normal: Vec3
+    softness: jnp.ndarray
+    inv_mass_a: jnp.ndarray
+    inv_mass_b: jnp.ndarray
+    # Tangent friction (M,):
+    t1: Vec3
+    t2: Vec3
+    ang_a1: Vec3
+    ang_a2: Vec3
+    ang_b1: Vec3
+    ang_b2: Vec3
+    ang_a1_im: Vec3
+    ang_a2_im: Vec3
+    ang_b1_im: Vec3
+    ang_b2_im: Vec3
+    eff_t: Sym2
+    premul_friction: jnp.ndarray
+    # Twist (M,):
+    n_im_a: Vec3  # I_a⁻¹ n
+    n_im_b: Vec3  # I_b⁻¹ n
+    eff_tw: jnp.ndarray
+    twist_lever: jnp.ndarray  # Σ-weighted lever arm; cap = μ·(Σpen weighted)
+    twist_single: jnp.ndarray  # bool: 1-contact manifold (lever = depth)
+    lever0: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def _sym3_cols(s: Sym3) -> Sym3:
+    """Broadcast a (M,) symmetric tensor against (M, 4) per-contact vectors."""
+    return Sym3(
+        s.xx[:, None], s.yx[:, None], s.yy[:, None],
+        s.zx[:, None], s.zy[:, None], s.zz[:, None],
+    )
+
+
+def prepare(
+    prestep: ContactPrestep,
+    ia: GatheredInertia,
+    ib: GatheredInertia,
+    dt,
+    inv_dt,
+) -> ContactKernel:
+    """Build the per-substep ContactKernel (all velocity-independent terms of ``solve``)."""
+    n = prestep.normal
+    err_to_vel, cfm_scale, softness = compute_springiness(prestep.spring, dt)
+
+    n4 = Vec3(n.x[:, None], n.y[:, None], n.z[:, None])
+    off = prestep.offset_a  # (M,4)
+    off_b = Vec3(
+        off.x - prestep.offset_b.x[:, None],
+        off.y - prestep.offset_b.y[:, None],
+        off.z - prestep.offset_b.z[:, None],
+    )
+    ang_a = off.cross(n4)
+    ang_b = n4.cross(off_b)
+    ia4 = _sym3_cols(ia.inv_inertia)
+    ib4 = _sym3_cols(ib.inv_inertia)
+    ang_a_im = ia4.transform(ang_a)
+    ang_b_im = ib4.transform(ang_b)
+    linear = (ia.inv_mass + ib.inv_mass)[:, None]
+    eff = cfm_scale[:, None] / (linear + ang_a.dot(ang_a_im) + ang_b.dot(ang_b_im))
+    bias = jnp.minimum(
+        prestep.depth * inv_dt,
+        jnp.minimum(prestep.depth * err_to_vel[:, None], prestep.max_recovery_velocity[:, None]),
+    )
+    live = prestep.contact_mask & prestep.valid[:, None]
+
+    # Tangent friction.
+    t1, t2 = build_orthonormal_basis(n)
+    center_a = _friction_center(prestep.offset_a, prestep.depth, prestep.contact_mask)
+    center_b = center_a - prestep.offset_b
+    ang_a1 = center_a.cross(t1)
+    ang_a2 = center_a.cross(t2)
+    ang_b1 = t1.cross(center_b)
+    ang_b2 = t2.cross(center_b)
+    ang_a1_im = ia.inv_inertia.transform(ang_a1)
+    ang_a2_im = ia.inv_inertia.transform(ang_a2)
+    ang_b1_im = ib.inv_inertia.transform(ang_b1)
+    ang_b2_im = ib.inv_inertia.transform(ang_b2)
+    imass = ia.inv_mass + ib.inv_mass
+    m11 = imass + ang_a1.dot(ang_a1_im) + ang_b1.dot(ang_b1_im)
+    m22 = imass + ang_a2.dot(ang_a2_im) + ang_b2.dot(ang_b2_im)
+    m12 = ang_a1_im.dot(ang_a2) + ang_b1_im.dot(ang_b2)
+    eff_t = Sym2(m11, m12, m22).inverse()
+    contact_count = jnp.maximum(jnp.sum(prestep.contact_mask.astype(jnp.float32), -1), 1.0)
+    premul_friction = prestep.friction / contact_count
+
+    # Twist.
+    n_im_a = ia.inv_inertia.transform(n)
+    n_im_b = ib.inv_inertia.transform(n)
+    inv_eff_tw = n.dot(n_im_a) + n.dot(n_im_b)
+    eff_tw = jnp.where(inv_eff_tw == 0.0, 0.0, 1.0 / jnp.maximum(inv_eff_tw, 1e-30))
+    dist = Vec3(
+        off.x - center_a.x[:, None], off.y - center_a.y[:, None], off.z - center_a.z[:, None]
+    ).length()
+    return ContactKernel(
+        ang_a=ang_a, ang_b=ang_b, ang_a_im=ang_a_im, ang_b_im=ang_b_im, eff=eff, bias=bias,
+        live=live, normal=n, softness=softness,
+        inv_mass_a=ia.inv_mass, inv_mass_b=ib.inv_mass,
+        t1=t1, t2=t2, ang_a1=ang_a1, ang_a2=ang_a2, ang_b1=ang_b1, ang_b2=ang_b2,
+        ang_a1_im=ang_a1_im, ang_a2_im=ang_a2_im, ang_b1_im=ang_b1_im, ang_b2_im=ang_b2_im,
+        eff_t=eff_t, premul_friction=premul_friction,
+        n_im_a=n_im_a, n_im_b=n_im_b, eff_tw=eff_tw,
+        twist_lever=dist, twist_single=contact_count <= 1.0,
+        lever0=jnp.maximum(0.0, prestep.depth[:, 0]),
+        valid=prestep.valid,
+    )
+
+
+def apply_iteration(kern: ContactKernel, imp: ContactImpulses, va: BodyVel, vb: BodyVel, mask):
+    """One velocity iteration using the precomputed kernel; only the rows in ``mask``
+    update impulses/velocities. Numerically identical math to ``solve``."""
+    n = kern.normal
+    pen = imp.penetration
+    live_all = kern.live & mask[:, None]
+    for k in range(4):
+        ang_a = Vec3(kern.ang_a.x[:, k], kern.ang_a.y[:, k], kern.ang_a.z[:, k])
+        ang_b = Vec3(kern.ang_b.x[:, k], kern.ang_b.y[:, k], kern.ang_b.z[:, k])
+        csv = (
+            va.linear.dot(n) - vb.linear.dot(n) + va.angular.dot(ang_a) + vb.angular.dot(ang_b)
+        )
+        acc_k = pen[:, k]
+        negated_csi = acc_k * kern.softness + (csv - kern.bias[:, k]) * kern.eff[:, k]
+        new_acc = jnp.maximum(0.0, acc_k - negated_csi)
+        live = live_all[:, k]
+        new_acc = jnp.where(live, new_acc, acc_k)
+        corrective = jnp.where(live, new_acc - acc_k, 0.0)
+        pen = pen.at[:, k].set(new_acc)
+        lin = n * corrective
+        va = BodyVel(
+            va.linear + lin * kern.inv_mass_a,
+            va.angular + Vec3(kern.ang_a_im.x[:, k], kern.ang_a_im.y[:, k], kern.ang_a_im.z[:, k]) * corrective,
+        )
+        vb = BodyVel(
+            vb.linear - lin * kern.inv_mass_b,
+            vb.angular + Vec3(kern.ang_b_im.x[:, k], kern.ang_b_im.y[:, k], kern.ang_b_im.z[:, k]) * corrective,
+        )
+
+    # Tangent friction.
+    csv1 = (
+        vb.linear.dot(kern.t1) - va.linear.dot(kern.t1)
+        - va.angular.dot(kern.ang_a1) - vb.angular.dot(kern.ang_b1)
+    )
+    csv2 = (
+        vb.linear.dot(kern.t2) - va.linear.dot(kern.t2)
+        - va.angular.dot(kern.ang_a2) - vb.angular.dot(kern.ang_b2)
+    )
+    csi = kern.eff_t.transform(Vec2(csv1, csv2))
+    pen_masked = pen * kern.live
+    max_tangent = kern.premul_friction * jnp.sum(pen_masked, -1)
+    prev_t = imp.tangent
+    new_t = Vec2(prev_t.x + csi.x, prev_t.y + csi.y)
+    mag = new_t.length()
+    scale = jnp.minimum(1.0, max_tangent / jnp.maximum(1e-16, mag))
+    new_t = new_t * scale
+    rec_live = kern.valid & mask
+    new_t = Vec2(jnp.where(rec_live, new_t.x, prev_t.x), jnp.where(rec_live, new_t.y, prev_t.y))
+    cx = new_t.x - prev_t.x
+    cy = new_t.y - prev_t.y
+    lin_t = kern.t1 * cx + kern.t2 * cy
+    va = BodyVel(
+        va.linear + lin_t * kern.inv_mass_a,
+        va.angular + kern.ang_a1_im * cx + kern.ang_a2_im * cy,
+    )
+    vb = BodyVel(
+        vb.linear - lin_t * kern.inv_mass_b,
+        vb.angular + kern.ang_b1_im * cx + kern.ang_b2_im * cy,
+    )
+
+    # Twist friction.
+    twist_cap = jnp.where(
+        kern.twist_single,
+        kern.premul_friction * pen_masked[:, 0] * kern.lever0,
+        kern.premul_friction * jnp.sum(pen_masked * kern.twist_lever, -1),
+    )
+    csv_tw = va.angular.dot(n) - vb.angular.dot(n)
+    csi_tw = -csv_tw * kern.eff_tw
+    prev_tw = imp.twist
+    new_tw = jnp.clip(prev_tw + csi_tw, -twist_cap, twist_cap)
+    new_tw = jnp.where(rec_live, new_tw, prev_tw)
+    corr_tw = new_tw - prev_tw
+    va = BodyVel(va.linear, va.angular + kern.n_im_a * corr_tw)
+    vb = BodyVel(vb.linear, vb.angular - kern.n_im_b * corr_tw)
+
+    return ContactImpulses(pen, new_t, new_tw), va, vb
+
+
+def warm_start_kern(kern: ContactKernel, imp: ContactImpulses):
+    """Warm-start velocity DELTAS from the precomputed kernel (pure accumulation — no
+    velocity gather needed). Identical math to ``warm_start``."""
+    pen = imp.penetration * kern.live  # (M,4)
+    pen_total = jnp.sum(pen, -1)
+    tx = jnp.where(kern.valid, imp.tangent.x, 0.0)
+    ty = jnp.where(kern.valid, imp.tangent.y, 0.0)
+    tw = jnp.where(kern.valid, imp.twist, 0.0)
+    lin = kern.t1 * tx + kern.t2 * ty + kern.normal * pen_total
+    sum4 = lambda v, w: Vec3(jnp.sum(v.x * w, -1), jnp.sum(v.y * w, -1), jnp.sum(v.z * w, -1))
+    dva = BodyVel(
+        lin * kern.inv_mass_a,
+        kern.ang_a1_im * tx + kern.ang_a2_im * ty + sum4(kern.ang_a_im, pen)
+        + kern.n_im_a * tw,
+    )
+    dvb = BodyVel(
+        -1.0 * lin * kern.inv_mass_b,
+        kern.ang_b1_im * tx + kern.ang_b2_im * ty + sum4(kern.ang_b_im, pen)
+        - kern.n_im_b * tw,
+    )
+    return dva, dvb
+
+
 def incremental_depth_update(prestep: ContactPrestep, va: BodyVel, vb: BodyVel, dt) -> ContactPrestep:
     """Per-substep depth update from relative contact velocity
     (reference PenetrationLimit.UpdatePenetrationDepth)."""

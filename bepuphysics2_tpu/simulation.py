@@ -50,6 +50,7 @@ class SimConfig:
     substeps: int = 8
     velocity_iterations: int = 1
     num_colors: int = 8
+    compact_colors: bool = False  # per-color contact buckets; pays off at large max_pairs
     broadphase: str = "auto"  # 'brute' | 'sweep' | 'auto'
     joint_capacity: int = 256  # per-type bank capacity
     # Compound/mesh expansion (collision/compound.py):
@@ -64,12 +65,16 @@ class SimConfig:
     # Sleeping (reference IslandSleeper velocity/timer heuristic, IslandSleeper.cs:28):
     enable_sleep: bool = True
     sleep_time: float = 0.75
+    # Continuous collision detection: max pairs swept to TOI per step (0 = CCD off;
+    # bodies opt in with BodyDescription(continuity=1); reference ContinuousDetection).
+    max_ccd_pairs: int = 0
 
     def solve_config(self) -> SolveConfig:
         return SolveConfig(
             substeps=self.substeps,
             velocity_iterations=self.velocity_iterations,
             num_colors=self.num_colors,
+            compact_colors=self.compact_colors,
         )
 
 
@@ -128,7 +133,8 @@ def step(state: SimState, shapes, joint_banks, dt, config: SimConfig, present_ty
 
     # --- Narrow phase (manifolds + constraint records + warm-start carry).
     prestep, imp = narrow_phase(
-        bodies, shapes, pairs, state.cache, dt, present_types=present_types
+        bodies, shapes, pairs, state.cache, dt, present_types=present_types,
+        max_ccd=config.max_ccd_pairs,
     )
     from .shapes.registry import COMPOUND as _COMPOUND, MESH as _MESH
 
@@ -458,6 +464,38 @@ class Simulation:
                     )
                 )
         return out
+
+    def live_contact_pairs(self) -> set:
+        """Set of (body_a, body_b) pairs with live contact records after the last step."""
+        import numpy as _np
+
+        cur = set()
+        if self._state is None:
+            return cur
+        nb = self.config.body_capacity
+        valid = _np.asarray(self._state.cache.valid)
+        keys = _np.asarray(self._state.cache.key)
+        for k in keys[valid]:
+            cur.add((int(k) // nb, int(k) % nb))
+        cvalid = _np.asarray(self._state.ccache.valid)
+        ckeys = _np.asarray(self._state.ccache.key)
+        for k in ckeys[cvalid]:
+            pk = int(k) // self.config.children_per_pair
+            cur.add((pk // nb, pk % nb))
+        return cur
+
+    def contact_events(self):
+        """Contact begin/persist/end events since the previous call (the reference's
+        ContactEventsDemo capability, built on persistent pair tracking): returns a dict
+        {'began': set, 'persisted': set, 'ended': set} of (body_a, body_b) pairs."""
+        cur = self.live_contact_pairs()
+        prev = getattr(self, "_prev_contact_pairs", set())
+        self._prev_contact_pairs = cur
+        return {
+            "began": cur - prev,
+            "persisted": cur & prev,
+            "ended": prev - cur,
+        }
 
     def sweep_shape(self, shape_obj, position, velocity, max_t: float = 10.0,
                     orientation=(0, 0, 0, 1), angular_velocity=(0, 0, 0)):

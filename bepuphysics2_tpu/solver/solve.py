@@ -48,6 +48,10 @@ class SolveConfig:
     substeps: int = 8
     velocity_iterations: int = 1
     num_colors: int = 8  # Jacobi fallback beyond this (reference default 64 is CPU-motivated)
+    # Compact per-color contact buckets (gather ~M/colors rows per color pass instead of
+    # masked full-bank passes). Wins when max_pairs is large (fewer elements touched);
+    # loses below ~10k pairs where TPU gathers cost more than vectorized masked sweeps.
+    compact_colors: bool = False
 
 
 # ---------------------------------------------------------------------------------------
@@ -103,6 +107,29 @@ def _scatter_dv(v6, idx, dv: BodyVel, scale=None):
 
 def _delta(new: BodyVel, old: BodyVel) -> BodyVel:
     return BodyVel(new.linear - old.linear, new.angular - old.angular)
+
+
+def _build_color_buckets(color, valid, num_colors: int, cap: int):
+    """Compact per-color index buckets: bucket[c] lists the original row ids of color c
+    (padded with the sentinel M). A color pass then gathers ~M/colors rows instead of
+    masking the full bank — the compact-TypeBatch analogue of the reference's per-batch
+    storage (ConstraintBatch.cs). Rows whose color bucket overflows ``cap`` are DEMOTED to
+    the Jacobi bucket (mass-split solve handles arbitrary sharing), never dropped.
+    Returns (bucket (num_colors, cap) int32, demoted (M,) bool)."""
+    m = color.shape[0]
+    key = jnp.where(valid & (color < num_colors), color, num_colors)
+    order = jnp.argsort(key, stable=True).astype(jnp.int32)
+    sk = key[order]
+    starts = jnp.searchsorted(sk, jnp.arange(num_colors), side="left").astype(jnp.int32)
+    rank = jnp.arange(m, dtype=jnp.int32) - starts[jnp.minimum(sk, num_colors - 1)]
+    in_color = sk < num_colors
+    keep = in_color & (rank < cap)
+    pos = jnp.where(keep, sk * cap + rank, num_colors * cap)
+    bucket = (
+        jnp.full(num_colors * cap + 1, m, jnp.int32).at[pos].set(order)[: num_colors * cap]
+    )
+    demoted = jnp.zeros(m, bool).at[order].set(in_color & (rank >= cap))
+    return bucket.reshape(num_colors, cap), demoted
 
 
 def _pad_refs(bodies, dyn_cols, m):
@@ -190,8 +217,6 @@ def solve_all(
     all_dyn = jnp.concatenate([gather_global(g[2]) for g in groups], axis=0)
     all_valid = jnp.concatenate([gather_global(g[3]) for g in groups], axis=0)
     all_color = color_constraints_kary(all_refs, all_dyn, all_valid, n_bodies, cfg.num_colors)
-    in_jacobi_all = all_valid & (all_color == cfg.num_colors)
-    valence = jacobi_valence_kary(all_refs, all_dyn, in_jacobi_all, n_bodies)
 
     dev = jax.lax.axis_index(axis_name) if axis_name else 0
     colors = {}
@@ -202,6 +227,32 @@ def solve_all(
         local = jax.lax.dynamic_slice_in_dim(all_color[off : off + m_g], dev * m, m)
         colors[key] = local
         off += m_g
+
+    # Per-color index buckets for contact banks (the dominant bank): each color pass
+    # gathers only its own rows. Bucket overflow demotes rows to the Jacobi pass.
+    cbank_buckets = []
+    cbank_jacobi = []
+    for ci, (ps, _) in enumerate(contact_banks):
+        if not cfg.compact_colors:
+            cbank_jacobi.append(ps.valid & (colors[f"__contacts{ci}__"] == cfg.num_colors))
+            continue
+        mi = ps.body_a.shape[0]
+        cap = min(mi, max(1, (2 * mi + cfg.num_colors - 1) // cfg.num_colors))
+        bucket, demoted = _build_color_buckets(
+            colors[f"__contacts{ci}__"], ps.valid, cfg.num_colors, cap
+        )
+        cbank_buckets.append(bucket)
+        cbank_jacobi.append(
+            (ps.valid & (colors[f"__contacts{ci}__"] == cfg.num_colors)) | demoted
+        )
+
+    # Jacobi membership per group (contacts include bucket-overflow demotions) → global
+    # per-body valence for mass splitting.
+    jacobi_groups = list(cbank_jacobi) + [
+        bank_valid[name] & (colors[name] == cfg.num_colors) for name in bank_names
+    ]
+    in_jacobi_all = jnp.concatenate([gather_global(f) for f in jacobi_groups])
+    valence = jacobi_valence_kary(all_refs, all_dyn, in_jacobi_all, n_bodies)
 
     # ---- Contact pass (packed v6/i7) ---------------------------------------------------
     cbank_refs = [(ps.body_a, ps.body_b) for ps, _ in contact_banks]
@@ -219,19 +270,25 @@ def solve_all(
             dv = jax.lax.psum(dv, axis_name)
         return v6 + dv
 
-    def contact_pass(v6, dv, i7, ci, prestep_l, imp_l, mask, jacobi: bool):
+    def gather_inertia_pair(i7, ci, jacobi: bool):
         idx2 = cbank_idx2[ci]
         m = idx2.shape[0] // 2
-        g = v6[idx2]
-        va = BodyVel(Vec3(g[:m, 0], g[:m, 1], g[:m, 2]), Vec3(g[:m, 3], g[:m, 4], g[:m, 5]))
-        vb = BodyVel(Vec3(g[m:, 0], g[m:, 1], g[m:, 2]), Vec3(g[m:, 3], g[m:, 4], g[m:, 5]))
         gi = i7[idx2]
         if jacobi:
             gi = gi * cbank_val2[ci][:, None]
         ia = GatheredInertia(gi[:m, 0], Sym3(*(gi[:m, k] for k in range(1, 7))))
         ib = GatheredInertia(gi[m:, 0], Sym3(*(gi[m:, k] for k in range(1, 7))))
-        ps = prestep_l._replace(valid=mask)
-        new_imp, nva, nvb = contact_mod.solve(ps, imp_l, ia, ib, va, vb, h, inv_h)
+        return ia, ib
+
+    def contact_pass_kern(v6, dv, ci, kern, imp_l, mask, jacobi: bool):
+        """Light per-iteration pass: gather velocities, apply the precomputed kernel,
+        scatter deltas. All jacobian/effective-mass setup lives in the kernel."""
+        idx2 = cbank_idx2[ci]
+        m = idx2.shape[0] // 2
+        g = v6[idx2]
+        va = BodyVel(Vec3(g[:m, 0], g[:m, 1], g[:m, 2]), Vec3(g[:m, 3], g[:m, 4], g[:m, 5]))
+        vb = BodyVel(Vec3(g[m:, 0], g[m:, 1], g[m:, 2]), Vec3(g[m:, 3], g[m:, 4], g[m:, 5]))
+        new_imp, nva, nvb = contact_mod.apply_iteration(kern, imp_l, va, vb, mask)
         p2 = jnp.concatenate([_pack_dv(_delta(nva, va)), _pack_dv(_delta(nvb, vb))])
         if jacobi:
             p2 = p2 / cbank_val2[ci][:, None]
@@ -251,6 +308,35 @@ def solve_all(
             inertia_b=_gather_inertia(i7, b, sb), vel_b=_gather_vel(v6, b),
             active=active,
         )
+
+    def contact_color_pass(v6, dv, i7, ci, c, prestep_l, imp_l):
+        """Solve ONE color's contact rows via its compact bucket: gather (cap,) rows,
+        solve, scatter impulses back to the bank and velocity deltas to dv."""
+        mi = prestep_l.body_a.shape[0]
+        idx = cbank_buckets[ci][c]  # (cap,) original row ids; mi = padding sentinel
+        ok = idx < mi
+        idxc = jnp.minimum(idx, mi - 1)
+        ps = jax.tree_util.tree_map(lambda x: x[idxc], prestep_l)
+        ps = ps._replace(valid=ok & ps.valid)
+        im = jax.tree_util.tree_map(lambda x: x[idxc], imp_l)
+        a = ps.body_a
+        b = ps.body_b
+        idx2 = jnp.concatenate([a, b])
+        cap = idx.shape[0]
+        g = v6[idx2]
+        va = BodyVel(Vec3(g[:cap, 0], g[:cap, 1], g[:cap, 2]), Vec3(g[:cap, 3], g[:cap, 4], g[:cap, 5]))
+        vb = BodyVel(Vec3(g[cap:, 0], g[cap:, 1], g[cap:, 2]), Vec3(g[cap:, 3], g[cap:, 4], g[cap:, 5]))
+        gi = i7[idx2]
+        ia = GatheredInertia(gi[:cap, 0], Sym3(*(gi[:cap, k] for k in range(1, 7))))
+        ib = GatheredInertia(gi[cap:, 0], Sym3(*(gi[cap:, k] for k in range(1, 7))))
+        new_im, nva, nvb = contact_mod.solve(ps, im, ia, ib, va, vb, h, inv_h)
+        p2 = jnp.concatenate([_pack_dv(_delta(nva, va)), _pack_dv(_delta(nvb, vb))])
+        dv = dv.at[idx2].add(p2)
+        iw = jnp.where(ok, idx, mi)
+        imp_l = jax.tree_util.tree_map(
+            lambda full, rows: full.at[iw].set(rows, mode="drop"), imp_l, new_im
+        )
+        return dv, imp_l
 
     def joint_pass(v6, dv, i7, state, name, bank, imp_l, mask, jacobi: bool):
         cls = JOINT_TYPES[name]
@@ -329,20 +415,24 @@ def solve_all(
         i7 = _inertia7(state, world_ii)
         v6 = _vel_to6(state)
 
+        # Per-substep contact kernels: ALL velocity-independent jacobian/effective-mass
+        # setup hoisted out of the iteration passes (contact.prepare docstring). The
+        # Jacobi variant bakes in mass-splitting-scaled inertia.
+        kerns = []
+        kerns_j = []
+        for ci in range(n_cbanks):
+            ia, ib = gather_inertia_pair(i7, ci, False)
+            kerns.append(contact_mod.prepare(presteps_l[ci], ia, ib, h, inv_h))
+            ia_j, ib_j = gather_inertia_pair(i7, ci, True)
+            kerns_j.append(contact_mod.prepare(presteps_l[ci], ia_j, ib_j, h, inv_h))
+
         # Warm start (pure accumulation: deltas don't read velocities, so all banks
         # accumulate into one delta array applied — and psum'd — once).
         dv = jnp.zeros_like(v6)
         for ci in range(n_cbanks):
             idx2 = cbank_idx2[ci]
-            m = idx2.shape[0] // 2
-            g = v6[idx2]
-            va = BodyVel(Vec3(g[:m, 0], g[:m, 1], g[:m, 2]), Vec3(g[:m, 3], g[:m, 4], g[:m, 5]))
-            vb = BodyVel(Vec3(g[m:, 0], g[m:, 1], g[m:, 2]), Vec3(g[m:, 3], g[m:, 4], g[m:, 5]))
-            gi = i7[idx2]
-            ia = GatheredInertia(gi[:m, 0], Sym3(*(gi[:m, k] for k in range(1, 7))))
-            ib = GatheredInertia(gi[m:, 0], Sym3(*(gi[m:, k] for k in range(1, 7))))
-            nva, nvb = contact_mod.warm_start(presteps_l[ci], imps_l[ci], ia, ib, va, vb)
-            p2 = jnp.concatenate([_pack_dv(_delta(nva, va)), _pack_dv(_delta(nvb, vb))])
+            dva, dvb = contact_mod.warm_start_kern(kerns[ci], imps_l[ci])
+            p2 = jnp.concatenate([_pack_dv(dva), _pack_dv(dvb)])
             dv = dv.at[idx2].add(p2)
         for name in bank_names:
             dv = joint_warm_start(v6, dv, i7, state, name, joint_banks[name], jimps[name])
@@ -351,14 +441,21 @@ def solve_all(
         def color_pass(c, sc):
             # Within a color no two constraints (across banks or shards) share a body, so
             # all banks accumulate one conflict-free delta applied with a single psum.
+            # Contacts use compact per-color buckets (gather ~M/colors rows); joint banks
+            # are small and stay masked-full-bank.
             v6, imps_l, jimps = sc
             dv = jnp.zeros_like(v6)
             new_imps = list(imps_l)
             for ci in range(n_cbanks):
-                mask_c = presteps_l[ci].valid & (colors[f"__contacts{ci}__"] == c)
-                dv, new_imps[ci] = contact_pass(
-                    v6, dv, i7, ci, presteps_l[ci], imps_l[ci], mask_c, False
-                )
+                if cfg.compact_colors:
+                    dv, new_imps[ci] = contact_color_pass(
+                        v6, dv, i7, ci, c, presteps_l[ci], imps_l[ci]
+                    )
+                else:
+                    mask_c = presteps_l[ci].valid & (colors[f"__contacts{ci}__"] == c)
+                    dv, new_imps[ci] = contact_pass_kern(
+                        v6, dv, ci, kerns[ci], imps_l[ci], mask_c, False
+                    )
             new_jimps = dict(jimps)
             for name in bank_names:
                 mask_j = bank_valid[name] & (colors[name] == c)
@@ -370,16 +467,14 @@ def solve_all(
         def iteration(_, sc):
             sc = jax.lax.fori_loop(0, cfg.num_colors, color_pass, sc)
             v6, imps_l, jimps = sc
-            # Jacobi bucket: constraints here MAY share bodies; mass splitting by global
-            # valence makes the single accumulated application the intended Jacobi step.
+            # Jacobi bucket: constraints here MAY share bodies (including bucket-overflow
+            # demotions); mass splitting by global valence makes the single accumulated
+            # application the intended Jacobi step.
             dv = jnp.zeros_like(v6)
             new_imps = list(imps_l)
             for ci in range(n_cbanks):
-                mask_c = presteps_l[ci].valid & (
-                    colors[f"__contacts{ci}__"] == cfg.num_colors
-                )
-                dv, new_imps[ci] = contact_pass(
-                    v6, dv, i7, ci, presteps_l[ci], imps_l[ci], mask_c, True
+                dv, new_imps[ci] = contact_pass_kern(
+                    v6, dv, ci, kerns_j[ci], imps_l[ci], cbank_jacobi[ci], True
                 )
             new_jimps = dict(jimps)
             for name in bank_names:

@@ -1,0 +1,61 @@
+"""Continuous collision detection (reference ContinuousDetectionMode.Continuous,
+NarrowPhaseCCDContinuations + SweepTasks conservative advancement)."""
+import numpy as np
+
+from bepuphysics2_tpu import (
+    BodyDescription,
+    Box,
+    SimConfig,
+    Simulation,
+    Sphere,
+    StaticDescription,
+)
+
+
+def _bullet_sim(ccd_pairs: int):
+    sim = Simulation(
+        SimConfig(
+            body_capacity=16, max_pairs=32, substeps=4, num_colors=2,
+            max_ccd_pairs=ccd_pairs, enable_sleep=False,
+        )
+    )
+    wall = sim.add_shape(Box(0.2, 10.0, 10.0))  # thin wall in the bullet's path
+    sim.add_static(StaticDescription(position=(5.0, 0.0, 0.0), shape=wall))
+    s = Sphere(0.1)
+    ss = sim.add_shape(s)
+    bullet = sim.add_body(
+        BodyDescription.dynamic(
+            (0.0, 0.0, 0.0), ss, 0.1, s, velocity=(120.0, 0, 0), continuity=1,
+        )
+    )
+    return sim, bullet
+
+
+def test_ccd_bullet_stopped_by_thin_wall():
+    """A 120 m/s bullet crosses 2 m/step — far more than the wall's 0.2 m thickness.
+    With CCD the sweep finds the TOI and the wall stops it."""
+    sim, bullet = _bullet_sim(ccd_pairs=8)
+    for _ in range(30):
+        sim.timestep(1 / 60.0)
+    pos, _, vel, _ = sim.get_body(bullet)
+    assert pos[0] < 5.0, f"bullet tunneled through the wall: {pos}"
+
+
+def test_ccd_sweep_toi_accuracy():
+    """pair_toi must find the impact time of two approaching spheres analytically:
+    gap 3.8 closing at 10 m/s → TOI = 0.38 s."""
+    import jax.numpy as jnp
+
+    from bepuphysics2_tpu.collision.sweeps import pair_toi
+
+    sim, _ = _bullet_sim(ccd_pairs=0)
+    s = Sphere(0.1)
+    ss = sim.shapes.add(s)
+    a = sim.add_body(BodyDescription.dynamic((0, 5, 0), ss, 1.0, s, velocity=(10, 0, 0)))
+    b = sim.add_body(BodyDescription.dynamic((4, 5, 0), ss, 1.0, s))
+    state = sim.state.bodies
+    t = pair_toi(
+        state, sim.shapes.device(),
+        jnp.array([a]), jnp.array([b]), jnp.array([True]), jnp.float32(1.0), iters=32,
+    )
+    assert abs(float(t[0]) - 0.38) < 0.02, f"TOI wrong: {float(t[0])} vs 0.38"

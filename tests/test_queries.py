@@ -79,3 +79,24 @@ def test_checkpoint_roundtrip():
     sim.run(30, 1 / 60.0)
     p_resumed, _, _, _ = sim.get_body(handles["sphere"])
     np.testing.assert_array_equal(p_late, p_resumed)
+
+
+def test_contact_events():
+    """began/persisted/ended pair tracking (reference ContactEventsDemo)."""
+    sim = Simulation(SimConfig(body_capacity=32, max_pairs=64, substeps=2, num_colors=2))
+    ground = sim.add_shape(Box(30.0, 0.5, 30.0))
+    sim.add_static(StaticDescription(position=(0, -0.5, 0), shape=ground))
+    ball_shape = sim.add_shape(Sphere(0.4))
+    ball = sim.add_body(BodyDescription.dynamic((8.0, 1.8, 0.0), ball_shape, 1.0, Sphere(0.4)))
+    ev = sim.contact_events()
+    sim.run(90, 1 / 60.0)  # ball lands on the ground
+    ev = sim.contact_events()
+    landed = any(ball in p for p in ev["began"])
+    assert landed, f"no began event for the ball landing: {ev}"
+    sim.run(30, 1 / 60.0)
+    ev = sim.contact_events()
+    assert any(ball in p for p in ev["persisted"]), f"ball contact should persist: {ev}"
+    sim.set_velocity(ball, linear=(0, 20.0, 0))  # launch it up
+    sim.run(30, 1 / 60.0)
+    ev = sim.contact_events()
+    assert any(ball in p for p in ev["ended"]), f"ball contact should end after launch: {ev}"

@@ -18,8 +18,10 @@ TPU re-design (fixed shapes, SURVEY §7 phase 6):
   reference's reduction; warm starting stays exact because the cache key includes the
   child slot.
 
-Current scope: compound/mesh vs convex. Compound-vs-compound/mesh pairs are detected and
-reported via the overflow diagnostic (deferred; the reference's CompoundPairCollisionTask).
+Compound/mesh vs convex pairs expand via ``expand_compound_pairs``;
+compound/mesh vs compound/mesh via ``expand_compound_compound`` (children_per_side² child
+records per pair, both sides prefiltered — the reference's CompoundPairCollisionTask /
+CompoundMeshReduction). With cc expansion disabled such pairs raise the overflow flag.
 """
 from __future__ import annotations
 
@@ -51,6 +53,7 @@ class ChildPairs(NamedTuple):
     shape_i: jnp.ndarray  # shape rows (for hull pools); -1 for triangles
     shape_j: jnp.ndarray
     swapped: jnp.ndarray  # (M,) bool — canonicalization swapped i/j relative to (a,b)
+    conv_is_a: jnp.ndarray  # (M,) bool — the convex (non-compound) body is scene body_a
     overflow: jnp.ndarray  # () bool
 
 
@@ -91,8 +94,11 @@ def expand_compound_pairs(
     max_compound_pairs: int,
     children_per_pair: int,
     child_window: int,
+    flag_both_comp: bool = True,
 ) -> ChildPairs:
-    """Compact compound/mesh-involved pairs and expand into child convex records."""
+    """Compact compound/mesh-involved pairs and expand into child convex records.
+    ``flag_both_comp``: raise overflow on compound-vs-compound pairs (set False when the
+    caller routes those through expand_compound_compound)."""
     nb = state.pos.x.shape[0]
     sa = jnp.maximum(state.shape[pair_a], 0)
     sb = jnp.maximum(state.shape[pair_b], 0)
@@ -106,7 +112,9 @@ def expand_compound_pairs(
     count = jnp.sum(is_comp & ~both_comp)
     sel = jnp.nonzero(is_comp & ~both_comp, size=max_compound_pairs, fill_value=0)[0]
     live_pair = jnp.arange(max_compound_pairs) < count
-    overflow = (count > max_compound_pairs) | jnp.any(both_comp)
+    overflow = count > max_compound_pairs
+    if flag_both_comp:
+        overflow = overflow | jnp.any(both_comp)
 
     # Orient so C = the compound/mesh side, V = the convex side.
     a_sel = pair_a[sel]
@@ -220,6 +228,7 @@ def expand_compound_pairs(
         shape_i=shape_i,
         shape_j=shape_j,
         swapped=swapped_rel_a,
+        conv_is_a=vb == body_a,
         overflow=overflow,
     )
 
@@ -230,3 +239,140 @@ def expand_compound_pairs(
 import numpy as _np
 
 _TRI_PAD = _np.eye(9, 12, dtype=_np.float32)
+
+
+def expand_compound_compound(
+    state: BodyState,
+    shapes: ShapeData,
+    pair_a: jnp.ndarray,
+    pair_b: jnp.ndarray,
+    pair_valid: jnp.ndarray,
+    max_cc_pairs: int,
+    children_per_side: int,
+    child_window: int,
+) -> ChildPairs:
+    """Compound/mesh vs compound/mesh pairs (reference CompoundPairCollisionTask /
+    CompoundMeshReduction): per pair, the ``children_per_side`` children of each side
+    closest to overlapping the other (bounding prefilter in each compound's local frame)
+    combine into children_per_side² convex child-pair records that run through the same
+    tester registry as everything else. Slots key the warm-start cache."""
+    sa = jnp.maximum(state.shape[pair_a], 0)
+    sb = jnp.maximum(state.shape[pair_b], 0)
+    ta = jnp.where(state.shape[pair_a] >= 0, shapes.type[sa], -1)
+    tb = jnp.where(state.shape[pair_b] >= 0, shapes.type[sb], -1)
+    comp_a = (ta == COMPOUND) | (ta == MESH)
+    comp_b = (tb == COMPOUND) | (tb == MESH)
+    both = pair_valid & comp_a & comp_b
+
+    count = jnp.sum(both)
+    sel = jnp.nonzero(both, size=max_cc_pairs, fill_value=0)[0]
+    live_pair = jnp.arange(max_cc_pairs) < count
+    overflow = count > max_cc_pairs
+
+    a_sel = pair_a[sel]
+    b_sel = pair_b[sel]
+    shape_a = jnp.maximum(state.shape[a_sel], 0)
+    shape_b = jnp.maximum(state.shape[b_sel], 0)
+
+    W = child_window
+    offs = jnp.arange(W)
+
+    def pick_children(c_shape, c_body, o_body, o_shape):
+        """Top children_per_side children of c overlapping the other body's sphere."""
+        start = shapes.child_start[c_shape]
+        cnt = shapes.child_count[c_shape]
+        rows = jnp.minimum(start[:, None] + offs[None, :], shapes.child_shape.shape[0] - 1)
+        in_range = offs[None, :] < cnt[:, None]
+        other_local = state.orn[c_body].rotate_inverse(state.pos[o_body] - state.pos[c_body])
+        ov = _child_aabb_overlap(
+            shapes, rows, other_local, shapes.max_radius[o_shape]
+        ) & in_range
+        order = jnp.argsort(~ov, axis=-1, stable=True)
+        pick = order[:, :children_per_side]
+        return (
+            jnp.take_along_axis(rows, pick, -1),
+            jnp.take_along_axis(ov, pick, -1),
+            jnp.any(jnp.sum(ov, -1) > children_per_side) | jnp.any(cnt > W),
+        )
+
+    rows_a, ok_a, ovf_a = pick_children(shape_a, a_sel, b_sel, shape_b)
+    rows_b, ok_b, ovf_b = pick_children(shape_b, b_sel, a_sel, shape_a)
+    overflow = overflow | ovf_a | ovf_b
+
+    E = children_per_side
+    MPC = max_cc_pairs
+    M = MPC * E * E
+    rec_pair = jnp.repeat(jnp.arange(MPC), E * E)
+    rec_ka = jnp.tile(jnp.repeat(jnp.arange(E), E), MPC)
+    rec_kb = jnp.tile(jnp.arange(E), MPC * E)
+    row_a = rows_a[rec_pair, rec_ka]
+    row_b = rows_b[rec_pair, rec_kb]
+    rec_valid = ok_a[rec_pair, rec_ka] & ok_b[rec_pair, rec_kb] & live_pair[rec_pair]
+
+    def resolve(child_row, owner):
+        cs = shapes.child_shape[child_row]
+        is_tri = cs < 0
+        cs_c = jnp.maximum(cs, 0)
+        ctype = jnp.where(is_tri, TRIANGLE, shapes.type[cs_c])
+        cparams = jnp.where(
+            is_tri[:, None],
+            shapes.child_tri[child_row].astype(jnp.float32) @ _TRI_PAD,
+            shapes.params[cs_c],
+        )
+        lp = Vec3(
+            shapes.child_pos[child_row, 0],
+            shapes.child_pos[child_row, 1],
+            shapes.child_pos[child_row, 2],
+        )
+        lq = Quat(
+            shapes.child_orn[child_row, 0],
+            shapes.child_orn[child_row, 1],
+            shapes.child_orn[child_row, 2],
+            shapes.child_orn[child_row, 3],
+        )
+        wpos = state.pos[owner] + state.orn[owner].rotate(lp)
+        worn = state.orn[owner].mul(lq)
+        return ctype, cparams, wpos, worn, jnp.where(is_tri, -1, cs_c)
+
+    oa = a_sel[rec_pair]
+    ob = b_sel[rec_pair]
+    type_ca, params_ca, pos_ca, orn_ca, srow_ca = resolve(row_a, oa)
+    type_cb, params_cb, pos_cb, orn_cb, srow_cb = resolve(row_b, ob)
+
+    body_a = jnp.minimum(oa, ob)
+    body_b = jnp.maximum(oa, ob)
+
+    swap = type_ca > type_cb
+    type_i = jnp.where(swap, type_cb, type_ca)
+    type_j = jnp.where(swap, type_ca, type_cb)
+    params_i = jnp.where(swap[:, None], params_cb, params_ca)
+    params_j = jnp.where(swap[:, None], params_ca, params_cb)
+    pos_i = pos_cb.where(swap, pos_ca)
+    pos_j = pos_ca.where(swap, pos_cb)
+    orn_i = orn_cb.where(swap, orn_ca)
+    orn_j = orn_ca.where(swap, orn_cb)
+    shape_i = jnp.where(swap, srow_cb, srow_ca)
+    shape_j = jnp.where(swap, srow_ca, srow_cb)
+    i_owner = jnp.where(swap, ob, oa)
+    return ChildPairs(
+        body_a=body_a,
+        body_b=body_b,
+        slot=(rec_pair * E * E + rec_ka * E + rec_kb).astype(jnp.int32),
+        valid=rec_valid,
+        type_i=type_i,
+        type_j=type_j,
+        params_i=params_i,
+        params_j=params_j,
+        pos_i=pos_i,
+        pos_j=pos_j,
+        orn_i=orn_i,
+        orn_j=orn_j,
+        shape_i=shape_i,
+        shape_j=shape_j,
+        swapped=i_owner != body_a,
+        # For tri-vs-tri or tri-vs-convex between two compounds, the 'convex side' of a
+        # record is whichever owner is NOT the i-side triangle's owner; reuse the same
+        # convention as convex-compound: conv = the j-side owner relative to body_a.
+        conv_is_a=jnp.where(swap, oa, ob) == body_a,
+        overflow=overflow,
+    )

@@ -107,6 +107,16 @@ def support_core(stype, params, hull_points, hull_start, hull_count, d: Vec3) ->
     pt = tri_pt.where(stype == TRIANGLE, pt)
     pt = hull_pt.where(stype == CONVEX_HULL, pt)
     margin = jnp.where(stype == SPHERE, sphere_margin, jnp.where(stype == CAPSULE, capsule_margin, 0.0))
+
+    # User-registered custom convex shapes (shapes/custom.py): one masked branch per
+    # registered type; an empty registry adds nothing to the program.
+    from ..shapes.custom import CUSTOM_SUPPORTS
+
+    for tid, fn in CUSTOM_SUPPORTS.items():
+        cpt, cmargin = fn(params, d)
+        sel = stype == tid
+        pt = cpt.where(sel, pt)
+        margin = jnp.where(sel, cmargin, margin)
     return pt, margin
 
 

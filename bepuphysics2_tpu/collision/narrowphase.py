@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..bodies import BodyState
@@ -27,7 +28,7 @@ from ..utils.vec import Vec2, Vec3
 from ..constraints.contact import ContactImpulses, ContactPrestep
 from . import testers
 from .broadphase import PairList
-from .compound import expand_compound_pairs
+from .compound import expand_compound_compound, expand_compound_pairs
 from .convex import SupportCtx, generic_convex_manifold
 from .manifold import Manifold
 
@@ -111,10 +112,15 @@ def run_convex_testers(
 
     # Generic support-mapping fallback for every other convex pair (cylinder/hull/
     # triangle families, capsule-box, ... — the reference's DepthRefiner-backed testers).
+    from ..shapes.custom import CUSTOM_SUPPORTS
+
+    def _is_convex_id(p):
+        return 0 <= p <= CONVEX_HULL or p in CUSTOM_SUPPORTS
+
     generic_possible = True
     if present is not None:
         analytic = {(t0, t1) for t0, t1, _ in TESTER_REGISTRY}
-        convex_present = sorted(p for p in present if 0 <= p <= CONVEX_HULL)
+        convex_present = sorted(p for p in present if _is_convex_id(p))
         generic_possible = any(
             (x, y) not in analytic
             for xi, x in enumerate(convex_present)
@@ -139,7 +145,13 @@ def run_convex_testers(
             hull_count_b=shapes.hull_count[sj],
         )
         gm = generic_convex_manifold(ctx, orn_i)
-        convex_pair = (ti >= 0) & (ti <= CONVEX_HULL) & (tj >= 0) & (tj <= CONVEX_HULL)
+        def convex_mask(t):
+            m = (t >= 0) & (t <= CONVEX_HULL)
+            for tid in CUSTOM_SUPPORTS:
+                m = m | (t == tid)
+            return m
+
+        convex_pair = convex_mask(ti) & convex_mask(tj)
         gsel = valid & convex_pair & ~covered
         manifold = gm.where(gsel, manifold)
     return manifold
@@ -316,14 +328,35 @@ def narrow_phase_compound(
     children_per_pair: int,
     child_window: int,
     present_types: tuple = None,
+    max_cc_pairs: int = 0,
+    cc_children_per_side: int = 4,
 ):
     """Compound/mesh pair path: expand into child convex records and build a second
-    contact bank (see collision/compound.py). Cache keys combine (pair key, child slot)."""
+    contact bank (see collision/compound.py). Cache keys combine (pair key, child slot).
+    ``max_cc_pairs > 0`` additionally expands compound-vs-compound/mesh pairs into
+    child×child records (reference CompoundPairCollisionTask). Returns
+    (prestep, impulses, cache_keys, overflow)."""
     n_bodies = state.pos.x.shape[0]
     cp = expand_compound_pairs(
         state, shapes, pairs.a, pairs.b, pairs.valid,
         max_compound_pairs, children_per_pair, child_window,
+        flag_both_comp=max_cc_pairs == 0,
     )
+    # Per-record cache subslot within a pair; cc records use an offset slot space so the
+    # composite keys never collide with convex-compound records of the same pair.
+    sub = cp.slot % children_per_pair
+    sub_cap = children_per_pair
+    if max_cc_pairs > 0:
+        cc = expand_compound_compound(
+            state, shapes, pairs.a, pairs.b, pairs.valid,
+            max_cc_pairs, cc_children_per_side, child_window,
+        )
+        cc_sub = children_per_pair + (cc.slot % (cc_children_per_side * cc_children_per_side))
+        sub_cap = children_per_pair + cc_children_per_side * cc_children_per_side
+        cp = jax.tree_util.tree_map(
+            lambda x, y: jnp.concatenate([x, y]) if jnp.ndim(x) > 0 else x | y, cp, cc
+        )
+        sub = jnp.concatenate([sub, cc_sub])
 
     manifold = run_convex_testers(
         shapes, cp.type_i, cp.type_j, cp.params_i, cp.params_j,
@@ -343,11 +376,43 @@ def narrow_phase_compound(
         normal=manifold.normal.where(~cp.swapped, -1.0 * manifold.normal),
     )
 
+    # --- Mesh triangle treatment: one-sidedness + boundary smoothing (reference:
+    # Triangle one-sided semantics + MeshReduction.cs ghost-contact removal).
+    # Triangles are one-sided: manifolds whose normal approaches the BACK face (against
+    # the winding normal) are culled — a convex can't catch internal back faces while
+    # sliding across a mesh. Near-face normals snap exactly onto the face normal
+    # (boundary smoothing): contacts generated against internal triangle edges otherwise
+    # tilt the normal and create ghost bumps on flat mesh ground.
+    tri_i = (cp.type_i == TRIANGLE) & (cp.shape_i == -1)
+    tri_j = (cp.type_j == TRIANGLE) & (cp.shape_j == -1)
+    is_mesh_tri = tri_i | tri_j
+    params_t = jnp.where(tri_i[:, None], cp.params_i, cp.params_j)
+    orn_t = cp.orn_i.where(tri_i, cp.orn_j)
+    va = Vec3(params_t[:, 0], params_t[:, 1], params_t[:, 2])
+    vb_ = Vec3(params_t[:, 3], params_t[:, 4], params_t[:, 5])
+    vc = Vec3(params_t[:, 6], params_t[:, 7], params_t[:, 8])
+    face_w = orn_t.rotate((vb_ - va).cross(vc - va).normalize())
+    # Normal points body_b → body_a; toward-convex = +n iff the convex side is body_a.
+    toward_conv = manifold.normal.where(cp.conv_is_a, -1.0 * manifold.normal)
+    dotf = toward_conv.dot(face_w)
+    front = ~is_mesh_tri | (dotf > -0.01)
+    SMOOTH_COS = 0.7  # snap normals within ~45° of the face onto it
+    snap = is_mesh_tri & (dotf > SMOOTH_COS) & (dotf < 0.99999)
+    snapped_toward = face_w.where(snap, toward_conv)
+    new_normal = snapped_toward.where(cp.conv_is_a, -1.0 * snapped_toward)
+    manifold = manifold._replace(
+        normal=new_normal,
+        depth=jnp.where(snap[:, None], manifold.depth * dotf[:, None], manifold.depth),
+    )
+
     a, b = cp.body_a, cp.body_b
     rel_speed = (state.vel[a] - state.vel[b]).length()
     margin = rel_speed * dt + 0.1
-    contact_ok = cp.valid[:, None] & manifold.contact_mask & (manifold.depth > -margin[:, None])
-    record_valid = cp.valid & jnp.any(contact_ok, axis=-1)
+    contact_ok = (
+        cp.valid[:, None] & front[:, None] & manifold.contact_mask
+        & (manifold.depth > -margin[:, None])
+    )
+    record_valid = cp.valid & front & jnp.any(contact_ok, axis=-1)
 
     friction = jnp.sqrt(state.friction[a] * state.friction[b])
     freq = jnp.minimum(state.spring_frequency[a], state.spring_frequency[b])
@@ -369,13 +434,11 @@ def narrow_phase_compound(
         feature=manifold.feature,
     )
 
-    # Warm start: composite key = pair_key * E + child slot (slot is stable because child
-    # enumeration order is deterministic). Requires NB² · E < 2^31.
-    E = children_per_pair
-    imp = _warm_start_from_cache_keyed(
-        prestep, cache, (a * n_bodies + b) * E + (cp.slot % E)
-    )
-    return prestep, imp, (cp.slot % E), cp.overflow
+    # Warm start: composite key = pair_key * sub_cap + subslot (stable: child enumeration
+    # order is deterministic). Requires NB² · sub_cap < 2^31.
+    key = (a * n_bodies + b) * sub_cap + sub
+    imp = _warm_start_from_cache_keyed(prestep, cache, key)
+    return prestep, imp, key, cp.overflow
 
 
 def _warm_start_from_cache_keyed(prestep: ContactPrestep, cache: PairCache, key) -> ContactImpulses:

@@ -18,7 +18,17 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..bodies import BodyState
-from ..shapes.registry import BOX, CAPSULE, CYLINDER, SPHERE, TRIANGLE, ShapeData
+from ..shapes.registry import (
+    BIG_COMPOUND,
+    BOX,
+    CAPSULE,
+    COMPOUND,
+    CYLINDER,
+    MESH,
+    SPHERE,
+    TRIANGLE,
+    ShapeData,
+)
 from ..utils.vec import Quat, Vec3
 
 _INF = 3.0e38
@@ -165,7 +175,7 @@ def _ray_triangle(o: Vec3, d: Vec3, va: Vec3, vb: Vec3, vc: Vec3):
 
 def ray_cast_all(
     state: BodyState, shapes: ShapeData, origin: Vec3, direction: Vec3, max_t,
-    exclude=None,
+    exclude=None, children_window: int = 0,
 ) -> RayHit:
     """Cast ray(s) against every collidable; min-t reduction. ``origin``/``direction``
     may be single vectors (scalar components) or batched (R,) components — broadcasting
@@ -213,6 +223,72 @@ def ray_cast_all(
         sel = (stype == type_id) & hh
         t = jnp.where(sel, tt, t)
         n_local = nn.where(sel, n_local)
+
+    # Compound/mesh bodies: test the ray against each child in the shape's child-pool
+    # window (reference: compounds/meshes recurse into their own Tree during RayTest,
+    # Simulation_Queries.cs:146; here one fused (N, W) pass). ``children_window`` bounds
+    # the per-shape child count examined (0 disables the pass entirely).
+    if children_window > 0:
+        W = children_window
+        offs = jnp.arange(W)
+        cstart = shapes.child_start[shape_id]
+        ccnt = shapes.child_count[shape_id]
+        rows = jnp.minimum(cstart[..., None] + offs, shapes.child_shape.shape[0] - 1)
+        live = (offs < ccnt[..., None]) & (
+            (stype == COMPOUND) | (stype == BIG_COMPOUND) | (stype == MESH)
+        )[..., None]
+
+        lo_w = Vec3(local_o.x[..., None], local_o.y[..., None], local_o.z[..., None])
+        ld_w = Vec3(local_d.x[..., None], local_d.y[..., None], local_d.z[..., None])
+
+        # Mesh triangles: vertices live directly in the body's (mesh) frame.
+        tri = shapes.child_tri[rows]
+        tt, tn, th = _ray_triangle(
+            lo_w, ld_w,
+            Vec3(tri[..., 0], tri[..., 1], tri[..., 2]),
+            Vec3(tri[..., 3], tri[..., 4], tri[..., 5]),
+            Vec3(tri[..., 6], tri[..., 7], tri[..., 8]),
+        )
+        cs = shapes.child_shape[rows]
+        is_tri = cs < 0
+        tc = jnp.where(live & is_tri & th, tt, _INF)
+        nc = tn
+
+        # Registered convex children: transform the ray into each child's frame.
+        cs_c = jnp.maximum(cs, 0)
+        ctype = shapes.type[cs_c]
+        cparams = shapes.params[cs_c]
+        cpos = Vec3(
+            shapes.child_pos[rows, 0], shapes.child_pos[rows, 1], shapes.child_pos[rows, 2]
+        )
+        corn = Quat(
+            shapes.child_orn[rows, 0], shapes.child_orn[rows, 1],
+            shapes.child_orn[rows, 2], shapes.child_orn[rows, 3],
+        )
+        o_c = corn.rotate_inverse(lo_w - cpos)
+        d_c = corn.rotate_inverse(ld_w)
+        for type_id, fn in (
+            (SPHERE, lambda: _ray_sphere(o_c, d_c, cparams[..., 0])),
+            (CAPSULE, lambda: _ray_capsule(o_c, d_c, cparams[..., 0], cparams[..., 1])),
+            (BOX, lambda: _ray_box(o_c, d_c, Vec3(cparams[..., 0], cparams[..., 1], cparams[..., 2]))),
+            (CYLINDER, lambda: _ray_cylinder(o_c, d_c, cparams[..., 0], cparams[..., 1])),
+        ):
+            st, sn, sh = fn()
+            sel = live & ~is_tri & (ctype == type_id) & sh
+            better = sel & (st < tc)
+            tc = jnp.where(better, st, tc)
+            nc = corn.rotate(sn).where(better, nc)
+
+        best_c = jnp.argmin(tc, axis=-1)
+        tc_best = jnp.take_along_axis(tc, best_c[..., None], -1)[..., 0]
+        n_best = Vec3(
+            jnp.take_along_axis(nc.x, best_c[..., None], -1)[..., 0],
+            jnp.take_along_axis(nc.y, best_c[..., None], -1)[..., 0],
+            jnp.take_along_axis(nc.z, best_c[..., None], -1)[..., 0],
+        )
+        closer = tc_best < t
+        t = jnp.where(closer, tc_best, t)
+        n_local = n_best.where(closer, n_local)
 
     exists = state.exists & (state.shape >= 0)
     if exclude is not None:

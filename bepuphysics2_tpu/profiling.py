@@ -37,7 +37,7 @@ def profile_stages(sim, dt: float = 1.0 / 60.0, iters: int = 20) -> dict:
 
     method = config.broadphase
     if method == "auto":
-        method = "brute" if config.body_capacity <= 2048 else "sweep"
+        method = "brute" if config.body_capacity <= 8192 else "sweep"
 
     @jax.jit
     def stage_broad(aabb_min, aabb_max, bodies):
@@ -51,9 +51,13 @@ def profile_stages(sim, dt: float = 1.0 / 60.0, iters: int = 20) -> dict:
             config.max_pairs, config.sweep_window,
         )
 
+    # Gate testers by the shapes actually present (same as step()); without this the
+    # profiler would time testers the fused step never runs.
+    present = tuple(sorted({int(t) for t in sim.shapes.types if t >= 0}))
+
     @jax.jit
     def stage_narrow(bodies, pairs):
-        return narrow_phase(bodies, shapes, pairs, state.cache, dt)
+        return narrow_phase(bodies, shapes, pairs, state.cache, dt, present_types=present)
 
     @jax.jit
     def stage_solve(bodies, prestep, imp):

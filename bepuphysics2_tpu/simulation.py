@@ -57,6 +57,10 @@ class SimConfig:
     max_compound_pairs: int = 256
     children_per_pair: int = 8
     child_window: int = 128
+    # Compound-vs-compound/mesh pairs: each expands into cc_children² child records
+    # (0 disables; such pairs then raise the overflow diagnostic).
+    max_cc_pairs: int = 0
+    cc_children_per_side: int = 4
     sweep_window: int = 64
     grid_cell_size: float = 2.5  # ≥ max dynamic AABB extent; larger bodies → 'large' set
     grid_cell_capacity: int = 12
@@ -111,9 +115,10 @@ def step(state: SimState, shapes, joint_banks, dt, config: SimConfig, present_ty
     # --- Broad phase.
     method = config.broadphase
     if method == "auto":
-        # Brute force is exact but its NB² nonzero-compaction dominates on TPU beyond a
-        # few hundred bodies (measured: 157ms at 4k); the hashed grid scales.
-        method = "brute" if config.body_capacity <= 512 else "grid"
+        # With top_k row compaction the exact N² mask is the fastest structure on TPU up
+        # to several thousand bodies (measured 62ms/step full pipeline at 4k incl. solve);
+        # past that the windowed sweep bounds memory at O(N·window).
+        method = "brute" if config.body_capacity <= 8192 else "sweep"
     if method == "brute":
         pairs = bp.brute_force(
             aabb_min, aabb_max, bodies.kind, bodies.awake, bodies.collision_group,
@@ -142,10 +147,12 @@ def step(state: SimState, shapes, joint_banks, dt, config: SimConfig, present_ty
         _COMPOUND in present_types or _MESH in present_types
     )
     if has_compounds:
-        cprestep, cimp, cslot, covfl = narrow_phase_compound(
+        cprestep, cimp, ckey, covfl = narrow_phase_compound(
             bodies, shapes, pairs, state.ccache, dt,
             config.max_compound_pairs, config.children_per_pair, config.child_window,
             present_types=present_types,
+            max_cc_pairs=config.max_cc_pairs,
+            cc_children_per_side=config.cc_children_per_side,
         )
 
     # --- Wake sleeping bodies touched by awake dynamics (whole stored islands).
@@ -177,9 +184,6 @@ def step(state: SimState, shapes, joint_banks, dt, config: SimConfig, present_ty
     overflow = pairs.overflow
     contact_count = jnp.sum(prestep.contact_mask & prestep.valid[:, None])
     if has_compounds:
-        ckey = (cprestep.body_a * config.body_capacity + cprestep.body_b) * (
-            config.children_per_pair
-        ) + cslot
         ccache = update_cache_keyed(cprestep, imps[1], ckey)
         overflow = overflow | covfl
         contact_count = contact_count + jnp.sum(
@@ -306,10 +310,13 @@ class Simulation:
 
     def _push(self) -> None:
         cache = self._state.cache if self._state is not None else PairCache.empty(self.config.max_pairs)
+        cc_extra = self.config.max_cc_pairs * self.config.cc_children_per_side ** 2
         ccache = (
             self._state.ccache
             if self._state is not None
-            else PairCache.empty(self.config.max_compound_pairs * self.config.children_per_pair)
+            else PairCache.empty(
+                self.config.max_compound_pairs * self.config.children_per_pair + cc_extra
+            )
         )
         joint_imps = {
             name: jnp.asarray(store.impulse)
@@ -386,9 +393,20 @@ class Simulation:
         else:
             ov = Vec3(jnp.asarray(o[:, 0]), jnp.asarray(o[:, 1]), jnp.asarray(o[:, 2]))
             dv = Vec3(jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]), jnp.asarray(d[:, 2]))
+        # Compound/mesh collidables need the child-pool pass (window sized to the
+        # largest registered child count, rounded up for jit reuse).
+        import numpy as _np2
+
+        max_children = int(_np2.max(self.shapes.child_count)) if hasattr(
+            self.shapes, "child_count"
+        ) else 0
+        cw = 0 if max_children == 0 else min(
+            self.config.child_window, 1 << (max_children - 1).bit_length()
+        )
         return ray_cast_all(
             self._state.bodies, self.shapes.device(), ov, dv, jnp.float32(max_t),
             exclude=None if exclude is None else jnp.int32(exclude),
+            children_window=cw,
         )
 
     def state_hash(self) -> int:
@@ -424,23 +442,33 @@ class Simulation:
         self._host.load(self._state.bodies)
 
     def box_query(self, box_min, box_max):
-        """All bodies whose speculative AABB overlaps the query box (reference
-        Tree_VolumeQuery / BroadPhase volume queries). Returns a list of handles."""
+        """All bodies whose AABB overlaps the query box (reference Tree_VolumeQuery /
+        BroadPhase volume queries) — one fused device pass over exact per-shape AABBs.
+        Returns a list of handles."""
         import numpy as _np
 
-        self._sync_from_device()
-        h = self._host
-        lo = _np.asarray(box_min)
-        hi = _np.asarray(box_max)
-        out = []
-        for i in range(self.config.body_capacity):
-            if h.kind[i] == 0 or h.shape[i] < 0:
-                continue
-            r = float(self.shapes.max_radius[h.shape[i]])
-            c = _np.array([h.px[i], h.py[i], h.pz[i]])
-            if _np.all(c + r >= lo) and _np.all(c - r <= hi):
-                out.append(i)
-        return out
+        if self._dirty:
+            self._push()
+        b = self._state.bodies
+        lo = _np.asarray(box_min, _np.float32)
+        hi = _np.asarray(box_max, _np.float32)
+
+        @jax.jit
+        def overlaps(bodies, shapes, lo, hi):
+            amin, amax = compute_body_bounds(
+                bodies.pos, bodies.orn, bodies.vel, bodies.omega, bodies.shape, shapes,
+                jnp.float32(0.0),
+            )
+            ok = (
+                bodies.exists & (bodies.shape >= 0)
+                & (amax.x >= lo[0]) & (amin.x <= hi[0])
+                & (amax.y >= lo[1]) & (amin.y <= hi[1])
+                & (amax.z >= lo[2]) & (amin.z <= hi[2])
+            )
+            return ok
+
+        ok = _np.asarray(overlaps(b, self.shapes.device(), jnp.asarray(lo), jnp.asarray(hi)))
+        return _np.nonzero(ok)[0].tolist()
 
     def contacts(self):
         """Current contact records (reference ContactEventsDemo capability): list of
@@ -487,9 +515,25 @@ class Simulation:
     def contact_events(self):
         """Contact begin/persist/end events since the previous call (the reference's
         ContactEventsDemo capability, built on persistent pair tracking): returns a dict
-        {'began': set, 'persisted': set, 'ended': set} of (body_a, body_b) pairs."""
+        {'began': set, 'persisted': set, 'ended': set} of (body_a, body_b) pairs.
+
+        Pairs whose bodies fell asleep keep their contacts alive (the reference moves
+        sleeping pairs into inactive PairCache sets rather than ending them,
+        PairCache_Activity.cs) — a sleeping stack does not emit 'ended' events."""
+        import numpy as _np
+
         cur = self.live_contact_pairs()
         prev = getattr(self, "_prev_contact_pairs", set())
+        # Retain pairs frozen by sleeping: ended only if some endpoint is awake/gone.
+        self._sync_from_device()
+        h = self._host
+        for p in prev - cur:
+            a, b = p
+            live = h.kind[a] != 0 and h.kind[b] != 0
+            asleep_a = (h.kind[a] != 1) or not h.awake[a]
+            asleep_b = (h.kind[b] != 1) or not h.awake[b]
+            if live and asleep_a and asleep_b:
+                cur.add(p)
         self._prev_contact_pairs = cur
         return {
             "began": cur - prev,

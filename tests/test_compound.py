@@ -50,9 +50,11 @@ def test_mesh_ramp_rolls_ball():
     )
     s = Sphere(0.4)
     ss = sim.add_shape(s)
+    # Winding matters: mesh triangles are one-sided (contacts only on the side the
+    # winding normal faces, reference Triangle semantics); these wind upward.
     ramp = Mesh.build([
-        ((-3, 0, -3), (3, 1.0, -3), (3, 1.0, 3)),
-        ((-3, 0, -3), (3, 1.0, 3), (-3, 0, 3)),
+        ((-3, 0, -3), (3, 1.0, 3), (3, 1.0, -3)),
+        ((-3, 0, -3), (-3, 0, 3), (3, 1.0, 3)),
     ])
     rs = sim.add_shape(ramp)
     sim.add_static(StaticDescription(position=(0.0, 0.0, 0), shape=rs))
@@ -61,3 +63,83 @@ def test_mesh_ramp_rolls_ball():
     pos, _, vel, _ = sim.get_body(ball)
     assert pos[0] < 2.0, f"ball should roll down the ramp (-x): {pos}"
     assert pos[1] > 0.0, f"ball fell through the mesh: {pos}"
+
+
+def test_compound_builder_inertia():
+    """CompoundBuilder parallel-axis inertia: two point-ish spheres at ±d on x behave
+    like the analytic dumbbell (reference CompoundBuilder.cs + InertiaTensorTests)."""
+    from bepuphysics2_tpu.shapes.builder import CompoundBuilder
+
+    sim = Simulation(SimConfig(body_capacity=8, max_pairs=8, substeps=2, num_colors=2))
+    r, m, d = 0.1, 1.0, 0.5
+    b = CompoundBuilder(sim)
+    b.add(Sphere(r), (-d, 0, 0), m)
+    b.add(Sphere(r), (d, 0, 0), m)
+    children, inv_mass, inv6, com = b.build()
+    assert abs(inv_mass - 0.5) < 1e-6
+    assert np.allclose(com, (0, 0, 0), atol=1e-9)
+    # About y/z: I = 2(2/5 m r² + m d²); about x: I = 2·2/5 m r².
+    i_sphere = 0.4 * m * r * r
+    iy = 2 * (i_sphere + m * d * d)
+    ix = 2 * i_sphere
+    assert abs(inv6[0] - 1.0 / ix) / (1.0 / ix) < 1e-4, inv6
+    assert abs(inv6[2] - 1.0 / iy) / (1.0 / iy) < 1e-4, inv6
+    assert abs(inv6[5] - 1.0 / iy) / (1.0 / iy) < 1e-4, inv6
+
+
+def test_mesh_one_sided():
+    """Mesh triangles are one-sided: a ball flung up at a floor mesh from BELOW passes
+    through (back face), while one dropped from above rests on it."""
+    sim = Simulation(
+        SimConfig(
+            body_capacity=32, max_pairs=64, substeps=4, num_colors=4,
+            max_compound_pairs=16, children_per_pair=8, child_window=16,
+            enable_sleep=False,
+        )
+    )
+    s = Sphere(0.3)
+    ss = sim.add_shape(s)
+    floor = Mesh.build([
+        ((-3, 2, -3), (3, 2, 3), (3, 2, -3)),   # upward winding, plane y=2
+        ((-3, 2, -3), (-3, 2, 3), (3, 2, 3)),
+    ])
+    fs = sim.add_shape(floor)
+    sim.add_static(StaticDescription(position=(0, 0, 0), shape=fs))
+    above = sim.add_body(BodyDescription.dynamic((0.5, 4.0, 0.5), ss, 1.0, s))
+    below = sim.add_body(
+        BodyDescription.dynamic((-0.5, 0.0, -0.5), ss, 1.0, s, velocity=(0, 9.0, 0))
+    )
+    sim.run(60, 1 / 60.0)
+    pa, _, _, _ = sim.get_body(above)
+    pb, _, _, _ = sim.get_body(below)
+    assert pa[1] > 2.2, f"ball from above fell through the mesh: {pa}"
+    assert pb[1] > 2.31 or pb[1] < 2.0, f"ball from below was stopped by a back face: {pb}"
+
+
+def test_compound_vs_compound():
+    """Two compound dumbbells stack on each other (reference CompoundPairCollisionTask)."""
+    sim = Simulation(
+        SimConfig(
+            body_capacity=32, max_pairs=64, substeps=4, num_colors=4,
+            max_compound_pairs=16, children_per_pair=8, child_window=16,
+            max_cc_pairs=4, cc_children_per_side=4,
+        )
+    )
+    g = sim.add_shape(Box(20.0, 0.5, 20.0))
+    sim.add_static(StaticDescription(position=(0, -0.5, 0), shape=g))
+    bx = Box(0.4, 0.4, 0.4)
+    bs = sim.add_shape(bx)
+    comp = Compound.build([(bs, (-0.5, 0, 0)), (bs, (0.5, 0, 0))])
+    cs = sim.add_shape(comp)
+    ii = (1.0, 0.0, 1.0, 0.0, 0.0, 1.0)
+    lo = sim.add_body(BodyDescription(position=(0, 0.5, 0), shape=cs, inv_mass=0.5,
+                                      inv_inertia=ii, kind=KIND_DYNAMIC))
+    hi = sim.add_body(BodyDescription(position=(0.05, 1.5, 0.0), shape=cs, inv_mass=0.5,
+                                      inv_inertia=ii, kind=KIND_DYNAMIC))
+    sim.run(240, 1 / 60.0)
+    plo, _, vlo, _ = sim.get_body(lo)
+    phi, _, vhi, _ = sim.get_body(hi)
+    assert not bool(sim.last_diag.overflow), "cc expansion overflowed"
+    assert 0.3 < plo[1] < 0.5, f"bottom dumbbell rest height wrong: {plo}"
+    assert 1.0 < phi[1] < 1.4, f"top dumbbell should rest on the bottom one: {phi}"
+    assert np.linalg.norm(vhi) < 0.2, f"top dumbbell still moving: {vhi}"

@@ -89,14 +89,40 @@ def test_contact_events():
     ball_shape = sim.add_shape(Sphere(0.4))
     ball = sim.add_body(BodyDescription.dynamic((8.0, 1.8, 0.0), ball_shape, 1.0, Sphere(0.4)))
     ev = sim.contact_events()
-    sim.run(90, 1 / 60.0)  # ball lands on the ground
+    sim.run(60, 1 / 60.0)  # ball lands on the ground (still awake at this snapshot)
     ev = sim.contact_events()
     landed = any(ball in p for p in ev["began"])
     assert landed, f"no began event for the ball landing: {ev}"
-    sim.run(30, 1 / 60.0)
+    # Even after the island sleeps, the contact persists (sleeping pairs retained).
+    sim.run(90, 1 / 60.0)
     ev = sim.contact_events()
     assert any(ball in p for p in ev["persisted"]), f"ball contact should persist: {ev}"
-    sim.set_velocity(ball, linear=(0, 20.0, 0))  # launch it up
+    sim.set_velocity(ball, linear=(0, 20.0, 0))  # launch it up (wakes the body)
     sim.run(30, 1 / 60.0)
     ev = sim.contact_events()
     assert any(ball in p for p in ev["ended"]), f"ball contact should end after launch: {ev}"
+
+
+def test_ray_hits_mesh_and_compound():
+    """Scene rays must hit compound children and mesh triangles (reference: RayTest
+    recursion into compound/mesh Trees, Simulation_Queries.cs:146)."""
+    from bepuphysics2_tpu.shapes import Compound, Mesh
+
+    sim = Simulation(SimConfig(body_capacity=16, max_pairs=32, substeps=2, num_colors=2))
+    ss = sim.add_shape(Sphere(0.5))
+    comp = Compound.build([(ss, (0, 0, -2)), (ss, (0, 0, 2))])
+    cs = sim.add_shape(comp)
+    sim.add_body(BodyDescription.kinematic((0, 0, 0), shape=cs))
+    floor = Mesh.build([
+        ((-3, 0, -3), (3, 0, 3), (3, 0, -3)),
+        ((-3, 0, -3), (-3, 0, 3), (3, 0, 3)),
+    ])
+    fs = sim.add_shape(floor)
+    sim.add_static(StaticDescription(position=(10, 0, 0), shape=fs))
+
+    hit = sim.ray_cast((0, 5, 2), (0, -1, 0), 10.0)  # down at the +z compound child
+    assert bool(hit.hit) and abs(float(hit.t) - 4.5) < 1e-2, (hit.hit, float(hit.t))
+    hit = sim.ray_cast((10, 5, 0), (0, -1, 0), 10.0)  # down at the mesh floor
+    assert bool(hit.hit) and abs(float(hit.t) - 5.0) < 1e-2, (hit.hit, float(hit.t))
+    hit = sim.ray_cast((0, 5, 0), (0, -1, 0), 10.0)  # between the compound children
+    assert not bool(hit.hit), "ray between compound children must miss"

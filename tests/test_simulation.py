@@ -178,3 +178,24 @@ def test_collision_group_filtering():
     assert np.linalg.norm(pa - pb) < 0.5, f"filtered pair pushed apart: {pa} {pb}"
     # Control pair: separated by about a diameter.
     assert np.linalg.norm(pc - pd) > 0.8, f"control pair failed to collide: {pc} {pd}"
+
+
+def test_validation_checker():
+    """validate() passes on a healthy sim and catches injected corruption
+    (reference MathChecker/Solver validators under Debug builds)."""
+    import pytest
+    from bepuphysics2_tpu.validation import ValidationError, validate
+
+    sim = make_sim()
+    g = sim.add_shape(Box(10.0, 0.5, 10.0))
+    s = Sphere(0.4)
+    ss = sim.add_shape(s)
+    sim.add_static(StaticDescription(position=(0, -0.5, 0), shape=g))
+    h = sim.add_body(BodyDescription.dynamic((0, 1.0, 0), ss, 1.0, s))
+    sim.run(30, 1 / 60.0)
+    validate(sim)  # healthy
+
+    sim._sync_from_device()
+    sim._host.px[h] = float("nan")
+    with pytest.raises(ValidationError, match="non-finite"):
+        validate(sim)

@@ -220,21 +220,26 @@ def grid(
     group,
     max_pairs: int,
     cell_size: float,
-    cell_capacity: int = 12,
+    cell_capacity: int = 16,
     max_large: int = 64,
 ) -> PairList:
-    """Hashed uniform-grid broad phase — the TPU-native large-N structure.
+    """Sorted uniform-grid broad phase — the TPU-native large-N structure (replaces the
+    reference's incrementally-refined BVHs, SURVEY §7 'sort-based pair enumeration').
 
-    Small bodies (AABB extent ≤ cell_size) hash their center cell into H buckets; each
-    body gathers candidates from its 27 neighboring cells via one global sort +
-    searchsorted ranges (false positives from hash collisions are culled by the AABB
-    test). Bodies larger than a cell (ground slabs, meshes) go to a 'large' set tested
-    against everyone. Replaces the reference's BVH traversal with sort+gather — the
-    pattern TPUs execute well (SURVEY §7 'sort-based pair enumeration').
+    Small bodies (AABB extent ≤ cell_size) key their center cell with a collision-free
+    packed 30-bit key (world wraps every 1024 cells — distant aliases are culled by the
+    exact AABB test) and are sorted by key once. Each body gathers candidates from its
+    own cell plus a 13-cell HALF stencil (every adjacent-cell pair enumerated exactly
+    once), via searchsorted ranges into the sorted key array. Candidates pass the exact
+    AABB/filters test, compact per body via top_k, then one small nonzero emits pairs.
+    Bodies larger than a cell (ground slabs, meshes) form a 'large' set tested against
+    everyone.
 
-    Overflow (cell fuller than cell_capacity, more large bodies than max_large, or more
-    pairs than max_pairs) is detected and reported, never silent.
+    Overflow (cell fuller than cell_capacity, per-body pair count > 32, more large bodies
+    than max_large, or more pairs than max_pairs) is detected and reported, never silent.
     """
+    import jax
+
     n = kind.shape[0]
     exists = kind != KIND_EMPTY
     active_dynamic = (kind == KIND_DYNAMIC) & awake
@@ -246,42 +251,44 @@ def grid(
     small = exists & ~large
 
     inv_cs = 1.0 / cell_size
-    cx = jnp.floor(center.x * inv_cs).astype(jnp.int32)
-    cy = jnp.floor(center.y * inv_cs).astype(jnp.int32)
-    cz = jnp.floor(center.z * inv_cs).astype(jnp.int32)
+    cx = jnp.floor(center.x * inv_cs).astype(jnp.int32) & 1023
+    cy = jnp.floor(center.y * inv_cs).astype(jnp.int32) & 1023
+    cz = jnp.floor(center.z * inv_cs).astype(jnp.int32) & 1023
 
-    H = 1 << max(1, (2 * n - 1).bit_length())  # ≥2n buckets
+    def cell_key(ix, iy, iz):
+        return ((ix & 1023) << 20) | ((iy & 1023) << 10) | (iz & 1023)
 
-    def cell_hash(ix, iy, iz):
-        return ((ix * 73856093) ^ (iy * 19349663) ^ (iz * 83492791)) & (H - 1)
-
-    key = jnp.where(small, cell_hash(cx, cy, cz), H)  # large/empty sort to the end
-    order = jnp.argsort(key)
+    BIGKEY = jnp.int32(2**31 - 1)
+    key = jnp.where(small, cell_key(cx, cy, cz), BIGKEY)
+    order = jnp.argsort(key).astype(jnp.int32)
     sorted_key = key[order]
+    my_sorted_pos = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
 
-    # For each body, candidates from 27 neighbor cells: range via searchsorted, first
-    # `cell_capacity` entries of each.
-    offs = jnp.arange(cell_capacity)
+    # Half stencil: own cell (same-cell pairs deduped by sorted position) + 13 forward
+    # neighbors — each unordered adjacent-cell pair appears in exactly one direction.
+    HALF = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 0), (1, -1, 0),
+            (1, 0, 1), (1, 0, -1), (0, 1, 1), (0, 1, -1), (1, 1, 1), (1, 1, -1),
+            (1, -1, 1), (1, -1, -1)]
+    K = cell_capacity
+    offs = jnp.arange(K)
     cand_cols = []
-    cand_ok_cols = []
-    for dx_ in (-1, 0, 1):
-        for dy_ in (-1, 0, 1):
-            for dz_ in (-1, 0, 1):
-                nk = cell_hash(cx + dx_, cy + dy_, cz + dz_)
-                start = jnp.searchsorted(sorted_key, nk)
-                end = jnp.searchsorted(sorted_key, nk, side="right")
-                idx = jnp.minimum(start[:, None] + offs[None, :], n - 1)
-                ok = (start[:, None] + offs[None, :]) < end[:, None]
-                cand_cols.append(order[idx])
-                cand_ok_cols.append(ok)
-    cand = jnp.concatenate(cand_cols, axis=1)  # (N, 27*K)
-    cand_ok = jnp.concatenate(cand_ok_cols, axis=1)
-
-    # Per-cell overflow: any cell fuller than capacity.
-    cell_count = jnp.searchsorted(sorted_key, key, side="right") - jnp.searchsorted(
-        sorted_key, key
-    )
-    overflow_cell = jnp.any(jnp.where(small, cell_count, 0) > cell_capacity)
+    ok_cols = []
+    cell_count = None
+    for (dx_, dy_, dz_) in HALF:
+        nk = cell_key(cx + dx_, cy + dy_, cz + dz_)
+        s0 = jnp.searchsorted(sorted_key, nk).astype(jnp.int32)
+        s1 = jnp.searchsorted(sorted_key, nk, side="right").astype(jnp.int32)
+        if dx_ == dy_ == dz_ == 0:
+            cell_count = s1 - s0
+            # Same cell: only partners AFTER this body in sorted order (dedup + self).
+            s0 = my_sorted_pos + 1
+        pos = s0[:, None] + offs[None, :]
+        okc = pos < s1[:, None]
+        cand_cols.append(order[jnp.minimum(pos, n - 1)])
+        ok_cols.append(okc)
+    cand = jnp.concatenate(cand_cols, axis=1)  # (N, 14K)
+    cand_ok = jnp.concatenate(ok_cols, axis=1)
+    overflow_cell = jnp.any(jnp.where(small, cell_count, 0) > K)
 
     def overlap(i, j):
         return (
@@ -291,14 +298,13 @@ def grid(
         )
 
     me = jnp.arange(n)[:, None]
-    group_ok_cand = (group[:, None] != group[cand]) | (group == 0)[:, None]
+    group_ok = (group[:, None] != group[cand]) | (group == 0)[:, None]
     pair_ok = (
         cand_ok
         & small[:, None]
         & small[cand]
-        & (cand > me)  # dedupe + self
         & (active_dynamic[:, None] | active_dynamic[cand])
-        & group_ok_cand
+        & group_ok
         & overlap(me, cand)
     )
 
@@ -321,10 +327,22 @@ def grid(
     all_j = jnp.concatenate([cand, jnp.broadcast_to(large_idx[None, :], (n, max_large))], 1)
     all_ok = jnp.concatenate([pair_ok, lg_ok], 1)
 
-    count = jnp.sum(all_ok)
-    ii, jj = jnp.nonzero(all_ok, size=max_pairs, fill_value=0)
-    a = jnp.minimum(ii.astype(jnp.int32), all_j[ii, jj].astype(jnp.int32))
-    b = jnp.maximum(ii.astype(jnp.int32), all_j[ii, jj].astype(jnp.int32))
+    # Per-row top_k compaction (see brute_force): k smallest candidate columns per body.
+    KP = 32
+    score = jnp.where(all_ok, -jax.lax.broadcasted_iota(jnp.int32, all_ok.shape, 1), -(2**30))
+    neg_cols, _ = jax.lax.top_k(score, KP)
+    valid_rk = neg_cols > -(2**30)
+    cols = jnp.where(valid_rk, -neg_cols, 0)
+    row_counts = jnp.sum(all_ok, axis=1)
+
+    count = jnp.sum(jnp.minimum(row_counts, KP))
+    ai, ki = jnp.nonzero(valid_rk, size=max_pairs, fill_value=0)
+    jj = all_j[ai, jnp.minimum(cols[ai, ki], all_j.shape[1] - 1)]
+    a = jnp.minimum(ai.astype(jnp.int32), jj.astype(jnp.int32))
+    b = jnp.maximum(ai.astype(jnp.int32), jj.astype(jnp.int32))
     valid = jnp.arange(max_pairs) < count
-    overflow = (count > max_pairs) | overflow_cell | (large_count > max_large)
+    overflow = (
+        (count > max_pairs) | overflow_cell | (large_count > max_large)
+        | jnp.any(row_counts > KP)
+    )
     return PairList(a, b, valid, overflow)

@@ -84,7 +84,10 @@ def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str
     """
     import numpy as np
     from functools import partial
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     from ..collision import broadphase as bp
     from ..collision.narrowphase import narrow_phase, update_cache
@@ -164,10 +167,19 @@ def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str
             state_specs(state),
             StepDiagnostics(pair_count=rep, contact_count=rep, overflow=rep),
         )
-        fn = shard_map(
-            _local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_rep=False,
-        )
+        # check_vma (new name) / check_rep (old): the per-device color slices are
+        # device-varying while bodies come out replicated via psum; disable the
+        # replication checker rather than fight its inference.
+        try:
+            fn = shard_map(
+                _local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            )
+        except TypeError:
+            fn = shard_map(
+                _local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_rep=False,
+            )
         return jax.jit(fn)
 
     return make

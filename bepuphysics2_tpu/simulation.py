@@ -356,6 +356,38 @@ class Simulation:
             self._host.awake[handle] = True
             self._host.sleep_timer[handle] = 0.0
 
+    def set_local_inertia(self, handle: int, inv_mass: float, inv_inertia) -> None:
+        """Update a body's inverse mass/inertia (reference BodyReference.SetLocalInertia;
+        zero inverse mass+inertia makes the body kinematic-behaving). Wakes the body."""
+        self._sync_from_device()
+        self._dirty = True
+        h = self._host
+        h.inv_mass[handle] = inv_mass
+        (h.ixx[handle], h.iyx[handle], h.iyy[handle],
+         h.izx[handle], h.izy[handle], h.izz[handle]) = inv_inertia
+        if h.kind[handle] == 1:
+            h.awake[handle] = True
+            h.sleep_timer[handle] = 0.0
+
+    def set_body_kind(self, handle: int, kind: int) -> None:
+        """Kinematic ↔ dynamic transition (reference Bodies.SetShape/BecomeKinematic
+        pathways, Bodies.cs:504). Becoming kinematic zeroes the inverse inertia; becoming
+        dynamic requires a following set_local_inertia."""
+        from .bodies import KIND_DYNAMIC, KIND_KINEMATIC
+
+        if kind not in (KIND_DYNAMIC, KIND_KINEMATIC):
+            raise ValueError("set_body_kind supports dynamic/kinematic only")
+        self._sync_from_device()
+        self._dirty = True
+        h = self._host
+        h.kind[handle] = kind
+        if kind == KIND_KINEMATIC:
+            h.inv_mass[handle] = 0.0
+            h.ixx[handle] = h.iyx[handle] = h.iyy[handle] = 0.0
+            h.izx[handle] = h.izy[handle] = h.izz[handle] = 0.0
+        h.awake[handle] = True
+        h.sleep_timer[handle] = 0.0
+
     def wake_body(self, handle: int) -> None:
         """Explicit user wake (reference Bodies.Awaken)."""
         self._sync_from_device()

@@ -117,8 +117,9 @@ def step(state: SimState, shapes, joint_banks, dt, config: SimConfig, present_ty
     if method == "auto":
         # With top_k row compaction the exact N² mask is the fastest structure on TPU up
         # to several thousand bodies (measured 62ms/step full pipeline at 4k incl. solve);
-        # past that the windowed sweep bounds memory at O(N·window).
-        method = "brute" if config.body_capacity <= 8192 else "sweep"
+        # past that the sorted grid bounds memory at O(N·stencil) and stays pair-exact
+        # (size grid_cell_size ≥ the largest velocity-expanded AABB extent).
+        method = "brute" if config.body_capacity <= 8192 else "grid"
     if method == "brute":
         pairs = bp.brute_force(
             aabb_min, aabb_max, bodies.kind, bodies.awake, bodies.collision_group,

@@ -199,3 +199,27 @@ def test_validation_checker():
     sim._host.px[h] = float("nan")
     with pytest.raises(ValidationError, match="non-finite"):
         validate(sim)
+
+
+def test_kinematic_dynamic_transition():
+    """set_body_kind / set_local_inertia (reference Bodies kinematic<->dynamic paths)."""
+    from bepuphysics2_tpu import KIND_DYNAMIC, KIND_KINEMATIC
+
+    sim = make_sim()
+    g = sim.add_shape(Box(10.0, 0.5, 10.0))
+    s = Sphere(0.4)
+    ss = sim.add_shape(s)
+    sim.add_static(StaticDescription(position=(0, -0.5, 0), shape=g))
+    h = sim.add_body(BodyDescription.dynamic((0, 3.0, 0), ss, 1.0, s))
+    # Freeze it mid-air: kinematic bodies ignore gravity.
+    sim.set_body_kind(h, KIND_KINEMATIC)
+    sim.run(30, 1 / 60.0)
+    p1, _, _, _ = sim.get_body(h)
+    assert abs(p1[1] - 3.0) < 1e-3, f"kinematic body moved: {p1}"
+    # Back to dynamic: it falls and rests on the ground.
+    sim.set_body_kind(h, KIND_DYNAMIC)
+    sim.set_local_inertia(h, 1.0, (2.5, 0, 2.5, 0, 0, 2.5))
+    sim.run(150, 1 / 60.0)
+    p2, _, v2, _ = sim.get_body(h)
+    assert abs(p2[1] - 0.4) < 0.05, f"re-dynamicized body rest height wrong: {p2}"
+    assert np.linalg.norm(v2) < 0.1

@@ -32,12 +32,16 @@ from .bodies import (
     KIND_STATIC,
 )
 from .shapes import Sphere, Capsule, Box, Cylinder, Triangle, ConvexHull, Compound, Mesh
+from .shapes.builder import CompoundBuilder
+from .shapes.custom import CustomShape, register_custom_shape
 from .simulation import Simulation, SimConfig
+from .validation import validate
 
 __all__ = [
     "Vec3", "Quat", "Mat3", "Sym3", "v3",
     "BodyDescription", "StaticDescription",
     "KIND_DYNAMIC", "KIND_KINEMATIC", "KIND_STATIC",
     "Sphere", "Capsule", "Box", "Cylinder", "Triangle", "ConvexHull", "Compound", "Mesh",
-    "Simulation", "SimConfig",
+    "CompoundBuilder", "CustomShape", "register_custom_shape",
+    "Simulation", "SimConfig", "validate",
 ]

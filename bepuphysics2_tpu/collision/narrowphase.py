@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..bodies import BodyState
 from ..shapes.registry import BOX, CAPSULE, CONVEX_HULL, CYLINDER, SPHERE, TRIANGLE, ShapeData
 from ..utils.spring import SpringSettings
-from ..utils.vec import Vec2, Vec3
+from ..utils.vec import Quat, Vec2, Vec3
 from ..constraints.contact import ContactImpulses, ContactPrestep
 from . import testers
 from .broadphase import PairList
@@ -179,6 +179,22 @@ def narrow_phase(
     mp = pairs.a.shape[0]
     a, b = pairs.a, pairs.b
 
+    # Packed per-body feature rows: ONE row gather per pair side instead of ~14 scalar
+    # gathers (utils/packing.py rationale; the canonical i/j sides then come from
+    # elementwise selects instead of two more gathers).
+    bodyf = jnp.stack(
+        [
+            state.pos.x, state.pos.y, state.pos.z,
+            state.orn.x, state.orn.y, state.orn.z, state.orn.w,
+            state.vel.x, state.vel.y, state.vel.z,
+            state.friction, state.spring_frequency, state.spring_damping,
+            state.max_recovery_velocity,
+        ],
+        -1,
+    )
+    fa = bodyf[a]
+    fb = bodyf[b]
+
     shape_a = jnp.maximum(state.shape[a], 0)
     shape_b = jnp.maximum(state.shape[b], 0)
     ta = jnp.where(state.shape[a] >= 0, shapes.type[shape_a], -1)
@@ -186,8 +202,6 @@ def narrow_phase(
 
     # Canonical order for the testers: lower type id first.
     swap = ta > tb
-    i = jnp.where(swap, b, a)
-    j = jnp.where(swap, a, b)
     ti = jnp.where(swap, tb, ta)
     tj = jnp.where(swap, ta, tb)
     shape_i = jnp.where(swap, shape_b, shape_a)
@@ -195,20 +209,26 @@ def narrow_phase(
     params_i = shapes.params[shape_i]
     params_j = shapes.params[shape_j]
 
-    pos_i = state.pos[i]
-    pos_j = state.pos[j]
-    orn_i = state.orn[i]
-    orn_j = state.orn[j]
+    fi = jnp.where(swap[:, None], fb, fa)
+    fj = jnp.where(swap[:, None], fa, fb)
+    pos_i = Vec3(fi[:, 0], fi[:, 1], fi[:, 2])
+    pos_j = Vec3(fj[:, 0], fj[:, 1], fj[:, 2])
+    orn_i = Quat(fi[:, 3], fi[:, 4], fi[:, 5], fi[:, 6])
+    orn_j = Quat(fj[:, 3], fj[:, 4], fj[:, 5], fj[:, 6])
+    vel_a = Vec3(fa[:, 7], fa[:, 8], fa[:, 9])
+    vel_b = Vec3(fb[:, 7], fb[:, 8], fb[:, 9])
 
     t_eval = None
     if max_ccd > 0:
         from .sweeps import pair_toi
         from ..utils.vec import integrate_orientation
 
+        i = jnp.where(swap, b, a)
+        j = jnp.where(swap, a, b)
         cont = state.continuity
         ra = shapes.max_radius[shape_a]
         rb = shapes.max_radius[shape_b]
-        rel_disp = (state.vel[a] - state.vel[b]).length() * dt
+        rel_disp = (vel_a - vel_b).length() * dt
         # Tunneling risk: displacement this step exceeds half the smaller shape's size.
         risk = (
             pairs.valid
@@ -245,28 +265,28 @@ def narrow_phase(
         # Warp CCD depths back to t=0: depth(0) = depth(t) + n·(v_a − v_b)·t (the normal
         # points B→A; approaching pairs get a negative speculative depth that lets the
         # solver allow exactly the approach up to the TOI).
-        vn = manifold.normal.dot(state.vel[a] - state.vel[b])
+        vn = manifold.normal.dot(vel_a - vel_b)
         manifold = manifold._replace(depth=manifold.depth + (vn * t_eval)[:, None])
 
     # Speculative margin acceptance (reference Collidable speculative margin clamp,
     # Collidables/Collidable.cs:115): discard contacts further than the pair margin.
-    rel_speed = (state.vel[a] - state.vel[b]).length()
+    rel_speed = (vel_a - vel_b).length()
     margin = jnp.minimum(rel_speed * dt + 0.1, spec_margin_max)
     contact_ok = manifold.contact_mask & (manifold.depth > -margin[:, None])
     record_valid = pairs.valid & jnp.any(contact_ok, axis=-1)
 
     # Pair material (geometric-mean friction; conservative min spring/recovery).
-    friction = jnp.sqrt(state.friction[a] * state.friction[b])
-    freq = jnp.minimum(state.spring_frequency[a], state.spring_frequency[b])
-    damping = jnp.maximum(state.spring_damping[a], state.spring_damping[b])
-    max_rec = jnp.minimum(state.max_recovery_velocity[a], state.max_recovery_velocity[b])
+    friction = jnp.sqrt(fa[:, 10] * fb[:, 10])
+    freq = jnp.minimum(fa[:, 11], fb[:, 11])
+    damping = jnp.maximum(fa[:, 12], fb[:, 12])
+    max_rec = jnp.minimum(fa[:, 13], fb[:, 13])
 
     prestep = ContactPrestep(
         body_a=a,
         body_b=b,
         normal=manifold.normal,
         offset_a=manifold.offset_a,
-        offset_b=state.pos[b] - state.pos[a],
+        offset_b=Vec3(fb[:, 0] - fa[:, 0], fb[:, 1] - fa[:, 1], fb[:, 2] - fa[:, 2]),
         depth=manifold.depth,
         contact_mask=contact_ok,
         valid=record_valid,
@@ -284,26 +304,7 @@ def _warm_start_from_cache(prestep: ContactPrestep, cache: PairCache, n_bodies: 
     """Carry accumulated impulses from last frame's records by (pair key, feature id)
     (reference NarrowPhaseConstraintUpdate impulse redistribution + PairCache.cs:78)."""
     key = prestep.body_a * n_bodies + prestep.body_b
-    sort_idx = jnp.argsort(jnp.where(cache.valid, cache.key, 2**31 - 1))
-    sorted_keys = jnp.where(cache.valid, cache.key, 2**31 - 1)[sort_idx]
-    pos = jnp.searchsorted(sorted_keys, key)
-    pos_c = jnp.minimum(pos, sorted_keys.shape[0] - 1)
-    hit_slot = sort_idx[pos_c]
-    matched = (sorted_keys[pos_c] == key) & prestep.valid & cache.valid[hit_slot]
-
-    # Feature-id matched penetration impulse carry: (MP, 4new, 4old) equality.
-    old_feat = cache.feature[hit_slot]  # (MP,4)
-    eq = (prestep.feature[:, :, None] == old_feat[:, None, :]) & prestep.contact_mask[:, :, None]
-    old_pen = cache.penetration[hit_slot]
-    pen = jnp.sum(jnp.where(eq, old_pen[:, None, :], 0.0), axis=-1)
-    pen = jnp.where(matched[:, None], pen, 0.0)
-
-    tangent = Vec2(
-        jnp.where(matched, cache.tangent.x[hit_slot], 0.0),
-        jnp.where(matched, cache.tangent.y[hit_slot], 0.0),
-    )
-    twist = jnp.where(matched, cache.twist[hit_slot], 0.0)
-    return ContactImpulses(pen, tangent, twist)
+    return _warm_start_from_cache_keyed(prestep, cache, key)
 
 
 def update_cache(prestep: ContactPrestep, imp: ContactImpulses, n_bodies: int) -> PairCache:
@@ -442,24 +443,34 @@ def narrow_phase_compound(
 
 
 def _warm_start_from_cache_keyed(prestep: ContactPrestep, cache: PairCache, key) -> ContactImpulses:
-    """Generic cache carry given explicit record keys."""
+    """Generic cache carry given explicit record keys (sorted-key lookup + feature-id
+    impulse redistribution). One packed row gather fetches the whole hit record
+    (utils/packing.py rationale)."""
+    from ..utils.packing import gather_rows
+
     sort_idx = jnp.argsort(jnp.where(cache.valid, cache.key, 2**31 - 1))
     sorted_keys = jnp.where(cache.valid, cache.key, 2**31 - 1)[sort_idx]
     pos = jnp.searchsorted(sorted_keys, key)
     pos_c = jnp.minimum(pos, sorted_keys.shape[0] - 1)
     hit_slot = sort_idx[pos_c]
-    matched = (sorted_keys[pos_c] == key) & prestep.valid & cache.valid[hit_slot]
+    hit = gather_rows(
+        dict(
+            feature=cache.feature, penetration=cache.penetration,
+            tx=cache.tangent.x, ty=cache.tangent.y, twist=cache.twist,
+            valid=cache.valid,
+        ),
+        hit_slot,
+    )
+    matched = (sorted_keys[pos_c] == key) & prestep.valid & hit["valid"]
 
-    old_feat = cache.feature[hit_slot]
-    eq = (prestep.feature[:, :, None] == old_feat[:, None, :]) & prestep.contact_mask[:, :, None]
-    old_pen = cache.penetration[hit_slot]
-    pen = jnp.sum(jnp.where(eq, old_pen[:, None, :], 0.0), axis=-1)
+    eq = (prestep.feature[:, :, None] == hit["feature"][:, None, :]) & prestep.contact_mask[:, :, None]
+    pen = jnp.sum(jnp.where(eq, hit["penetration"][:, None, :], 0.0), axis=-1)
     pen = jnp.where(matched[:, None], pen, 0.0)
     tangent = Vec2(
-        jnp.where(matched, cache.tangent.x[hit_slot], 0.0),
-        jnp.where(matched, cache.tangent.y[hit_slot], 0.0),
+        jnp.where(matched, hit["tx"], 0.0),
+        jnp.where(matched, hit["ty"], 0.0),
     )
-    twist = jnp.where(matched, cache.twist[hit_slot], 0.0)
+    twist = jnp.where(matched, hit["twist"], 0.0)
     return ContactImpulses(pen, tangent, twist)
 
 

@@ -130,7 +130,7 @@ def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str
             name: dict(joint_banks[name], impulse=state.joint_impulses[name])
             for name in joint_banks
         }
-        new_bodies, imps, joint_imps = solve_all(
+        new_bodies, imps, joint_imps, _ = solve_all(
             bodies, [(prestep, imp)], banks, config.integrator, config.solve_config(),
             dt, axis_name=axis,
         )

@@ -50,7 +50,10 @@ class SimConfig:
     substeps: int = 8
     velocity_iterations: int = 1
     num_colors: int = 8
-    compact_colors: bool = False  # per-color contact buckets; pays off at large max_pairs
+    # Per-color contact bucket capacity factor (solver/solve.py SolveConfig): buckets hold
+    # color_cap_factor·max_pairs/num_colors rows each; capacity-aware coloring defers
+    # over-cap rows to later colors instead of dropping them.
+    color_cap_factor: float = 1.5
     broadphase: str = "auto"  # 'brute' | 'sweep' | 'auto'
     joint_capacity: int = 256  # per-type bank capacity
     # Compound/mesh expansion (collision/compound.py):
@@ -78,7 +81,7 @@ class SimConfig:
             substeps=self.substeps,
             velocity_iterations=self.velocity_iterations,
             num_colors=self.num_colors,
-            compact_colors=self.compact_colors,
+            color_cap_factor=self.color_cap_factor,
         )
 
 
@@ -97,7 +100,9 @@ class StepDiagnostics(NamedTuple):
     overflow: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("config", "present_types"))
+@functools.partial(
+    jax.jit, static_argnames=("config", "present_types"), donate_argnames=("state",)
+)
 def step(state: SimState, shapes, joint_banks, dt, config: SimConfig, present_types=None):
     """One full timestep. Pure function: (state, shapes, joints, dt) → (state', diagnostics)."""
     bodies = state.bodies
@@ -170,7 +175,7 @@ def step(state: SimState, shapes, joint_banks, dt, config: SimConfig, present_ty
     contact_banks = [(prestep, imp)]
     if has_compounds:
         contact_banks.append((cprestep, cimp))
-    bodies, imps, joint_imps = solve_all(
+    bodies, imps, joint_imps, solver_overflow = solve_all(
         bodies, contact_banks, banks, config.integrator, config.solve_config(), dt
     )
     imp = imps[0]
@@ -182,7 +187,7 @@ def step(state: SimState, shapes, joint_banks, dt, config: SimConfig, present_ty
 
     # --- Persist warm-start data.
     cache = update_cache(prestep, imp, config.body_capacity)
-    overflow = pairs.overflow
+    overflow = pairs.overflow | solver_overflow
     contact_count = jnp.sum(prestep.contact_mask & prestep.valid[:, None])
     if has_compounds:
         ccache = update_cache_keyed(cprestep, imps[1], ckey)
@@ -201,7 +206,9 @@ def step(state: SimState, shapes, joint_banks, dt, config: SimConfig, present_ty
     return SimState(bodies, cache, ccache, joint_imps), diag
 
 
-@functools.partial(jax.jit, static_argnames=("config", "present_types", "n"))
+@functools.partial(
+    jax.jit, static_argnames=("config", "present_types", "n"), donate_argnames=("state",)
+)
 def step_n(state: SimState, shapes, joint_banks, dt, config: SimConfig, present_types, n: int):
     """Scan ``n`` timesteps in ONE dispatch. Amortizes per-dispatch latency (important
     when the device sits behind a network tunnel) and lets XLA pipeline across steps.

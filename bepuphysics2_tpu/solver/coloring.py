@@ -46,7 +46,7 @@ def color_constraints(
     """
     refs = jnp.stack([body_a, body_b], -1)
     dyn = jnp.stack([dynamic_a, dynamic_b], -1)
-    return color_constraints_kary(refs, dyn, valid, n_bodies, num_colors)
+    return color_constraints_kary(refs, dyn, valid, n_bodies, num_colors)[0]
 
 
 def color_constraints_kary(
@@ -55,30 +55,54 @@ def color_constraints_kary(
     valid: jnp.ndarray,  # (M,) bool
     n_bodies: int,
     num_colors: int,
-) -> jnp.ndarray:
-    """K-ary generalization (covers 1-4 body constraints uniformly)."""
+    segments=None,
+):
+    """K-ary generalization (covers 1-4 body constraints uniformly).
+
+    ``segments``: optional list of (start, size, cap) static sub-ranges of the constraint
+    table. When given, a round's winners within a segment beyond ``cap`` DEFER to a later
+    round (capacity-aware coloring — this is what lets each color become a fixed-size
+    compacted bucket downstream without ever dropping a constraint; deferred rows simply
+    take a later color, and only rows whose body valence genuinely exceeds the color
+    budget land in the Jacobi bucket). Returns (color, rank): rank is the row's win rank
+    within its segment's round (bucket position), -1 outside any segment.
+    """
     import jax
 
     m, k = refs.shape
     slot = jnp.arange(m, dtype=jnp.int32)
 
-    def round_body(c, carry):
-        color, unassigned = carry
-        prio = jnp.where(unassigned, slot, _BIG)
-        body_min = jnp.full(n_bodies, _BIG, jnp.int32)
-        for j in range(k):
-            body_min = body_min.at[jnp.where(dyn[:, j], refs[:, j], n_bodies)].min(
-                prio, mode="drop"
-            )
-        win = unassigned
-        for j in range(k):
-            win = win & (~dyn[:, j] | (body_min[refs[:, j]] == prio))
-        return jnp.where(win, c, color), unassigned & ~win
+    # One fused (M·K,) scatter-min / gather per round instead of K separate 1D passes.
+    flat_tgt = jnp.where(dyn, refs, n_bodies).reshape(-1)
 
-    color, _ = jax.lax.fori_loop(
-        0, num_colors, round_body, (jnp.full(m, num_colors, jnp.int32), valid)
+    def round_body(c, carry):
+        color, rank, unassigned = carry
+        prio = jnp.where(unassigned, slot, _BIG)
+        body_min = jnp.full(n_bodies + 1, _BIG, jnp.int32)
+        body_min = body_min.at[flat_tgt].min(
+            jnp.broadcast_to(prio[:, None], (m, k)).reshape(-1)
+        )[:n_bodies]
+        win = unassigned & jnp.all(~dyn | (body_min[refs] == prio[:, None]), axis=1)
+        if segments:
+            new_rank = rank
+            for start, size, cap in segments:
+                seg_win = win[start : start + size]
+                seg_rank = jnp.cumsum(seg_win.astype(jnp.int32)) - 1
+                keep = seg_win & (seg_rank < cap)
+                win = win.at[start : start + size].set(keep)
+                new_rank = new_rank.at[start : start + size].set(
+                    jnp.where(keep, seg_rank, rank[start : start + size])
+                )
+            rank = new_rank
+        return jnp.where(win, c, color), rank, unassigned & ~win
+
+    color, rank, _ = jax.lax.fori_loop(
+        0,
+        num_colors,
+        round_body,
+        (jnp.full(m, num_colors, jnp.int32), jnp.full(m, -1, jnp.int32), valid),
     )
-    return color
+    return color, rank
 
 
 def jacobi_valence(body_a, body_b, dynamic_a, dynamic_b, in_jacobi, n_bodies: int):
@@ -91,10 +115,11 @@ def jacobi_valence(body_a, body_b, dynamic_a, dynamic_b, in_jacobi, n_bodies: in
 
 
 def jacobi_valence_kary(refs, dyn, in_jacobi, n_bodies: int):
-    ones = in_jacobi.astype(jnp.float32)
-    val = jnp.zeros(n_bodies, jnp.float32)
-    for j in range(refs.shape[1]):
-        val = val.at[jnp.where(dyn[:, j] & in_jacobi, refs[:, j], n_bodies)].add(
-            ones, mode="drop"
-        )
+    m, k = refs.shape
+    flat = jnp.where(dyn & in_jacobi[:, None], refs, n_bodies).reshape(-1)
+    val = (
+        jnp.zeros(n_bodies + 1, jnp.float32)
+        .at[flat]
+        .add(jnp.broadcast_to(in_jacobi.astype(jnp.float32)[:, None], (m, k)).reshape(-1))
+    )[:n_bodies]
     return jnp.maximum(val, 1.0)

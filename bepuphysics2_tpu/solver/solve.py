@@ -19,11 +19,19 @@ graph coloring (reference ConstraintBatch color classes, Solver.cs:984) computed
 over the K-ary body-reference table; the leftover Jacobi bucket uses per-body mass
 splitting (reference SequentialFallbackBatch.cs:37).
 
-TPU memory-op shape: body velocity lives in a packed (NB, 6) array and world inertia in a
-packed (NB, 7) array for the duration of the solve, so every constraint pass costs ONE
-gather and ONE scatter-add per body side instead of 12 scalar-component ops — scatters
-serialize on TPU and dominate the solver otherwise (this is the packed-row analogue of the
-reference's 256-bit BodyDynamics cache-line layout, BodyProperties.cs:319).
+TPU execution shape (single chip): contact banks are reordered ONCE per step into
+**color-bucket layout** — a flat ``((num_colors+1)·cap,)`` array whose slice ``c`` holds
+exactly the constraints of color ``c`` (capacity-aware coloring guarantees the fit; slice
+``num_colors`` is the compacted Jacobi bucket). This is the compact-TypeBatch analogue of
+the reference's per-batch storage (ConstraintBatch.cs) and is what makes each color pass
+touch ~M/colors rows instead of masked full-bank sweeps: prestep preparation, warm starts,
+and every velocity-iteration pass run over contiguous slices, and body velocities live in
+a packed (NB, 6) array (the packed-row analogue of the reference's 256-bit BodyDynamics
+cache-line layout, BodyProperties.cs:319) so each pass costs one gather + one scatter-add.
+
+Multi-chip (``axis_name`` set): constraint banks are sharded; buckets would need
+device-local capacities, so the sharded path keeps masked full-bank color passes with the
+per-color ``psum`` combination (exact under the coloring invariant — see solve_all).
 """
 from __future__ import annotations
 
@@ -39,6 +47,7 @@ from ..constraints.joints import JOINT_TYPES, ONE_BODY_NAMES, JointContext, Mult
 from ..integrator import IntegratorConfig, integrate_poses, integrate_velocities
 from ..utils.vec import Quat, Sym3, Vec3
 from .coloring import color_constraints_kary, jacobi_valence_kary
+from ..utils.packing import gather_rows
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,10 +57,10 @@ class SolveConfig:
     substeps: int = 8
     velocity_iterations: int = 1
     num_colors: int = 8  # Jacobi fallback beyond this (reference default 64 is CPU-motivated)
-    # Compact per-color contact buckets (gather ~M/colors rows per color pass instead of
-    # masked full-bank passes). Wins when max_pairs is large (fewer elements touched);
-    # loses below ~10k pairs where TPU gathers cost more than vectorized masked sweeps.
-    compact_colors: bool = False
+    # Per-color bucket capacity = color_cap_factor * M / num_colors (rounded up). The
+    # capacity-aware coloring defers over-cap rows to later colors, so larger factors
+    # trade more per-pass math for less Jacobi spill.
+    color_cap_factor: float = 1.5
 
 
 # ---------------------------------------------------------------------------------------
@@ -92,6 +101,14 @@ def _gather_inertia(i7, idx, scale=None) -> GatheredInertia:
     )
 
 
+def _vel_pair_from12(g: jnp.ndarray):
+    """Split a (2m, 6) gathered velocity block into the A-rows and B-rows BodyVels."""
+    m = g.shape[0] // 2
+    va = BodyVel(Vec3(g[:m, 0], g[:m, 1], g[:m, 2]), Vec3(g[:m, 3], g[:m, 4], g[:m, 5]))
+    vb = BodyVel(Vec3(g[m:, 0], g[m:, 1], g[m:, 2]), Vec3(g[m:, 3], g[m:, 4], g[m:, 5]))
+    return va, vb
+
+
 def _pack_dv(dv: BodyVel) -> jnp.ndarray:
     return jnp.stack(
         [dv.linear.x, dv.linear.y, dv.linear.z, dv.angular.x, dv.angular.y, dv.angular.z], -1
@@ -109,29 +126,6 @@ def _delta(new: BodyVel, old: BodyVel) -> BodyVel:
     return BodyVel(new.linear - old.linear, new.angular - old.angular)
 
 
-def _build_color_buckets(color, valid, num_colors: int, cap: int):
-    """Compact per-color index buckets: bucket[c] lists the original row ids of color c
-    (padded with the sentinel M). A color pass then gathers ~M/colors rows instead of
-    masking the full bank — the compact-TypeBatch analogue of the reference's per-batch
-    storage (ConstraintBatch.cs). Rows whose color bucket overflows ``cap`` are DEMOTED to
-    the Jacobi bucket (mass-split solve handles arbitrary sharing), never dropped.
-    Returns (bucket (num_colors, cap) int32, demoted (M,) bool)."""
-    m = color.shape[0]
-    key = jnp.where(valid & (color < num_colors), color, num_colors)
-    order = jnp.argsort(key, stable=True).astype(jnp.int32)
-    sk = key[order]
-    starts = jnp.searchsorted(sk, jnp.arange(num_colors), side="left").astype(jnp.int32)
-    rank = jnp.arange(m, dtype=jnp.int32) - starts[jnp.minimum(sk, num_colors - 1)]
-    in_color = sk < num_colors
-    keep = in_color & (rank < cap)
-    pos = jnp.where(keep, sk * cap + rank, num_colors * cap)
-    bucket = (
-        jnp.full(num_colors * cap + 1, m, jnp.int32).at[pos].set(order)[: num_colors * cap]
-    )
-    demoted = jnp.zeros(m, bool).at[order].set(in_color & (rank >= cap))
-    return bucket.reshape(num_colors, cap), demoted
-
-
 def _pad_refs(bodies, dyn_cols, m):
     """Pad body refs / dynamic masks to 4 columns (K-ary coloring table)."""
     refs = jnp.zeros((m, 4), jnp.int32)
@@ -140,6 +134,14 @@ def _pad_refs(bodies, dyn_cols, m):
         refs = refs.at[:, j].set(r)
         dyn = dyn.at[:, j].set(d)
     return refs, dyn
+
+
+def _bcast(mask, like):
+    return mask.reshape(mask.shape + (1,) * (like.ndim - mask.ndim))
+
+
+def _round_up(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
 
 
 def solve_all(
@@ -153,7 +155,10 @@ def solve_all(
 ):
     """Run the full substepped solve over contact banks + joint banks.
     ``contact_banks``: list of (ContactPrestep, ContactImpulses) — e.g. the body-pair bank
-    and the compound-child bank. Returns (state, [contact_impulses...], {name: jimps}).
+    and the compound-child bank.
+    Returns (state, [contact_impulses...], {name: jimps}, overflow) — ``overflow`` is True
+    iff the compacted Jacobi bucket spilled (a capacity diagnostic, like broad-phase pair
+    overflow; spilled rows are reported, not silently mis-solved).
 
     ``axis_name``: when set, this call runs INSIDE shard_map over a device mesh axis with
     body state replicated and every constraint bank sharded along its slot axis. Coloring
@@ -168,6 +173,8 @@ def solve_all(
     n_bodies = state.pos.x.shape[0]
     bank_names = sorted(joint_banks.keys())
     n_cbanks = len(contact_banks)
+    bucketed = axis_name is None
+    C = cfg.num_colors
 
     def gather_global(x):
         """Concatenate a sharded per-constraint array across the mesh axis."""
@@ -186,13 +193,23 @@ def solve_all(
     # ---- Unified coloring table.
     dyn_of = lambda idx: state.kind[idx] == KIND_DYNAMIC
     groups = []
+    caps = []
+    segments = []
+    off_running = 0
     for ci, (ps, _) in enumerate(contact_banks):
+        mi = ps.body_a.shape[0]
         c_refs, c_dyn = _pad_refs(
-            [ps.body_a, ps.body_b],
-            [dyn_of(ps.body_a), dyn_of(ps.body_b)],
-            ps.body_a.shape[0],
+            [ps.body_a, ps.body_b], [dyn_of(ps.body_a), dyn_of(ps.body_b)], mi
         )
         groups.append((f"__contacts{ci}__", c_refs, c_dyn, ps.valid))
+        cap = min(
+            _round_up(max(1, -(-int(cfg.color_cap_factor * mi) // C)), 8),
+            _round_up(mi, 8),
+        )
+        caps.append(cap)
+        if bucketed:
+            segments.append((off_running, mi, cap))
+        off_running += mi
     bank_valid = {}
     for name in bank_names:
         bank = joint_banks[name]
@@ -209,6 +226,7 @@ def solve_all(
         v = bank_live(bank, name)
         bank_valid[name] = v
         groups.append((name, refs, dyn, v))
+        off_running += m
 
     # Global constraint table: identical on every device under sharding, so the greedy
     # coloring result is identical too — the invariant that makes per-color psum exact.
@@ -216,50 +234,97 @@ def solve_all(
     all_refs = jnp.concatenate(g_refs, axis=0)
     all_dyn = jnp.concatenate([gather_global(g[2]) for g in groups], axis=0)
     all_valid = jnp.concatenate([gather_global(g[3]) for g in groups], axis=0)
-    all_color = color_constraints_kary(all_refs, all_dyn, all_valid, n_bodies, cfg.num_colors)
+    all_color, all_rank = color_constraints_kary(
+        all_refs, all_dyn, all_valid, n_bodies, C, segments=segments or None
+    )
 
     dev = jax.lax.axis_index(axis_name) if axis_name else 0
     colors = {}
+    ranks = {}
     off = 0
     for gi, (key, refs, dyn, v) in enumerate(groups):
         m = refs.shape[0]  # local size
         m_g = g_refs[gi].shape[0]  # global size
-        local = jax.lax.dynamic_slice_in_dim(all_color[off : off + m_g], dev * m, m)
-        colors[key] = local
+        colors[key] = jax.lax.dynamic_slice_in_dim(all_color[off : off + m_g], dev * m, m)
+        ranks[key] = jax.lax.dynamic_slice_in_dim(all_rank[off : off + m_g], dev * m, m)
         off += m_g
 
-    # Per-color index buckets for contact banks (the dominant bank): each color pass
-    # gathers only its own rows. Bucket overflow demotes rows to the Jacobi pass.
-    cbank_buckets = []
-    cbank_jacobi = []
-    for ci, (ps, _) in enumerate(contact_banks):
-        if not cfg.compact_colors:
-            cbank_jacobi.append(ps.valid & (colors[f"__contacts{ci}__"] == cfg.num_colors))
-            continue
-        mi = ps.body_a.shape[0]
-        cap = min(mi, max(1, (2 * mi + cfg.num_colors - 1) // cfg.num_colors))
-        bucket, demoted = _build_color_buckets(
-            colors[f"__contacts{ci}__"], ps.valid, cfg.num_colors, cap
-        )
-        cbank_buckets.append(bucket)
-        cbank_jacobi.append(
-            (ps.valid & (colors[f"__contacts{ci}__"] == cfg.num_colors)) | demoted
-        )
+    # ---- Color-bucket layout per contact bank (single-chip path) -----------------------
+    overflow = jnp.bool_(False)
+    buckets = []
+    cbank_in_jacobi = []
+    if bucketed:
+        for ci, (ps, im) in enumerate(contact_banks):
+            mi = ps.body_a.shape[0]
+            cap = caps[ci]
+            ncap = C * cap
+            B = ncap + cap
+            col = colors[f"__contacts{ci}__"]
+            rnk = ranks[f"__contacts{ci}__"]
+            jac = ps.valid & (col == C)
+            rank_j = jnp.cumsum(jac.astype(jnp.int32)) - 1
+            kept_j = jac & (rank_j < cap)
+            overflow = overflow | jnp.any(jac & ~kept_j)
+            pos = jnp.where(
+                ps.valid & (col < C),
+                col * cap + rnk,
+                jnp.where(kept_j, ncap + rank_j, B),
+            )
+            order = (
+                jnp.full(B + 1, mi, jnp.int32)
+                .at[pos]
+                .set(jnp.arange(mi, dtype=jnp.int32), mode="drop")[:B]
+            )
+            present = order < mi
+            oc = jnp.minimum(order, mi - 1)
+            # Packed row gathers: one (mi,K)->(B,K) gather per dtype family instead of
+            # ~30 scalar-column gathers (utils/packing.py rationale).
+            ps_b, imp_g = gather_rows((ps, im), oc)
+            ps_b = ps_b._replace(valid=present & ps_b.valid)
+            # Padding rows alias row mi-1 — zero their impulses so warm starts can't
+            # double-apply a real row's accumulated impulse.
+            imp_b = jax.tree_util.tree_map(
+                lambda x: jnp.where(_bcast(present, x), x, 0), imp_g
+            )
+            cbank_in_jacobi.append(kept_j)
+            buckets.append(
+                dict(order=order, present=present, ps=ps_b, imp=imp_b, cap=cap, m=mi)
+            )
+    else:
+        for ci, (ps, _) in enumerate(contact_banks):
+            cbank_in_jacobi.append(ps.valid & (colors[f"__contacts{ci}__"] == C))
 
-    # Jacobi membership per group (contacts include bucket-overflow demotions) → global
-    # per-body valence for mass splitting.
-    jacobi_groups = list(cbank_jacobi) + [
-        bank_valid[name] & (colors[name] == cfg.num_colors) for name in bank_names
+    # Jacobi membership per group → global per-body valence for mass splitting.
+    jacobi_groups = list(cbank_in_jacobi) + [
+        bank_valid[name] & (colors[name] == C) for name in bank_names
     ]
     in_jacobi_all = jnp.concatenate([gather_global(f) for f in jacobi_groups])
     valence = jacobi_valence_kary(all_refs, all_dyn, in_jacobi_all, n_bodies)
 
-    # ---- Contact pass (packed v6/i7) ---------------------------------------------------
+    if bucketed:
+        # Per-side Jacobi inertia/impulse scaling, baked per bucket row (1 outside the
+        # Jacobi slice). reference SequentialFallbackBatch.cs:37 mass splitting.
+        for bk in buckets:
+            ba = bk["ps"].body_a
+            bb = bk["ps"].body_b
+            cap = bk["cap"]
+            is_j = jnp.arange(ba.shape[0]) >= C * cap
+            sa = jnp.where(is_j, valence[ba], 1.0)
+            sb = jnp.where(is_j, valence[bb], 1.0)
+            bk["sa"] = sa
+            bk["sb"] = sb
+            bk["s2"] = jnp.concatenate([sa, sb])
+            bk["idx2"] = jnp.concatenate([ba, bb])
+            ncap = C * cap
+            bk["idx2_col"] = jnp.concatenate(
+                [ba[:ncap].reshape(C, cap), bb[:ncap].reshape(C, cap)], axis=1
+            )
+            bk["idx2_j"] = jnp.concatenate([ba[ncap:], bb[ncap:]])
+            bk["s2_j"] = jnp.concatenate([sa[ncap:], sb[ncap:]])
+
+    # ---- Masked-path helpers (sharded execution) ---------------------------------------
     cbank_refs = [(ps.body_a, ps.body_b) for ps, _ in contact_banks]
     cbank_val = [(valence[a_], valence[b_]) for a_, b_ in cbank_refs]
-
-    # Fused A+B memory ops: ONE gather and ONE scatter-add per pass over the
-    # concatenated [a; b] index vector (halves the serialized-scatter count).
     cbank_idx2 = [jnp.concatenate([a_, b_]) for a_, b_ in cbank_refs]
     cbank_val2 = [jnp.concatenate([va_, vb_]) for va_, vb_ in cbank_val]
 
@@ -281,13 +346,10 @@ def solve_all(
         return ia, ib
 
     def contact_pass_kern(v6, dv, ci, kern, imp_l, mask, jacobi: bool):
-        """Light per-iteration pass: gather velocities, apply the precomputed kernel,
-        scatter deltas. All jacobian/effective-mass setup lives in the kernel."""
+        """Masked full-bank pass (sharded path): gather velocities, apply the precomputed
+        kernel, scatter deltas."""
         idx2 = cbank_idx2[ci]
-        m = idx2.shape[0] // 2
-        g = v6[idx2]
-        va = BodyVel(Vec3(g[:m, 0], g[:m, 1], g[:m, 2]), Vec3(g[:m, 3], g[:m, 4], g[:m, 5]))
-        vb = BodyVel(Vec3(g[m:, 0], g[m:, 1], g[m:, 2]), Vec3(g[m:, 3], g[m:, 4], g[m:, 5]))
+        va, vb = _vel_pair_from12(v6[idx2])
         new_imp, nva, nvb = contact_mod.apply_iteration(kern, imp_l, va, vb, mask)
         p2 = jnp.concatenate([_pack_dv(_delta(nva, va)), _pack_dv(_delta(nvb, vb))])
         if jacobi:
@@ -308,35 +370,6 @@ def solve_all(
             inertia_b=_gather_inertia(i7, b, sb), vel_b=_gather_vel(v6, b),
             active=active,
         )
-
-    def contact_color_pass(v6, dv, i7, ci, c, prestep_l, imp_l):
-        """Solve ONE color's contact rows via its compact bucket: gather (cap,) rows,
-        solve, scatter impulses back to the bank and velocity deltas to dv."""
-        mi = prestep_l.body_a.shape[0]
-        idx = cbank_buckets[ci][c]  # (cap,) original row ids; mi = padding sentinel
-        ok = idx < mi
-        idxc = jnp.minimum(idx, mi - 1)
-        ps = jax.tree_util.tree_map(lambda x: x[idxc], prestep_l)
-        ps = ps._replace(valid=ok & ps.valid)
-        im = jax.tree_util.tree_map(lambda x: x[idxc], imp_l)
-        a = ps.body_a
-        b = ps.body_b
-        idx2 = jnp.concatenate([a, b])
-        cap = idx.shape[0]
-        g = v6[idx2]
-        va = BodyVel(Vec3(g[:cap, 0], g[:cap, 1], g[:cap, 2]), Vec3(g[:cap, 3], g[:cap, 4], g[:cap, 5]))
-        vb = BodyVel(Vec3(g[cap:, 0], g[cap:, 1], g[cap:, 2]), Vec3(g[cap:, 3], g[cap:, 4], g[cap:, 5]))
-        gi = i7[idx2]
-        ia = GatheredInertia(gi[:cap, 0], Sym3(*(gi[:cap, k] for k in range(1, 7))))
-        ib = GatheredInertia(gi[cap:, 0], Sym3(*(gi[cap:, k] for k in range(1, 7))))
-        new_im, nva, nvb = contact_mod.solve(ps, im, ia, ib, va, vb, h, inv_h)
-        p2 = jnp.concatenate([_pack_dv(_delta(nva, va)), _pack_dv(_delta(nvb, vb))])
-        dv = dv.at[idx2].add(p2)
-        iw = jnp.where(ok, idx, mi)
-        imp_l = jax.tree_util.tree_map(
-            lambda full, rows: full.at[iw].set(rows, mode="drop"), imp_l, new_im
-        )
-        return dv, imp_l
 
     def joint_pass(v6, dv, i7, state, name, bank, imp_l, mask, jacobi: bool):
         cls = JOINT_TYPES[name]
@@ -388,14 +421,147 @@ def solve_all(
             dv = _scatter_dv(dv, i, dvs[j])
         return dv
 
+    def joint_iteration_tail(v6, i7, state, jimps):
+        """Per-iteration joint solve: per-color passes then the Jacobi bucket. Joint
+        banks are small, so they stay masked-full-bank in both execution modes."""
+        if not bank_names:
+            return v6, jimps
+
+        def jcolor_pass(c, sc):
+            v6, jimps = sc
+            dv = jnp.zeros_like(v6)
+            new_jimps = dict(jimps)
+            for name in bank_names:
+                mask_j = bank_valid[name] & (colors[name] == c)
+                dv, new_jimps[name] = joint_pass(
+                    v6, dv, i7, state, name, joint_banks[name], jimps[name], mask_j, False
+                )
+            return apply_dv(v6, dv), new_jimps
+
+        v6, jimps = jax.lax.fori_loop(0, C, jcolor_pass, (v6, jimps))
+        dv = jnp.zeros_like(v6)
+        new_jimps = dict(jimps)
+        for name in bank_names:
+            mask_j = bank_valid[name] & (colors[name] == C)
+            dv, new_jimps[name] = joint_pass(
+                v6, dv, i7, state, name, joint_banks[name], jimps[name], mask_j, True
+            )
+        return apply_dv(v6, dv), new_jimps
+
     # Joint impulses must be zero for inactive records before warm start.
     joint_imps = {
         name: joint_banks[name]["impulse"] * bank_valid[name][:, None].astype(jnp.float32)
         for name in bank_names
     }
 
-    # ---- Substep loop ------------------------------------------------------------------
-    def substep(carry, first: bool):
+    # ---- Bucketed substep loop (single chip) -------------------------------------------
+    def contact_bucket_sweep(ci, v6, imp_flat, kern):
+        """One Gauss-Seidel sweep over a contact bank: lax.scan over the color slices
+        (contiguous ~cap-row blocks), then the compacted Jacobi slice with mass-split
+        scaling. Conflict-freedom within a slice makes the immediate scatter exact."""
+        bk = buckets[ci]
+        cap = bk["cap"]
+        ncap = C * cap
+        kern_rs = jax.tree_util.tree_map(
+            lambda x: x[:ncap].reshape((C, cap) + x.shape[1:]), kern
+        )
+
+        def body(carry, xs):
+            v6, imp_flat, c = carry
+            kern_c, idx2_c = xs
+            imp_c = jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_slice_in_dim(x, c * cap, cap), imp_flat
+            )
+            va, vb = _vel_pair_from12(v6[idx2_c])
+            new_imp, nva, nvb = contact_mod.apply_iteration(
+                kern_c, imp_c, va, vb, kern_c.valid
+            )
+            p2 = jnp.concatenate([_pack_dv(_delta(nva, va)), _pack_dv(_delta(nvb, vb))])
+            v6 = v6.at[idx2_c].add(p2)
+            imp_flat = jax.tree_util.tree_map(
+                lambda full, new: jax.lax.dynamic_update_slice_in_dim(full, new, c * cap, 0),
+                imp_flat, new_imp,
+            )
+            return (v6, imp_flat, c + 1), None
+
+        (v6, imp_flat, _), _ = jax.lax.scan(
+            body, (v6, imp_flat, jnp.int32(0)), (kern_rs, bk["idx2_col"])
+        )
+
+        # Jacobi slice: rows here MAY share bodies; the kernel was prepared with
+        # valence-scaled inertia and the deltas are divided by valence (mass splitting).
+        kern_j = jax.tree_util.tree_map(lambda x: x[ncap:], kern)
+        imp_j = jax.tree_util.tree_map(lambda x: x[ncap:], imp_flat)
+        va, vb = _vel_pair_from12(v6[bk["idx2_j"]])
+        new_imp, nva, nvb = contact_mod.apply_iteration(kern_j, imp_j, va, vb, kern_j.valid)
+        p2 = jnp.concatenate([_pack_dv(_delta(nva, va)), _pack_dv(_delta(nvb, vb))])
+        v6 = v6.at[bk["idx2_j"]].add(p2 / bk["s2_j"][:, None])
+        imp_flat = jax.tree_util.tree_map(
+            lambda full, new: full.at[ncap:].set(new), imp_flat, new_imp
+        )
+        return v6, imp_flat
+
+    def substep_bucketed(carry, first: bool):
+        state, presteps_b, imps_b, jimps = carry
+        if not first:
+            v6 = _vel_to6(state)
+            presteps_b = tuple(
+                contact_mod.incremental_depth_update(
+                    presteps_b[ci],
+                    _gather_vel(v6, buckets[ci]["ps"].body_a),
+                    _gather_vel(v6, buckets[ci]["ps"].body_b),
+                    h,
+                )
+                for ci in range(n_cbanks)
+            )
+            state = integrate_poses(state, integrator_cfg, h)
+        state = integrate_velocities(state, integrator_cfg, h)
+
+        world_ii = state.world_inv_inertia()
+        i7 = _inertia7(state, world_ii)
+        v6 = _vel_to6(state)
+
+        # Per-substep contact kernels over the bucket bank (velocity-independent
+        # jacobian/effective-mass setup hoisted out of the iteration passes). Jacobi-slice
+        # rows get valence-scaled inertia baked in.
+        kerns = []
+        for ci in range(n_cbanks):
+            bk = buckets[ci]
+            ia = _gather_inertia(i7, presteps_b[ci].body_a, bk["sa"])
+            ib = _gather_inertia(i7, presteps_b[ci].body_b, bk["sb"])
+            kern = contact_mod.prepare(presteps_b[ci], ia, ib, h, inv_h)
+            # Materialize the kernel: without the barrier XLA re-inlines the whole
+            # prepare chain into EVERY consumer fusion (recomputed per element — measured
+            # 100x pass blowups), defeating the per-substep hoisting.
+            kerns.append(jax.lax.optimization_barrier(kern))
+
+        # Warm start (pure accumulation; Jacobi rows apply mass-split deltas).
+        dv = jnp.zeros_like(v6)
+        for ci in range(n_cbanks):
+            bk = buckets[ci]
+            dva, dvb = contact_mod.warm_start_kern(kerns[ci], imps_b[ci])
+            p2 = jnp.concatenate([_pack_dv(dva), _pack_dv(dvb)]) / bk["s2"][:, None]
+            dv = dv.at[bk["idx2"]].add(p2)
+        for name in bank_names:
+            dv = joint_warm_start(v6, dv, i7, state, name, joint_banks[name], jimps[name])
+        v6 = v6 + dv
+
+        def iteration(_, sc):
+            v6, imps_b, jimps = sc
+            new_imps = list(imps_b)
+            for ci in range(n_cbanks):
+                v6, new_imps[ci] = contact_bucket_sweep(ci, v6, imps_b[ci], kerns[ci])
+            v6, jimps = joint_iteration_tail(v6, i7, state, jimps)
+            return v6, tuple(new_imps), jimps
+
+        v6, imps_b, jimps = jax.lax.fori_loop(
+            0, cfg.velocity_iterations, iteration, (v6, imps_b, jimps)
+        )
+        state = _vel_from6(state, v6)
+        return state, presteps_b, imps_b, jimps
+
+    # ---- Masked substep loop (sharded path) --------------------------------------------
+    def substep_masked(carry, first: bool):
         state, presteps_l, imps_l, jimps = carry
         if not first:
             v6 = _vel_to6(state)
@@ -415,19 +581,22 @@ def solve_all(
         i7 = _inertia7(state, world_ii)
         v6 = _vel_to6(state)
 
-        # Per-substep contact kernels: ALL velocity-independent jacobian/effective-mass
-        # setup hoisted out of the iteration passes (contact.prepare docstring). The
-        # Jacobi variant bakes in mass-splitting-scaled inertia.
         kerns = []
         kerns_j = []
         for ci in range(n_cbanks):
             ia, ib = gather_inertia_pair(i7, ci, False)
-            kerns.append(contact_mod.prepare(presteps_l[ci], ia, ib, h, inv_h))
+            kerns.append(
+                jax.lax.optimization_barrier(
+                    contact_mod.prepare(presteps_l[ci], ia, ib, h, inv_h)
+                )
+            )
             ia_j, ib_j = gather_inertia_pair(i7, ci, True)
-            kerns_j.append(contact_mod.prepare(presteps_l[ci], ia_j, ib_j, h, inv_h))
+            kerns_j.append(
+                jax.lax.optimization_barrier(
+                    contact_mod.prepare(presteps_l[ci], ia_j, ib_j, h, inv_h)
+                )
+            )
 
-        # Warm start (pure accumulation: deltas don't read velocities, so all banks
-        # accumulate into one delta array applied — and psum'd — once).
         dv = jnp.zeros_like(v6)
         for ci in range(n_cbanks):
             idx2 = cbank_idx2[ci]
@@ -441,21 +610,14 @@ def solve_all(
         def color_pass(c, sc):
             # Within a color no two constraints (across banks or shards) share a body, so
             # all banks accumulate one conflict-free delta applied with a single psum.
-            # Contacts use compact per-color buckets (gather ~M/colors rows); joint banks
-            # are small and stay masked-full-bank.
             v6, imps_l, jimps = sc
             dv = jnp.zeros_like(v6)
             new_imps = list(imps_l)
             for ci in range(n_cbanks):
-                if cfg.compact_colors:
-                    dv, new_imps[ci] = contact_color_pass(
-                        v6, dv, i7, ci, c, presteps_l[ci], imps_l[ci]
-                    )
-                else:
-                    mask_c = presteps_l[ci].valid & (colors[f"__contacts{ci}__"] == c)
-                    dv, new_imps[ci] = contact_pass_kern(
-                        v6, dv, ci, kerns[ci], imps_l[ci], mask_c, False
-                    )
+                mask_c = presteps_l[ci].valid & (colors[f"__contacts{ci}__"] == c)
+                dv, new_imps[ci] = contact_pass_kern(
+                    v6, dv, ci, kerns[ci], imps_l[ci], mask_c, False
+                )
             new_jimps = dict(jimps)
             for name in bank_names:
                 mask_j = bank_valid[name] & (colors[name] == c)
@@ -465,20 +627,17 @@ def solve_all(
             return apply_dv(v6, dv), tuple(new_imps), new_jimps
 
         def iteration(_, sc):
-            sc = jax.lax.fori_loop(0, cfg.num_colors, color_pass, sc)
+            sc = jax.lax.fori_loop(0, C, color_pass, sc)
             v6, imps_l, jimps = sc
-            # Jacobi bucket: constraints here MAY share bodies (including bucket-overflow
-            # demotions); mass splitting by global valence makes the single accumulated
-            # application the intended Jacobi step.
             dv = jnp.zeros_like(v6)
             new_imps = list(imps_l)
             for ci in range(n_cbanks):
                 dv, new_imps[ci] = contact_pass_kern(
-                    v6, dv, ci, kerns_j[ci], imps_l[ci], cbank_jacobi[ci], True
+                    v6, dv, ci, kerns_j[ci], imps_l[ci], cbank_in_jacobi[ci], True
                 )
             new_jimps = dict(jimps)
             for name in bank_names:
-                mask_j = bank_valid[name] & (colors[name] == cfg.num_colors)
+                mask_j = bank_valid[name] & (colors[name] == C)
                 dv, new_jimps[name] = joint_pass(
                     v6, dv, i7, state, name, joint_banks[name], jimps[name], mask_j, True
                 )
@@ -490,20 +649,40 @@ def solve_all(
         state = _vel_from6(state, v6)
         return state, presteps_l, imps_l, jimps
 
-    presteps0 = tuple(ps for ps, _ in contact_banks)
-    imps0 = tuple(im for _, im in contact_banks)
+    # ---- Run the substep loop ----------------------------------------------------------
+    substep = substep_bucketed if bucketed else substep_masked
+    if bucketed:
+        presteps0 = tuple(bk["ps"] for bk in buckets)
+        imps0 = tuple(bk["imp"] for bk in buckets)
+    else:
+        presteps0 = tuple(ps for ps, _ in contact_banks)
+        imps0 = tuple(im for _, im in contact_banks)
     carry = substep((state, presteps0, imps0, joint_imps), first=True)
     if cfg.substeps > 1:
         carry, _ = jax.lax.scan(
             lambda c, _: (substep(c, first=False), None), carry, None, length=cfg.substeps - 1
         )
-    state, presteps0, imps0, joint_imps = carry
+    state, _, imps_final, joint_imps = carry
 
     state = integrate_poses(state, integrator_cfg, h)
-    return state, list(imps0), joint_imps
+
+    if bucketed:
+        # Scatter bucket impulses back to original bank order (warm-start persistence).
+        imps_out = []
+        for ci in range(n_cbanks):
+            bk = buckets[ci]
+            tgt = jnp.where(bk["present"], bk["order"], bk["m"])
+            imps_out.append(
+                jax.tree_util.tree_map(
+                    lambda orig_leaf, b_leaf: orig_leaf.at[tgt].set(b_leaf, mode="drop"),
+                    contact_banks[ci][1], imps_final[ci],
+                )
+            )
+        return state, imps_out, joint_imps, overflow
+    return state, list(imps_final), joint_imps, overflow
 
 
 def solve_contacts(state, prestep, imp, integrator_cfg, cfg, dt):
     """Single-contact-bank entry (kept for tests / minimal configs)."""
-    state, imps, _ = solve_all(state, [(prestep, imp)], {}, integrator_cfg, cfg, dt)
+    state, imps, _, _ = solve_all(state, [(prestep, imp)], {}, integrator_cfg, cfg, dt)
     return state, imps[0]

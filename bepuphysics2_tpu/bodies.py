@@ -81,23 +81,26 @@ class BodyState(NamedTuple):
 
     @staticmethod
     def empty(capacity: int) -> "BodyState":
-        z = jnp.zeros(capacity, jnp.float32)
+        def z():
+            # Fresh array per leaf: donated pytrees must not alias buffers.
+            return jnp.zeros(capacity, jnp.float32)
+
         return BodyState(
             pos=Vec3.zeros(capacity),
             orn=Quat.identity(capacity),
             vel=Vec3.zeros(capacity),
             omega=Vec3.zeros(capacity),
-            inv_mass=z,
+            inv_mass=z(),
             inv_inertia=Sym3.zeros(capacity),
             kind=jnp.zeros(capacity, jnp.int32),
             awake=jnp.zeros(capacity, bool),
             shape=jnp.full(capacity, -1, jnp.int32),
-            friction=z,
-            spring_frequency=z,
-            spring_damping=z,
-            max_recovery_velocity=z,
-            sleep_threshold=z,
-            sleep_timer=z,
+            friction=z(),
+            spring_frequency=z(),
+            spring_damping=z(),
+            max_recovery_velocity=z(),
+            sleep_threshold=z(),
+            sleep_timer=z(),
             sleep_island=jnp.zeros(capacity, jnp.int32),
             collision_group=jnp.zeros(capacity, jnp.int32),
             continuity=jnp.zeros(capacity, jnp.int32),

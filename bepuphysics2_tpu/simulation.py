@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -100,8 +101,40 @@ class StepDiagnostics(NamedTuple):
     overflow: jnp.ndarray
 
 
+# Donate the SimState buffers into step()/step_n(): the previous state is dead after the
+# call, so XLA reuses its HBM in place (halves steady-state memory for the state and
+# removes a full state copy of HBM traffic per step). Opt out with BEPUPHYSICS2_TPU_DONATE=0.
+_DONATE = ("state",) if os.environ.get("BEPUPHYSICS2_TPU_DONATE", "1") == "1" else ()
+
+
+def _dedupe_donated(state):
+    """Return ``state`` with any buffer-aliased leaves copied apart.
+
+    Donation requires every leaf of the donated pytree to own a distinct buffer; XLA's CSE
+    can legally return one buffer for two identical outputs (and user code could alias
+    leaves), which would make the *next* donated call fail with "donate the same buffer
+    twice". Scanning ~50 leaf pointers per step is free compared to the step itself.
+    """
+    if not _DONATE:
+        return state
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    seen = set()
+    changed = False
+    for i, leaf in enumerate(leaves):
+        try:
+            key = leaf.unsafe_buffer_pointer()
+        except Exception:  # sharded / committed-elsewhere arrays: pointer unavailable
+            key = id(leaf)
+        if key in seen:
+            leaves[i] = jnp.asarray(leaf).copy()
+            changed = True
+        else:
+            seen.add(key)
+    return jax.tree_util.tree_unflatten(treedef, leaves) if changed else state
+
+
 @functools.partial(
-    jax.jit, static_argnames=("config", "present_types"), donate_argnames=("state",)
+    jax.jit, static_argnames=("config", "present_types"), donate_argnames=_DONATE
 )
 def step(state: SimState, shapes, joint_banks, dt, config: SimConfig, present_types=None):
     """One full timestep. Pure function: (state, shapes, joints, dt) → (state', diagnostics)."""
@@ -207,7 +240,7 @@ def step(state: SimState, shapes, joint_banks, dt, config: SimConfig, present_ty
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "present_types", "n"), donate_argnames=("state",)
+    jax.jit, static_argnames=("config", "present_types", "n"), donate_argnames=_DONATE
 )
 def step_n(state: SimState, shapes, joint_banks, dt, config: SimConfig, present_types, n: int):
     """Scan ``n`` timesteps in ONE dispatch. Amortizes per-dispatch latency (important
@@ -656,7 +689,8 @@ class Simulation:
         }
         present = tuple(sorted({int(t) for t in self.shapes.types if t >= 0}))
         self._state, self.last_diag = step(
-            self._state, self.shapes.device(), banks, jnp.float32(dt), self.config, present
+            _dedupe_donated(self._state), self.shapes.device(), banks, jnp.float32(dt),
+            self.config, present,
         )
 
     def run(self, steps: int, dt: float = 1.0 / 60.0, chunk: Optional[int] = None) -> None:
@@ -684,8 +718,8 @@ class Simulation:
         remaining = steps
         while remaining >= chunk:
             self._state, self.last_diag = step_n(
-                self._state, self.shapes.device(), banks, jnp.float32(dt), self.config,
-                present, chunk,
+                _dedupe_donated(self._state), self.shapes.device(), banks, jnp.float32(dt),
+                self.config, present, chunk,
             )
             remaining -= chunk
         for _ in range(remaining):

@@ -28,8 +28,9 @@ class Vec3(NamedTuple):
     # --- construction -------------------------------------------------------------------
     @staticmethod
     def zeros(shape=(), dtype=jnp.float32) -> "Vec3":
-        z = jnp.zeros(shape, dtype)
-        return Vec3(z, z, z)
+        # Distinct arrays per component: donated pytrees must not alias leaves
+        # (XLA rejects the same buffer donated twice).
+        return Vec3(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
     @staticmethod
     def full(shape, vx, vy, vz, dtype=jnp.float32) -> "Vec3":
@@ -136,8 +137,7 @@ class Vec2(NamedTuple):
 
     @staticmethod
     def zeros(shape=(), dtype=jnp.float32) -> "Vec2":
-        z = jnp.zeros(shape, dtype)
-        return Vec2(z, z)
+        return Vec2(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
     def __add__(self, o):
         return Vec2(self.x + o.x, self.y + o.y)
@@ -254,8 +254,7 @@ class Sym3(NamedTuple):
 
     @staticmethod
     def zeros(shape=(), dtype=jnp.float32) -> "Sym3":
-        z = jnp.zeros(shape, dtype)
-        return Sym3(z, z, z, z, z, z)
+        return Sym3(*(jnp.zeros(shape, dtype) for _ in range(6)))
 
     @staticmethod
     def diag(x, y, z) -> "Sym3":
@@ -391,8 +390,13 @@ class Quat(NamedTuple):
 
     @staticmethod
     def identity(shape=()) -> "Quat":
-        zero = jnp.zeros(shape, jnp.float32)
-        return Quat(zero, zero, zero, jnp.ones(shape, jnp.float32))
+        # Distinct arrays per component (donation-safe; see Vec3.zeros).
+        return Quat(
+            jnp.zeros(shape, jnp.float32),
+            jnp.zeros(shape, jnp.float32),
+            jnp.zeros(shape, jnp.float32),
+            jnp.ones(shape, jnp.float32),
+        )
 
     @staticmethod
     def from_array(a) -> "Quat":

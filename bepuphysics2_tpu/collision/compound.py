@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..bodies import BodyState
 from ..shapes.registry import COMPOUND, MESH, TRIANGLE, ShapeData
+from ..utils.packing import select_col, select_cols
 from ..utils.vec import Quat, Vec3
 
 
@@ -144,8 +145,8 @@ def expand_compound_pairs(
     # Stable argsort: overlapping children first, original order preserved.
     order = jnp.argsort(~ov, axis=-1, stable=True)
     pick = order[:, :children_per_pair]  # (MPC, E)
-    picked_rows = jnp.take_along_axis(rows, pick, -1)
-    picked_ok = jnp.take_along_axis(ov, pick, -1)
+    picked_rows = select_cols(rows, pick)
+    picked_ok = select_cols(ov, pick)
 
     E = children_per_pair
     MPC = max_compound_pairs
@@ -290,8 +291,8 @@ def expand_compound_compound(
         order = jnp.argsort(~ov, axis=-1, stable=True)
         pick = order[:, :children_per_side]
         return (
-            jnp.take_along_axis(rows, pick, -1),
-            jnp.take_along_axis(ov, pick, -1),
+            select_cols(rows, pick),
+            select_cols(ov, pick),
             jnp.any(jnp.sum(ov, -1) > children_per_side) | jnp.any(cnt > W),
         )
 

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..shapes.registry import BOX, CAPSULE, CONVEX_HULL, CYLINDER, SPHERE, TRIANGLE
+from ..utils.packing import select_col, select_cols
 from ..utils.vec import Quat, Vec3, build_orthonormal_basis
 from .manifold import Manifold
 
@@ -95,7 +96,7 @@ def support_core(stype, params, hull_points, hull_start, hull_count, d: Vec3) ->
         dots = d.x[..., None] * px + d.y[..., None] * py + d.z[..., None] * pz
         dots = jnp.where(live, dots, -3.0e38)
         best = jnp.argmax(dots, axis=-1)
-        take = lambda arr: jnp.take_along_axis(arr, best[..., None], -1)[..., 0]
+        take = lambda arr: select_col(arr, best)
         hull_pt = Vec3(take(px), take(py), take(pz))
     else:
         hull_pt = Vec3(zero, zero, zero)
@@ -570,8 +571,8 @@ def generic_convex_manifold(ctx: SupportCtx, orn_a: Quat) -> Manifold:
     for _ in range(3):
         score = jnp.where(taken, -3.0e38, cdep)
         pick = jnp.argmax(score, -1)
-        ok = jnp.take_along_axis(~taken, pick[:, None], 1)[:, 0]
-        g = lambda arr: jnp.take_along_axis(arr, pick[:, None], 1)[:, 0]
+        ok = select_col(~taken, pick)
+        g = lambda arr: select_col(arr, pick)
         slots_p.append(Vec3(g(cpx), g(cpy), g(cpz)))
         slots_d.append(g(cdep))
         slots_f.append(g(cft))

@@ -29,6 +29,7 @@ from ..shapes.registry import (
     TRIANGLE,
     ShapeData,
 )
+from ..utils.packing import select_col, select_cols
 from ..utils.vec import Quat, Vec3
 
 _INF = 3.0e38
@@ -280,11 +281,11 @@ def ray_cast_all(
             nc = corn.rotate(sn).where(better, nc)
 
         best_c = jnp.argmin(tc, axis=-1)
-        tc_best = jnp.take_along_axis(tc, best_c[..., None], -1)[..., 0]
+        tc_best = select_col(tc, best_c)
         n_best = Vec3(
-            jnp.take_along_axis(nc.x, best_c[..., None], -1)[..., 0],
-            jnp.take_along_axis(nc.y, best_c[..., None], -1)[..., 0],
-            jnp.take_along_axis(nc.z, best_c[..., None], -1)[..., 0],
+            select_col(nc.x, best_c),
+            select_col(nc.y, best_c),
+            select_col(nc.z, best_c),
         )
         closer = tc_best < t
         t = jnp.where(closer, tc_best, t)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..utils.packing import select_col, select_cols
 from ..utils.vec import Quat, Vec3
 from .manifold import Manifold
 
@@ -331,7 +332,7 @@ def box_box(pos_ab: Vec3, orn_a: Quat, orn_b: Quat, params_a, params_b) -> Manif
         # Incident face: the incident box face most anti-parallel to n_ref_out.
         inc_dots = jnp.stack([n_ref_out.dot(ax) for ax in inc_axes], -1)
         k_inc = jnp.argmax(jnp.abs(inc_dots), -1)
-        s_inc = -jnp.sign(jnp.take_along_axis(inc_dots, k_inc[:, None], -1)[:, 0])
+        s_inc = -jnp.sign(select_col(inc_dots, k_inc))
         s_inc = jnp.where(s_inc == 0, 1.0, s_inc)
         inc_n_ax = pick(inc_axes, k_inc)
         inc_u_ax = pick(inc_axes, (k_inc + 1) % 3)
@@ -482,7 +483,7 @@ def box_box(pos_ab: Vec3, orn_a: Quat, orn_b: Quat, params_a, params_b) -> Manif
     def pick_max(scores, taken):
         return jnp.argmax(jnp.where(taken, neg_big, scores), -1)
 
-    g = lambda arr, i: jnp.take_along_axis(arr, i[:, None], 1)[:, 0]
+    g = lambda arr, i: select_col(arr, i)
     taken = ~cmask
     i0 = pick_max(depth_masked, taken)
     p0 = Vec3(g(pts.x, i0), g(pts.y, i0), g(pts.z, i0))
@@ -504,7 +505,7 @@ def box_box(pos_ab: Vec3, orn_a: Quat, orn_b: Quat, params_a, params_b) -> Manif
     i3 = pick_max(-side, taken)
 
     sel = jnp.stack([i0, i1, i2, i3], -1)
-    valid_sel = jnp.take_along_axis(cmask, sel, 1)
+    valid_sel = select_cols(cmask, sel)
     for a_i in range(1, 4):
         dup = jnp.zeros(N, bool)
         for b_i in range(a_i):
@@ -512,12 +513,12 @@ def box_box(pos_ab: Vec3, orn_a: Quat, orn_b: Quat, params_a, params_b) -> Manif
         valid_sel = valid_sel.at[:, a_i].set(valid_sel[:, a_i] & ~dup)
 
     c_pts = Vec3(
-        jnp.take_along_axis(pts.x, sel, 1),
-        jnp.take_along_axis(pts.y, sel, 1),
-        jnp.take_along_axis(pts.z, sel, 1),
+        select_cols(pts.x, sel),
+        select_cols(pts.y, sel),
+        select_cols(pts.z, sel),
     )
-    c_depth = jnp.take_along_axis(jnp.where(cmask, depth_pts, 0.0), sel, 1)
-    c_feat = jnp.take_along_axis(cfeat, sel, 1)
+    c_depth = select_cols(jnp.where(cmask, depth_pts, 0.0), sel)
+    c_feat = select_cols(cfeat, sel)
 
     # ---- Edge-edge: single contact at closest point between support edges.
     ei = (best_id - 6) // 3

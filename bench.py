@@ -31,14 +31,23 @@ def main():
     )
 
     dt = 1.0 / 60.0
+
+    def sync():
+        # Force device completion by READING a value. block_until_ready is not a
+        # reliable barrier here: under buffer donation the outputs alias donated input
+        # buffers, which the tunneled PJRT backend reports as ready immediately
+        # (measured: 3 chained 32-step dispatches "completed" in 13 ms that actually
+        # take 2.6 s of device time).
+        return float(sim.last_diag.contact_count)
+
     # Warmup: compile both the single-step and scanned-chunk programs (33 = one scan
     # chunk + one single step), then let the pile develop contacts.
     sim.run(33, dt)
-    jax.block_until_ready(sim.state)
+    sync()
 
     t0 = time.perf_counter()
     sim.run(STEPS, dt)
-    jax.block_until_ready(sim.state)
+    sync()
     elapsed = time.perf_counter() - t0
 
     steps_per_sec = STEPS / elapsed

@@ -42,6 +42,11 @@ class PairCache(NamedTuple):
     tangent: Vec2  # (MP,)
     twist: jnp.ndarray  # (MP,)
     valid: jnp.ndarray  # (MP,) bool
+    # Solver color carried across frames (reference: constraints KEEP their
+    # ConstraintBatch across frames, Solver.cs:984 — persistence makes per-frame
+    # recoloring incremental; see solver/coloring.py color_constraints_incremental).
+    # -1 = unassigned / Jacobi.
+    color: jnp.ndarray  # (MP,) int32
 
     @staticmethod
     def empty(capacity: int) -> "PairCache":
@@ -52,6 +57,7 @@ class PairCache(NamedTuple):
             tangent=Vec2.zeros(capacity),
             twist=jnp.zeros(capacity, jnp.float32),
             valid=jnp.zeros(capacity, bool),
+            color=jnp.full(capacity, -1, jnp.int32),
         )
 
 
@@ -296,19 +302,22 @@ def narrow_phase(
         feature=manifold.feature,
     )
 
-    imp = _warm_start_from_cache(prestep, cache, n_bodies)
-    return prestep, imp
+    imp, carried_color = _warm_start_from_cache(prestep, cache, n_bodies)
+    return prestep, imp, carried_color
 
 
-def _warm_start_from_cache(prestep: ContactPrestep, cache: PairCache, n_bodies: int) -> ContactImpulses:
+def _warm_start_from_cache(prestep: ContactPrestep, cache: PairCache, n_bodies: int):
     """Carry accumulated impulses from last frame's records by (pair key, feature id)
     (reference NarrowPhaseConstraintUpdate impulse redistribution + PairCache.cs:78)."""
     key = prestep.body_a * n_bodies + prestep.body_b
     return _warm_start_from_cache_keyed(prestep, cache, key)
 
 
-def update_cache(prestep: ContactPrestep, imp: ContactImpulses, n_bodies: int) -> PairCache:
-    """Store this frame's records for next frame's warm start."""
+def update_cache(
+    prestep: ContactPrestep, imp: ContactImpulses, n_bodies: int, color
+) -> PairCache:
+    """Store this frame's records for next frame's warm start. ``color`` is the solver
+    color this frame assigned each record (-1 = Jacobi/unassigned, retried next frame)."""
     key = jnp.where(prestep.valid, prestep.body_a * n_bodies + prestep.body_b, -1)
     return PairCache(
         key=key,
@@ -317,6 +326,7 @@ def update_cache(prestep: ContactPrestep, imp: ContactImpulses, n_bodies: int) -
         tangent=imp.tangent,
         twist=imp.twist,
         valid=prestep.valid,
+        color=color,
     )
 
 def narrow_phase_compound(
@@ -438,8 +448,8 @@ def narrow_phase_compound(
     # Warm start: composite key = pair_key * sub_cap + subslot (stable: child enumeration
     # order is deterministic). Requires NB² · sub_cap < 2^31.
     key = (a * n_bodies + b) * sub_cap + sub
-    imp = _warm_start_from_cache_keyed(prestep, cache, key)
-    return prestep, imp, key, cp.overflow
+    imp, carried_color = _warm_start_from_cache_keyed(prestep, cache, key)
+    return prestep, imp, carried_color, key, cp.overflow
 
 
 def _warm_start_from_cache_keyed(prestep: ContactPrestep, cache: PairCache, key) -> ContactImpulses:
@@ -457,7 +467,7 @@ def _warm_start_from_cache_keyed(prestep: ContactPrestep, cache: PairCache, key)
         dict(
             feature=cache.feature, penetration=cache.penetration,
             tx=cache.tangent.x, ty=cache.tangent.y, twist=cache.twist,
-            valid=cache.valid,
+            valid=cache.valid, color=cache.color,
         ),
         hit_slot,
     )
@@ -471,10 +481,11 @@ def _warm_start_from_cache_keyed(prestep: ContactPrestep, cache: PairCache, key)
         jnp.where(matched, hit["ty"], 0.0),
     )
     twist = jnp.where(matched, hit["twist"], 0.0)
-    return ContactImpulses(pen, tangent, twist)
+    carried_color = jnp.where(matched, hit["color"], -1)
+    return ContactImpulses(pen, tangent, twist), carried_color
 
 
-def update_cache_keyed(prestep: ContactPrestep, imp: ContactImpulses, key) -> PairCache:
+def update_cache_keyed(prestep: ContactPrestep, imp: ContactImpulses, key, color) -> PairCache:
     return PairCache(
         key=jnp.where(prestep.valid, key, -1),
         feature=prestep.feature,
@@ -482,4 +493,5 @@ def update_cache_keyed(prestep: ContactPrestep, imp: ContactImpulses, key) -> Pa
         tangent=imp.tangent,
         twist=imp.twist,
         valid=prestep.valid,
+        color=color,
     )

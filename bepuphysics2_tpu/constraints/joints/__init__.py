@@ -88,6 +88,9 @@ class JointTypeStore:
         self.valid = np.zeros(capacity, bool)
         self.prestep = np.zeros((capacity, joint_cls.N_PRESTEP), np.float32)
         self.impulse = np.zeros((capacity, joint_cls.N_IMPULSE), np.float32)
+        # Persisted solver color (-1 = unassigned; see solver/coloring.py). Rides in
+        # SimState.joint_colors device-side; this is the host staging copy.
+        self.color = np.full(capacity, -1, np.int32)
         self._free = list(range(capacity - 1, -1, -1))
         self.dirty = True
         self._device = None
@@ -103,11 +106,13 @@ class JointTypeStore:
         self.valid[i] = True
         self.prestep[i] = self.cls.pack(desc)
         self.impulse[i] = 0.0
+        self.color[i] = -1
         self.dirty = True
         return i
 
     def remove(self, idx: int) -> None:
         self.valid[idx] = False
+        self.color[idx] = -1
         self._free.append(idx)
         self.dirty = True
 
@@ -134,6 +139,9 @@ class JointTypeStore:
         self.impulse = np.array(impulses)  # copy: host array must stay writable
         if self._device is not None:
             self._device["impulse"] = jnp.asarray(self.impulse)
+
+    def load_colors(self, colors) -> None:
+        self.color = np.array(colors)  # copy: host array must stay writable
 
 
 __all__ = [

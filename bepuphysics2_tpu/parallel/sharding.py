@@ -123,18 +123,22 @@ def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str
             aabb_min, aabb_max, bodies.kind, bodies.awake, bodies.collision_group,
             dev * rows_per_dev, rows_per_dev, local_pairs,
         )
-        prestep, imp = narrow_phase(
+        prestep, imp, pcolor = narrow_phase(
             bodies, shapes, pairs, state.cache, dt, present_types=present_types
         )
         banks = {
-            name: dict(joint_banks[name], impulse=state.joint_impulses[name])
+            name: dict(
+                joint_banks[name],
+                impulse=state.joint_impulses[name],
+                color=state.joint_colors[name],
+            )
             for name in joint_banks
         }
-        new_bodies, imps, joint_imps, _ = solve_all(
-            bodies, [(prestep, imp)], banks, config.integrator, config.solve_config(),
-            dt, axis_name=axis,
+        new_bodies, imps, joint_imps, _, ccolors, jcolors = solve_all(
+            bodies, [(prestep, imp, pcolor)], banks, config.integrator,
+            config.solve_config(), dt, axis_name=axis,
         )
-        cache = update_cache(prestep, imps[0], nb)
+        cache = update_cache(prestep, imps[0], nb, ccolors[0])
         diag = StepDiagnostics(
             pair_count=jax.lax.psum(jnp.sum(pairs.valid), axis),
             contact_count=jax.lax.psum(
@@ -142,7 +146,7 @@ def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str
             ),
             overflow=jax.lax.psum(pairs.overflow.astype(jnp.int32), axis) > 0,
         )
-        return SimState(new_bodies, cache, state.ccache, joint_imps), diag
+        return SimState(new_bodies, cache, state.ccache, joint_imps, jcolors), diag
 
     rep = P()
     shard0 = P(axis)
@@ -153,6 +157,7 @@ def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str
             cache=jax.tree_util.tree_map(lambda _: shard0, state.cache),
             ccache=jax.tree_util.tree_map(lambda _: rep, state.ccache),
             joint_impulses=jax.tree_util.tree_map(lambda _: shard0, state.joint_impulses),
+            joint_colors=jax.tree_util.tree_map(lambda _: shard0, state.joint_colors),
         )
 
     def make(state: SimState, shapes, joint_banks):
@@ -196,5 +201,8 @@ def shard_state(state: SimState, mesh: Mesh, axis: str = "world") -> SimState:
         ccache=jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state.ccache),
         joint_impulses=jax.tree_util.tree_map(
             lambda x: jax.device_put(x, sh), state.joint_impulses
+        ),
+        joint_colors=jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sh), state.joint_colors
         ),
     )

@@ -82,6 +82,6 @@ def profile_stages(sim, dt: float = 1.0 / 60.0, iters: int = 20) -> dict:
     amin = amin.where(has_shape, Vec3.full(has_shape.shape, big, big, big))
     amax = amax.where(has_shape, Vec3.full(has_shape.shape, -big, -big, -big))
     results["broadphase"], pairs = timeit(stage_broad, amin, amax, bodies)
-    results["narrowphase"], (prestep, imp) = timeit(stage_narrow, bodies, pairs)
+    results["narrowphase"], (prestep, imp, _pc) = timeit(stage_narrow, bodies, pairs)
     results["solve"], _ = timeit(stage_solve, bodies, prestep, imp)
     return results

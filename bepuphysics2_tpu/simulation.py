@@ -93,6 +93,9 @@ class SimState(NamedTuple):
     cache: PairCache  # convex body-pair contact records
     ccache: PairCache  # compound/mesh child contact records
     joint_impulses: dict
+    # Per-joint persisted solver colors (reference: constraints keep their
+    # ConstraintBatch across frames; see solver/coloring.py). -1 = unassigned.
+    joint_colors: dict
 
 
 class StepDiagnostics(NamedTuple):
@@ -133,11 +136,12 @@ def _dedupe_donated(state):
     return jax.tree_util.tree_unflatten(treedef, leaves) if changed else state
 
 
-@functools.partial(
-    jax.jit, static_argnames=("config", "present_types"), donate_argnames=_DONATE
-)
-def step(state: SimState, shapes, joint_banks, dt, config: SimConfig, present_types=None):
-    """One full timestep. Pure function: (state, shapes, joints, dt) → (state', diagnostics)."""
+def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, present_types=None):
+    """One full timestep. Pure function: (state, shapes, joints, dt) → (state', diagnostics).
+
+    Public ``step`` (below) never donates — callers may keep using their input state.
+    ``Simulation.timestep``/``run`` go through the donating wrappers instead, where the
+    previous state is provably dead, so XLA reuses its buffers in place."""
     bodies = state.bodies
 
     # --- Predict bounding boxes (speculative AABBs).
@@ -176,7 +180,7 @@ def step(state: SimState, shapes, joint_banks, dt, config: SimConfig, present_ty
         )
 
     # --- Narrow phase (manifolds + constraint records + warm-start carry).
-    prestep, imp = narrow_phase(
+    prestep, imp, pcolor = narrow_phase(
         bodies, shapes, pairs, state.cache, dt, present_types=present_types,
         max_ccd=config.max_ccd_pairs,
     )
@@ -186,7 +190,7 @@ def step(state: SimState, shapes, joint_banks, dt, config: SimConfig, present_ty
         _COMPOUND in present_types or _MESH in present_types
     )
     if has_compounds:
-        cprestep, cimp, ckey, covfl = narrow_phase_compound(
+        cprestep, cimp, cpcolor, ckey, covfl = narrow_phase_compound(
             bodies, shapes, pairs, state.ccache, dt,
             config.max_compound_pairs, config.children_per_pair, config.child_window,
             present_types=present_types,
@@ -202,13 +206,17 @@ def step(state: SimState, shapes, joint_banks, dt, config: SimConfig, present_ty
 
     # --- Solve (substepped TGS; includes all pose/velocity integration).
     banks = {
-        name: dict(joint_banks[name], impulse=state.joint_impulses[name])
+        name: dict(
+            joint_banks[name],
+            impulse=state.joint_impulses[name],
+            color=state.joint_colors[name],
+        )
         for name in joint_banks
     }
-    contact_banks = [(prestep, imp)]
+    contact_banks = [(prestep, imp, pcolor)]
     if has_compounds:
-        contact_banks.append((cprestep, cimp))
-    bodies, imps, joint_imps, solver_overflow = solve_all(
+        contact_banks.append((cprestep, cimp, cpcolor))
+    bodies, imps, joint_imps, solver_overflow, ccolors, jcolors = solve_all(
         bodies, contact_banks, banks, config.integrator, config.solve_config(), dt
     )
     imp = imps[0]
@@ -218,12 +226,12 @@ def step(state: SimState, shapes, joint_banks, dt, config: SimConfig, present_ty
         sleep_presteps = [prestep] + ([cprestep] if has_compounds else [])
         bodies = update_sleep(bodies, sleep_presteps, banks, dt, config.sleep_time)
 
-    # --- Persist warm-start data.
-    cache = update_cache(prestep, imp, config.body_capacity)
+    # --- Persist warm-start data (impulses + solver colors).
+    cache = update_cache(prestep, imp, config.body_capacity, ccolors[0])
     overflow = pairs.overflow | solver_overflow
     contact_count = jnp.sum(prestep.contact_mask & prestep.valid[:, None])
     if has_compounds:
-        ccache = update_cache_keyed(cprestep, imps[1], ckey)
+        ccache = update_cache_keyed(cprestep, imps[1], ckey, ccolors[1])
         overflow = overflow | covfl
         contact_count = contact_count + jnp.sum(
             cprestep.contact_mask & cprestep.valid[:, None]
@@ -236,7 +244,16 @@ def step(state: SimState, shapes, joint_banks, dt, config: SimConfig, present_ty
         contact_count=contact_count,
         overflow=overflow,
     )
-    return SimState(bodies, cache, ccache, joint_imps), diag
+    return SimState(bodies, cache, ccache, joint_imps, jcolors), diag
+
+
+# Public step: value semantics, no donation — safe to keep using the input state.
+step = functools.partial(jax.jit, static_argnames=("config", "present_types"))(_step_impl)
+
+# Internal step for Simulation.timestep: donates the (dead) previous state.
+_step_donated = functools.partial(
+    jax.jit, static_argnames=("config", "present_types"), donate_argnames=_DONATE
+)(_step_impl)
 
 
 @functools.partial(
@@ -249,7 +266,7 @@ def step_n(state: SimState, shapes, joint_banks, dt, config: SimConfig, present_
 
     def body(carry, _):
         st, overflow = carry
-        st, diag = step(st, shapes, joint_banks, dt, config, present_types)
+        st, diag = _step_impl(st, shapes, joint_banks, dt, config, present_types)
         return (st, overflow | diag.overflow), diag
 
     (state, overflow), diags = jax.lax.scan(body, (state, jnp.bool_(False)), None, length=n)
@@ -266,6 +283,7 @@ class Simulation:
         self._host = BodyBuffer(config.body_capacity)
         self.joints: dict = {}  # name -> JointTypeStore
         self._state: Optional[SimState] = None
+        self._colors_stale = False
         self._dirty = True
         self.last_diag: Optional[StepDiagnostics] = None
         self._next_collision_group = 1
@@ -295,6 +313,8 @@ class Simulation:
     def remove_body(self, handle: int) -> None:
         self._sync_from_device()
         self._dirty = True
+        # The slot may be recycled with a different kind → carried colors invalid.
+        self._colors_stale = True
         self._host.remove(handle)
 
     @property
@@ -347,6 +367,8 @@ class Simulation:
             self._host.load(self._state.bodies)
             for name, imps in self._state.joint_impulses.items():
                 self.joints[name].load_impulses(imps)
+                if name in self._state.joint_colors:
+                    self.joints[name].load_colors(self._state.joint_colors[name])
             self._dirty = True  # host is now the source of truth
 
     def _push(self) -> None:
@@ -364,7 +386,21 @@ class Simulation:
             for name, store in self.joints.items()
             if store.count > 0
         }
-        self._state = SimState(self._host.device(), cache, ccache, joint_imps)
+        if self._colors_stale:
+            # A body's dynamic/kinematic kind changed (or a slot was recycled): the
+            # carried-color conflict structure is invalid — forget all persisted colors;
+            # constraints re-propose over the next frames (Jacobi-solved meanwhile).
+            cache = cache._replace(color=jnp.full_like(cache.color, -1))
+            ccache = ccache._replace(color=jnp.full_like(ccache.color, -1))
+            for store in self.joints.values():
+                store.color[:] = -1
+            self._colors_stale = False
+        joint_colors = {
+            name: jnp.asarray(store.color)
+            for name, store in self.joints.items()
+            if store.count > 0
+        }
+        self._state = SimState(self._host.device(), cache, ccache, joint_imps, joint_colors)
         self._dirty = False
 
     @property
@@ -420,6 +456,7 @@ class Simulation:
             raise ValueError("set_body_kind supports dynamic/kinematic only")
         self._sync_from_device()
         self._dirty = True
+        self._colors_stale = True  # kind flips conflict structure; drop carried colors
         h = self._host
         h.kind[handle] = kind
         if kind == KIND_KINEMATIC:
@@ -688,7 +725,7 @@ class Simulation:
             if store.count > 0
         }
         present = tuple(sorted({int(t) for t in self.shapes.types if t >= 0}))
-        self._state, self.last_diag = step(
+        self._state, self.last_diag = _step_donated(
             _dedupe_donated(self._state), self.shapes.device(), banks, jnp.float32(dt),
             self.config, present,
         )

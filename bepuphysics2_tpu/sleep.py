@@ -98,7 +98,13 @@ def wake_touched(state: BodyState, prestep) -> BodyState:
 
 
 def update_sleep(state: BodyState, presteps, joint_banks: dict, dt, sleep_time: float) -> BodyState:
-    """Post-solve candidacy update + island sleep decision."""
+    """Post-solve candidacy update + island sleep decision.
+
+    The island label propagation (LABEL_ROUNDS scatter-min/pointer-jump rounds — measured
+    3 ms/step at 4k bodies) only matters when some body's timer has actually crossed
+    ``sleep_time``; active scenes skip it entirely behind a runtime ``lax.cond`` — the
+    analogue of the reference only traversing a tested fraction of candidate islands per
+    frame (IslandSleeper.cs:28-38)."""
     n = state.pos.x.shape[0]
     dyn_awake = (state.kind == KIND_DYNAMIC) & state.awake
 
@@ -108,21 +114,29 @@ def update_sleep(state: BodyState, presteps, joint_banks: dict, dt, sleep_time: 
     timer = jnp.where(dyn_awake & below, state.sleep_timer + dt, 0.0)
     candidate = dyn_awake & below & can_sleep & (timer > sleep_time)
 
-    labels = compute_islands(state, presteps, joint_banks)
-    # Island sleeps iff every dynamic awake member is a candidate.
-    island_all = jnp.ones(n, bool)
-    island_all = island_all.at[jnp.where(dyn_awake, labels, n)].min(candidate, mode="drop")
-    go_sleep = dyn_awake & island_all[labels]
+    def sleep_pass(_):
+        labels = compute_islands(state, presteps, joint_banks)
+        # Island sleeps iff every dynamic awake member is a candidate.
+        island_all = jnp.ones(n, bool)
+        island_all = island_all.at[jnp.where(dyn_awake, labels, n)].min(
+            candidate, mode="drop"
+        )
+        go_sleep = dyn_awake & island_all[labels]
 
-    zero = jnp.zeros_like(state.vel.x)
-    from .utils.vec import Vec3
+        zero = jnp.zeros_like(state.vel.x)
+        from .utils.vec import Vec3
 
-    sleeping_vel = state.vel.where(~go_sleep, Vec3(zero, zero, zero))
-    sleeping_omega = state.omega.where(~go_sleep, Vec3(zero, zero, zero))
-    return state._replace(
-        awake=state.awake & ~go_sleep,
-        vel=sleeping_vel,
-        omega=sleeping_omega,
-        sleep_timer=timer,
-        sleep_island=jnp.where(go_sleep, labels, state.sleep_island),
-    )
+        sleeping_vel = state.vel.where(~go_sleep, Vec3(zero, zero, zero))
+        sleeping_omega = state.omega.where(~go_sleep, Vec3(zero, zero, zero))
+        return state._replace(
+            awake=state.awake & ~go_sleep,
+            vel=sleeping_vel,
+            omega=sleeping_omega,
+            sleep_timer=timer,
+            sleep_island=jnp.where(go_sleep, labels, state.sleep_island),
+        )
+
+    def no_candidates(_):
+        return state._replace(sleep_timer=timer)
+
+    return jax.lax.cond(jnp.any(candidate), sleep_pass, no_candidates, None)

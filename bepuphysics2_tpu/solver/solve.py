@@ -46,7 +46,7 @@ from ..constraints.contact import BodyVel, ContactImpulses, ContactPrestep, Gath
 from ..constraints.joints import JOINT_TYPES, ONE_BODY_NAMES, JointContext, MultiBodyContext
 from ..integrator import IntegratorConfig, integrate_poses, integrate_velocities
 from ..utils.vec import Quat, Sym3, Vec3
-from .coloring import color_constraints_kary, jacobi_valence_kary
+from .coloring import color_constraints_incremental, jacobi_valence_kary
 from ..utils.packing import gather_rows
 
 
@@ -61,6 +61,11 @@ class SolveConfig:
     # capacity-aware coloring defers over-cap rows to later colors, so larger factors
     # trade more per-pass math for less Jacobi spill.
     color_cap_factor: float = 1.5
+    # Incremental coloring (colors persist across frames through the pair cache): number
+    # of conflict-resolution rounds per frame and the churn compaction capacity (None =
+    # table/4). Rows that miss out solve in the Jacobi bucket and retry next frame.
+    color_rounds: int = 3
+    color_churn_cap: int = None
 
 
 # ---------------------------------------------------------------------------------------
@@ -154,9 +159,13 @@ def solve_all(
     axis_name: str = None,
 ):
     """Run the full substepped solve over contact banks + joint banks.
-    ``contact_banks``: list of (ContactPrestep, ContactImpulses) — e.g. the body-pair bank
-    and the compound-child bank.
-    Returns (state, [contact_impulses...], {name: jimps}, overflow) — ``overflow`` is True
+    ``contact_banks``: list of (ContactPrestep, ContactImpulses[, prev_color]) — e.g. the
+    body-pair bank and the compound-child bank. ``prev_color`` ((M,) int32, -1 = none) is
+    last frame's solver color carried through the pair cache; omitted → fresh coloring.
+    ``joint_banks[name]`` may carry a "color" entry with the same meaning.
+    Returns (state, [contact_impulses...], {name: jimps}, overflow,
+    [contact_colors...], {name: jcolors}) — the colors are persistable assignments
+    (-1 = Jacobi/unassigned, retried next frame). ``overflow`` is True
     iff the compacted Jacobi bucket spilled (a capacity diagnostic, like broad-phase pair
     overflow; spilled rows are reported, not silently mis-solved).
 
@@ -172,6 +181,17 @@ def solve_all(
     inv_h = cfg.substeps / dt
     n_bodies = state.pos.x.shape[0]
     bank_names = sorted(joint_banks.keys())
+    # Normalize contact banks to (prestep, impulses) + carried colors.
+    prev_colors_c = []
+    _norm = []
+    for cb in contact_banks:
+        ps_, im_ = cb[0], cb[1]
+        pc_ = cb[2] if len(cb) > 2 and cb[2] is not None else jnp.full(
+            ps_.body_a.shape[0], -1, jnp.int32
+        )
+        _norm.append((ps_, im_))
+        prev_colors_c.append(pc_)
+    contact_banks = _norm
     n_cbanks = len(contact_banks)
     bucketed = axis_name is None
     C = cfg.num_colors
@@ -228,14 +248,25 @@ def solve_all(
         groups.append((name, refs, dyn, v))
         off_running += m
 
+    # Carried colors per group, same order as ``groups`` (contacts then joint banks).
+    prev_list = list(prev_colors_c) + [
+        joint_banks[name].get(
+            "color", jnp.full(joint_banks[name]["bodies"].shape[0], -1, jnp.int32)
+        )
+        for name in bank_names
+    ]
+
     # Global constraint table: identical on every device under sharding, so the greedy
     # coloring result is identical too — the invariant that makes per-color psum exact.
     g_refs = [gather_global(g[1]) for g in groups]
     all_refs = jnp.concatenate(g_refs, axis=0)
     all_dyn = jnp.concatenate([gather_global(g[2]) for g in groups], axis=0)
     all_valid = jnp.concatenate([gather_global(g[3]) for g in groups], axis=0)
-    all_color, all_rank = color_constraints_kary(
-        all_refs, all_dyn, all_valid, n_bodies, C, segments=segments or None
+    all_prev = jnp.concatenate([gather_global(pc) for pc in prev_list], axis=0)
+    all_color, all_rank = color_constraints_incremental(
+        all_refs, all_dyn, all_valid, all_prev, n_bodies, C,
+        segments=segments or None, rounds=cfg.color_rounds,
+        churn_cap=cfg.color_churn_cap,
     )
 
     dev = jax.lax.axis_index(axis_name) if axis_name else 0
@@ -248,6 +279,21 @@ def solve_all(
         colors[key] = jax.lax.dynamic_slice_in_dim(all_color[off : off + m_g], dev * m, m)
         ranks[key] = jax.lax.dynamic_slice_in_dim(all_rank[off : off + m_g], dev * m, m)
         off += m_g
+
+    # Persistable colors for the next frame (-1 = Jacobi/unassigned → re-propose).
+    persist_c = [
+        jnp.where(
+            contact_banks[ci][0].valid & (colors[f"__contacts{ci}__"] < C),
+            colors[f"__contacts{ci}__"], -1,
+        )
+        for ci in range(n_cbanks)
+    ]
+    persist_j = {
+        name: jnp.where(
+            groups[n_cbanks + gi][3] & (colors[name] < C), colors[name], -1
+        )
+        for gi, name in enumerate(bank_names)
+    }
 
     # ---- Color-bucket layout per contact bank (single-chip path) -----------------------
     overflow = jnp.bool_(False)
@@ -678,11 +724,13 @@ def solve_all(
                     contact_banks[ci][1], imps_final[ci],
                 )
             )
-        return state, imps_out, joint_imps, overflow
-    return state, list(imps_final), joint_imps, overflow
+        return state, imps_out, joint_imps, overflow, persist_c, persist_j
+    return state, list(imps_final), joint_imps, overflow, persist_c, persist_j
 
 
 def solve_contacts(state, prestep, imp, integrator_cfg, cfg, dt):
     """Single-contact-bank entry (kept for tests / minimal configs)."""
-    state, imps, _, _ = solve_all(state, [(prestep, imp)], {}, integrator_cfg, cfg, dt)
+    state, imps, _, _, _, _ = solve_all(
+        state, [(prestep, imp)], {}, integrator_cfg, cfg, dt
+    )
     return state, imps[0]

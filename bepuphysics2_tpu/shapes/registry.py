@@ -161,9 +161,20 @@ class ConvexHull:
 
     @staticmethod
     def from_points(points) -> "ConvexHull":
-        from scipy.spatial import ConvexHull as QHull
+        """Native C++ quickhull (bepuphysics2_tpu/native — the engine's own builder,
+        reference ConvexHullHelper.ComputeHull, Collidables/ConvexHullHelper.cs:87);
+        scipy qhull fallback when no toolchain is available."""
+        from .. import native
 
         pts = np.asarray(points, np.float64)
+        res = native.quickhull(pts)
+        if res is not None:
+            vert_ids, _tris, centroid, _volume = res
+            verts = pts[vert_ids] - centroid
+            return ConvexHull(tuple(map(tuple, verts.tolist())), tuple(centroid.tolist()))
+
+        from scipy.spatial import ConvexHull as QHull
+
         hull = QHull(pts)
         verts = pts[hull.vertices]
         # Volume centroid via signed tetrahedra against the hull triangulation. qhull
@@ -187,7 +198,26 @@ class ConvexHull:
 
     def compute_inertia(self, mass: float):
         """Hull inertia via tetrahedron decomposition against the centroid (reference
-        MeshInertiaHelper / ConvexHull.ComputeInertia semantics)."""
+        MeshInertiaHelper / ConvexHull.ComputeInertia semantics). Native C++ path with
+        scipy fallback (matched to 1e-6 relative by tests)."""
+        from .. import native
+
+        pts_np = np.asarray(self.points, np.float64)
+        res = native.quickhull(pts_np)
+        if res is not None:
+            _vert_ids, tris, _centroid, _volume = res
+            # About the origin, exactly like the fallback below (hull points are
+            # volume-centroid-recentered by from_points already).
+            out = native.hull_inertia(pts_np, tris, mass)
+            if out is not None:
+                inv6, inv_mass = out
+                inv = np.array(
+                    [[inv6[0], inv6[1], inv6[3]],
+                     [inv6[1], inv6[2], inv6[4]],
+                     [inv6[3], inv6[4], inv6[5]]]
+                )
+                return inv_mass, (inv[0, 0], inv[1, 1], inv[2, 2]), inv
+
         from scipy.spatial import ConvexHull as QHull
 
         pts = np.asarray(self.points, np.float64)

@@ -21,14 +21,24 @@ def main():
     from __graft_entry__ import _build_pile_sim
 
     # Solver settings match the reference benchmark (ShapePileBenchmark.cs:106 uses
-    # SolveDescription(4, 1): 4 substeps, 1 velocity iteration).
+    # SolveDescription(4, 1): 4 substeps, 1 velocity iteration). Capacities: the whole
+    # pipeline cost scales with max_pairs (measured ~linear), so the bank is sized to the
+    # measured peak demand (12.3k pairs at 4k bodies settling = 3N) + headroom, with
+    # tight color buckets (capacity-aware coloring keeps them exact) and a decoupled
+    # Jacobi slice; overflow stays False throughout the run.
     sim, config = _build_pile_sim(
         body_capacity=N_BODIES + 64,
-        max_pairs=max(6 * N_BODIES, 4096),
+        max_pairs=max(4 * N_BODIES, 4096),
         substeps=4,
         num_colors=8,
         n_bodies=N_BODIES,
     )
+    import dataclasses
+
+    sim.config = dataclasses.replace(
+        sim.config, color_cap_factor=1.0, jacobi_cap_factor=0.3
+    )
+    sim._dirty = True
 
     dt = 1.0 / 60.0
 

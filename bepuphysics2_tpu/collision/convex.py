@@ -443,11 +443,29 @@ def generic_convex_manifold(ctx: SupportCtx, orn_a: Quat) -> Manifold:
     dist, n_gjk, pa_gjk, margin = gjk_closest(ctx)
     pen_depth, n_mpr, pa_mpr, _ = mpr_penetration(ctx)
 
+    # Separating-plane certificate along the GJK direction: MPR's portal degenerates for
+    # zero-thickness shapes (raw mesh triangles) and can report bogus deep penetration
+    # for clearly separated pairs (measured: sphere 1.4 away from a triangle got depth
+    # +2.25 and launched bodies). A positive support gap along n_gjk — min over A of a·n
+    # minus max over B of b·n — PROVES separation and overrides MPR's sign. When GJK
+    # merely stalled on a genuinely penetrating pair, the gap is ≤ 0 and MPR still wins.
+    sa_cert_l, _ = support_core(
+        ctx.type_a, ctx.params_a, ctx.hull_points, ctx.hull_start_a, ctx.hull_count_a,
+        -1.0 * n_gjk,
+    )
+    sb_cert_l, _ = support_core(
+        ctx.type_b, ctx.params_b, ctx.hull_points, ctx.hull_start_b, ctx.hull_count_b,
+        ctx.orn_ab.rotate_inverse(n_gjk),
+    )
+    gap_gjk = sa_cert_l.dot(n_gjk) - (ctx.orn_ab.rotate(sb_cert_l) + ctx.pos_ab).dot(n_gjk)
+    certified_separated = gap_gjk > 1e-6
+
     # Overlap classification: GJK alone is unreliable for penetrating shapes (without an
     # origin-in-tetrahedron test it can stall at a positive face distance), so a pair is
     # overlapping when EITHER GJK reaches ~0 OR MPR's portal plane lies beyond the origin
-    # (positive core depth) — MPR's sign is exactly the containment test.
-    overlapping = (dist < 1e-6) | (pen_depth > 0.0)
+    # (positive core depth) — MPR's sign is exactly the containment test — UNLESS a
+    # separating plane was certified above.
+    overlapping = ((dist < 1e-6) | (pen_depth > 0.0)) & ~certified_separated
     # GJK's closest-point direction already points B→A; MPR's portal normal points from
     # the Minkowski interior OUT through the origin ray, which is the A→B-ish direction —
     # negate it for the B→A convention.

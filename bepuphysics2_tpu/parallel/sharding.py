@@ -138,7 +138,7 @@ def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str
             bodies, [(prestep, imp, pcolor)], banks, config.integrator,
             config.solve_config(), dt, axis_name=axis,
         )
-        cache = update_cache(prestep, imps[0], nb, ccolors[0])
+        cache = update_cache(prestep, imps[0], nb, ccolors[0], slot_live=pairs.valid)
         diag = StepDiagnostics(
             pair_count=jax.lax.psum(jnp.sum(pairs.valid), axis),
             contact_count=jax.lax.psum(

@@ -55,6 +55,8 @@ class SimConfig:
     # color_cap_factor·max_pairs/num_colors rows each; capacity-aware coloring defers
     # over-cap rows to later colors instead of dropping them.
     color_cap_factor: float = 1.5
+    # Jacobi-slice capacity fraction of the contact bank (solver/solve.py).
+    jacobi_cap_factor: float = 0.3
     broadphase: str = "auto"  # 'brute' | 'sweep' | 'auto'
     joint_capacity: int = 256  # per-type bank capacity
     # Compound/mesh expansion (collision/compound.py):
@@ -83,6 +85,7 @@ class SimConfig:
             velocity_iterations=self.velocity_iterations,
             num_colors=self.num_colors,
             color_cap_factor=self.color_cap_factor,
+            jacobi_cap_factor=self.jacobi_cap_factor,
         )
 
 
@@ -179,10 +182,12 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
             config.max_pairs, config.sweep_window,
         )
 
-    # --- Narrow phase (manifolds + constraint records + warm-start carry).
+    # --- Narrow phase (manifolds + constraint records + warm-start carry). The brute
+    # broad phase emits pairs in ascending b-major key order, so the warm-start cache is
+    # sorted by construction and the match skips its argsort.
     prestep, imp, pcolor = narrow_phase(
         bodies, shapes, pairs, state.cache, dt, present_types=present_types,
-        max_ccd=config.max_ccd_pairs,
+        max_ccd=config.max_ccd_pairs, pairs_sorted=(method == "brute"),
     )
     from .shapes.registry import COMPOUND as _COMPOUND, MESH as _MESH
 
@@ -227,7 +232,9 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
         bodies = update_sleep(bodies, sleep_presteps, banks, dt, config.sleep_time)
 
     # --- Persist warm-start data (impulses + solver colors).
-    cache = update_cache(prestep, imp, config.body_capacity, ccolors[0])
+    cache = update_cache(
+        prestep, imp, config.body_capacity, ccolors[0], slot_live=pairs.valid
+    )
     overflow = pairs.overflow | solver_overflow
     contact_count = jnp.sum(prestep.contact_mask & prestep.valid[:, None])
     if has_compounds:
@@ -594,10 +601,11 @@ class Simulation:
             pen = _np.asarray(cache_ps.penetration)
             nb = self.config.body_capacity
             for i in _np.nonzero(valid)[0]:
+                # b-major keys (collision/narrowphase.py pair_key): key = b * nb + a.
                 out.append(
                     dict(
-                        body_a=int(keys[i]) // nb,
-                        body_b=int(keys[i]) % nb,
+                        body_a=int(keys[i]) % nb,
+                        body_b=int(keys[i]) // nb,
                         impulses=pen[i].tolist(),
                     )
                 )
@@ -611,15 +619,19 @@ class Simulation:
         if self._state is None:
             return cur
         nb = self.config.body_capacity
+        # b-major keys (collision/narrowphase.py pair_key): key = b * nb + a.
         valid = _np.asarray(self._state.cache.valid)
         keys = _np.asarray(self._state.cache.key)
         for k in keys[valid]:
-            cur.add((int(k) // nb, int(k) % nb))
+            cur.add((int(k) % nb, int(k) // nb))
         cvalid = _np.asarray(self._state.ccache.valid)
         ckeys = _np.asarray(self._state.ccache.key)
+        sub_cap = self.config.children_per_pair + (
+            self.config.cc_children_per_side ** 2 if self.config.max_cc_pairs > 0 else 0
+        )
         for k in ckeys[cvalid]:
-            pk = int(k) // self.config.children_per_pair
-            cur.add((pk // nb, pk % nb))
+            pk = int(k) // sub_cap
+            cur.add((pk % nb, pk // nb))
         return cur
 
     def contact_events(self):

@@ -78,23 +78,29 @@ def compute_islands(state: BodyState, presteps, joint_banks: dict) -> jnp.ndarra
 
 def wake_touched(state: BodyState, prestep) -> BodyState:
     """Wake sleeping bodies contacted by awake dynamics — whole stored island at once
-    (reference IslandAwakener: narrow-phase touch triggers island awakening)."""
+    (reference IslandAwakener: narrow-phase touch triggers island awakening).
+    The pair-table scatters/gathers only run when anything is actually asleep
+    (runtime cond; fully-awake scenes skip this stage)."""
     n = state.pos.x.shape[0]
-    a, b = prestep.body_a, prestep.body_b
-    awake_dyn = (state.kind == KIND_DYNAMIC) & state.awake
     sleeping_dyn = (state.kind == KIND_DYNAMIC) & ~state.awake
-    touch_b = prestep.valid & awake_dyn[a] & sleeping_dyn[b]
-    touch_a = prestep.valid & awake_dyn[b] & sleeping_dyn[a]
 
-    woken_label = jnp.zeros(n, bool)
-    lbl = state.sleep_island
-    woken_label = woken_label.at[jnp.where(touch_b, lbl[b], n)].set(True, mode="drop")
-    woken_label = woken_label.at[jnp.where(touch_a, lbl[a], n)].set(True, mode="drop")
-    wake = sleeping_dyn & woken_label[lbl]
-    return state._replace(
-        awake=state.awake | wake,
-        sleep_timer=jnp.where(wake, 0.0, state.sleep_timer),
-    )
+    def wake_pass(_):
+        a, b = prestep.body_a, prestep.body_b
+        awake_dyn = (state.kind == KIND_DYNAMIC) & state.awake
+        touch_b = prestep.valid & awake_dyn[a] & sleeping_dyn[b]
+        touch_a = prestep.valid & awake_dyn[b] & sleeping_dyn[a]
+
+        woken_label = jnp.zeros(n, bool)
+        lbl = state.sleep_island
+        woken_label = woken_label.at[jnp.where(touch_b, lbl[b], n)].set(True, mode="drop")
+        woken_label = woken_label.at[jnp.where(touch_a, lbl[a], n)].set(True, mode="drop")
+        wake = sleeping_dyn & woken_label[lbl]
+        return state._replace(
+            awake=state.awake | wake,
+            sleep_timer=jnp.where(wake, 0.0, state.sleep_timer),
+        )
+
+    return jax.lax.cond(jnp.any(sleeping_dyn), wake_pass, lambda _: state, None)
 
 
 def update_sleep(state: BodyState, presteps, joint_banks: dict, dt, sleep_time: float) -> BodyState:

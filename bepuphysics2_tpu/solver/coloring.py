@@ -186,6 +186,33 @@ def color_constraints_incremental(
     scolor = jnp.full(churn_cap, C, jnp.int32)
     sactive = live
 
+    # Capacity awareness: per (segment, color) remaining slots after carried rows. Churn
+    # rows must not propose a FULL color — without this, demand skew toward low colors
+    # demotes the overflow to the Jacobi bucket every frame FOREVER (the demoted rows
+    # re-propose the same full color next frame). Tracked per round: winners decrement.
+    if segments:
+        cols = jnp.arange(C, dtype=jnp.int32)
+        seg_index = jnp.full(m, -1, jnp.int32)
+        seg_remaining = []  # python list of (C,) arrays, one per segment
+        for si, (start, size, cap) in enumerate(segments):
+            seg_index = seg_index.at[start : start + size].set(si)
+            kseg = jax.lax.dynamic_slice_in_dim(carried, start, size)
+            cseg = jax.lax.dynamic_slice_in_dim(jnp.where(carried, prev_color, C), start, size)
+            counts = jnp.sum(
+                (cseg[:, None] == cols[None, :]) & kseg[:, None], axis=0
+            )
+            seg_remaining.append(cap - counts)
+        s_seg = seg_index[sel]  # (cc,) segment id per churn row, -1 = uncapped
+
+        def full_bits_row():
+            bits = jnp.zeros(churn_cap, jnp.int32)
+            for si in range(len(segments)):
+                fb = jnp.sum(jnp.where(seg_remaining[si] <= 0, jnp.int32(1) << cols, 0))
+                bits = jnp.where(s_seg == si, fb, bits)
+            return bits
+    else:
+        s_seg = None
+
     sink = jnp.int32(n_bodies * C)
     _BIGP = jnp.int32(2**31 - 1)
     for _ in range(rounds):
@@ -196,6 +223,8 @@ def color_constraints_incremental(
         for j in range(1, k):
             used_row = used_row | ub[:, j]
         avail = (~used_row) & maskC
+        if segments:
+            avail = avail & ~full_bits_row()
         has = sactive & (avail != 0)
         # Lowest free color starting from the per-row preferred offset.
         rot = ((avail >> pref) | (avail << (C - pref))) & maskC
@@ -216,6 +245,12 @@ def color_constraints_incremental(
         used = used.at[jnp.where(sdyn, srefs, n_bodies).reshape(-1)].add(
             jnp.broadcast_to(wbit[:, None], (churn_cap, k)).reshape(-1)
         )
+        if segments:
+            for si in range(len(segments)):
+                won_here = win & (s_seg == si)
+                seg_remaining[si] = seg_remaining[si] - jnp.sum(
+                    (prop[:, None] == cols[None, :]) & won_here[:, None], axis=0
+                )
 
     color = color.at[jnp.where(live, sel, m)].set(scolor, mode="drop")
 

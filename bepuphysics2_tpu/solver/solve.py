@@ -66,6 +66,9 @@ class SolveConfig:
     # table/4). Rows that miss out solve in the Jacobi bucket and retry next frame.
     color_rounds: int = 3
     color_churn_cap: int = None
+    # Jacobi-slice capacity as a fraction of each contact bank (independent of the color
+    # caps so aggressive color_cap_factor tuning can't drop demoted rows).
+    jacobi_cap_factor: float = 0.3
 
 
 # ---------------------------------------------------------------------------------------
@@ -304,12 +307,19 @@ def solve_all(
             mi = ps.body_a.shape[0]
             cap = caps[ci]
             ncap = C * cap
-            B = ncap + cap
+            # The Jacobi slice gets its OWN capacity: tight color caps (small
+            # color_cap_factor) shrink the per-pass banks, but demoted/over-valence rows
+            # land here and must never be dropped — size it by jacobi_cap_factor of the
+            # bank instead of one color cap.
+            jcap = min(
+                _round_up(max(8, int(cfg.jacobi_cap_factor * mi)), 8), _round_up(mi, 8)
+            )
+            B = ncap + jcap
             col = colors[f"__contacts{ci}__"]
             rnk = ranks[f"__contacts{ci}__"]
             jac = ps.valid & (col == C)
             rank_j = jnp.cumsum(jac.astype(jnp.int32)) - 1
-            kept_j = jac & (rank_j < cap)
+            kept_j = jac & (rank_j < jcap)
             overflow = overflow | jnp.any(jac & ~kept_j)
             pos = jnp.where(
                 ps.valid & (col < C),

@@ -70,7 +70,8 @@ def validate(sim) -> None:
     nb = sim.config.body_capacity
     keys = np.asarray(state.cache.key)
     valid = np.asarray(state.cache.valid)
-    ca, cb = keys[valid] // nb, keys[valid] % nb
+    # b-major keys (collision/narrowphase.py pair_key): key = b * nb + a
+    cb, ca = keys[valid] // nb, keys[valid] % nb
     _check(
         bool(((ca >= 0) & (ca < nb) & (cb >= 0) & (cb < nb)).all()),
         "contact cache key out of range",

@@ -219,7 +219,7 @@ def grid(
     awake,
     group,
     max_pairs: int,
-    cell_size: float,
+    cell_size: float = 0.0,
     cell_capacity: int = 16,
     max_large: int = 64,
 ) -> PairList:
@@ -235,6 +235,14 @@ def grid(
     Bodies larger than a cell (ground slabs, meshes) form a 'large' set tested against
     everyone.
 
+    ``cell_size <= 0`` → ADAPTIVE: 1.3 × the median live AABB extent, recomputed per
+    frame (a traced value — no recompilation), so fast-moving frames with big
+    velocity-expanded boxes automatically use coarser cells (roadmap: grid tuning under
+    velocity expansion). All candidate feature fetches go through ONE packed (N, 8) row
+    matrix — per-candidate scalar gathers of aabb/kind/group cost ~16 separate 1D
+    gathers over N·stencil indices and dominated the whole step (measured 290 ms at 16k
+    bodies before packing).
+
     Overflow (cell fuller than cell_capacity, per-body pair count > 32, more large bodies
     than max_large, or more pairs than max_pairs) is detected and reported, never silent.
     """
@@ -247,10 +255,17 @@ def grid(
     center = (aabb_min + aabb_max) * 0.5
     ext = aabb_max - aabb_min
     max_ext = jnp.maximum(ext.x, jnp.maximum(ext.y, ext.z))
-    large = exists & (max_ext > cell_size)
+    if cell_size and cell_size > 0:
+        cs = jnp.float32(cell_size)
+    else:
+        # Median live extent × 1.3: bodies beyond it form the 'large' set. The median is
+        # robust to a few huge statics (ground slabs, meshes).
+        live_ext = jnp.where(exists, max_ext, jnp.nan)
+        cs = jnp.maximum(jnp.nanmedian(live_ext) * 1.3, 1e-3)
+    large = exists & (max_ext > cs)
     small = exists & ~large
 
-    inv_cs = 1.0 / cell_size
+    inv_cs = 1.0 / cs
     cx = jnp.floor(center.x * inv_cs).astype(jnp.int32) & 1023
     cy = jnp.floor(center.y * inv_cs).astype(jnp.int32) & 1023
     cz = jnp.floor(center.z * inv_cs).astype(jnp.int32) & 1023
@@ -263,6 +278,20 @@ def grid(
     order = jnp.argsort(key).astype(jnp.int32)
     sorted_key = key[order]
     my_sorted_pos = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+
+    # Packed per-body features: aabb min/max + flags/group, ONE row gather per candidate
+    # matrix instead of ~16 scalar 1D gathers (utils/packing.py rationale). float32 holds
+    # the int fields exactly (|group| < 2^24).
+    flags = (
+        small.astype(jnp.float32)
+        + 2.0 * active_dynamic.astype(jnp.float32)
+        + 4.0 * exists.astype(jnp.float32)
+    )
+    feat = jnp.stack(
+        [aabb_min.x, aabb_min.y, aabb_min.z, aabb_max.x, aabb_max.y, aabb_max.z,
+         group.astype(jnp.float32), flags],
+        axis=-1,
+    )  # (N, 8)
 
     # Half stencil: own cell (same-cell pairs deduped by sorted position) + 13 forward
     # neighbors — each unordered adjacent-cell pair appears in exactly one direction.
@@ -290,36 +319,49 @@ def grid(
     cand_ok = jnp.concatenate(ok_cols, axis=1)
     overflow_cell = jnp.any(jnp.where(small, cell_count, 0) > K)
 
-    def overlap(i, j):
+    g = feat[cand]  # (N, 14K, 8) — the single candidate row gather
+    g_min = Vec3(g[..., 0], g[..., 1], g[..., 2])
+    g_max = Vec3(g[..., 3], g[..., 4], g[..., 5])
+    g_group = g[..., 6]
+    g_flags = g[..., 7]
+    g_small = jnp.mod(g_flags, 2.0) >= 1.0
+    g_active = jnp.mod(jnp.floor(g_flags / 2.0), 2.0) >= 1.0
+
+    def overlap_pk(lo, hi):
         return (
-            (aabb_min.x[i] <= aabb_max.x[j]) & (aabb_max.x[i] >= aabb_min.x[j])
-            & (aabb_min.y[i] <= aabb_max.y[j]) & (aabb_max.y[i] >= aabb_min.y[j])
-            & (aabb_min.z[i] <= aabb_max.z[j]) & (aabb_max.z[i] >= aabb_min.z[j])
+            (aabb_min.x[:, None] <= hi.x) & (aabb_max.x[:, None] >= lo.x)
+            & (aabb_min.y[:, None] <= hi.y) & (aabb_max.y[:, None] >= lo.y)
+            & (aabb_min.z[:, None] <= hi.z) & (aabb_max.z[:, None] >= lo.z)
         )
 
     me = jnp.arange(n)[:, None]
-    group_ok = (group[:, None] != group[cand]) | (group == 0)[:, None]
+    groupf = group.astype(jnp.float32)
+    group_ok = (groupf[:, None] != g_group) | (group == 0)[:, None]
     pair_ok = (
         cand_ok
         & small[:, None]
-        & small[cand]
-        & (active_dynamic[:, None] | active_dynamic[cand])
+        & g_small
+        & (active_dynamic[:, None] | g_active)
         & group_ok
-        & overlap(me, cand)
+        & overlap_pk(g_min, g_max)
     )
 
-    # Large bodies: test against everything (N × L).
+    # Large bodies: test against everything (N × L), same packed-row fetch.
     large_count = jnp.sum(large)
     large_idx = jnp.nonzero(large, size=max_large, fill_value=0)[0]
     large_live = jnp.arange(max_large) < large_count
-    group_ok_lg = (group[:, None] != group[large_idx][None, :]) | (group == 0)[:, None]
+    gl = feat[large_idx]  # (L, 8)
+    gl_min = Vec3(gl[None, :, 0], gl[None, :, 1], gl[None, :, 2])
+    gl_max = Vec3(gl[None, :, 3], gl[None, :, 4], gl[None, :, 5])
+    gl_active = jnp.mod(jnp.floor(gl[None, :, 7] / 2.0), 2.0) >= 1.0
+    group_ok_lg = (groupf[:, None] != gl[None, :, 6]) | (group == 0)[:, None]
     lg_ok = (
         large_live[None, :]
         & exists[:, None]
         & (large_idx[None, :] != me)
-        & (active_dynamic[:, None] | active_dynamic[large_idx][None, :])
+        & (active_dynamic[:, None] | gl_active)
         & group_ok_lg
-        & overlap(me, large_idx[None, :].repeat(n, 0))
+        & overlap_pk(gl_min, gl_max)
         # dedupe large-large: keep i < j only
         & (~large[:, None] | (me < large_idx[None, :]))
     )

@@ -68,7 +68,9 @@ class SimConfig:
     max_cc_pairs: int = 0
     cc_children_per_side: int = 4
     sweep_window: int = 64
-    grid_cell_size: float = 2.5  # ≥ max dynamic AABB extent; larger bodies → 'large' set
+    # Grid cell size: 0 = adaptive (1.3 × median live AABB extent per frame; bodies
+    # beyond it go to the 'large' set). Fixed positive values pin it.
+    grid_cell_size: float = 0.0
     grid_cell_capacity: int = 12
     grid_max_large: int = 64
     integrator: IntegratorConfig = IntegratorConfig()

@@ -126,3 +126,34 @@ def test_ray_hits_mesh_and_compound():
     assert bool(hit.hit) and abs(float(hit.t) - 5.0) < 1e-2, (hit.hit, float(hit.t))
     hit = sim.ray_cast((0, 5, 0), (0, -1, 0), 10.0)  # between the compound children
     assert not bool(hit.hit), "ray between compound children must miss"
+
+
+def test_sweep_shape_batch_matches_single():
+    """Batched sweeps (one fused dispatch over R casts — reference RayBatcher idea
+    applied to Simulation.Sweep) must agree with per-call exact sweeps."""
+    import numpy as np
+
+    from bepuphysics2_tpu import (BodyDescription, Box, SimConfig, Simulation, Sphere,
+                                  StaticDescription)
+
+    sim = Simulation(SimConfig(body_capacity=16, max_pairs=32, substeps=2, num_colors=2))
+    g = sim.add_shape(Box(20.0, 0.5, 20.0))
+    sim.add_static(StaticDescription(position=(0, -0.5, 0), shape=g))
+    s = Sphere(0.5)
+    ss = sim.add_shape(s)
+    sim.add_body(BodyDescription.dynamic((0, 3.0, 0), ss, 1.0, s))
+    sim.timestep(1 / 60.0)
+
+    probe = Sphere(0.2)
+    positions = np.array([[0, 8.0, 0], [5.0, 8.0, 0], [0, 8.0, 5.0]], np.float32)
+    velocities = np.tile(np.array([0, -10.0, 0], np.float32), (3, 1))
+    batch = sim.sweep_shape_batch(probe, positions, velocities, max_t=3.0)
+    for i in range(3):
+        single = sim.sweep_shape(probe, tuple(positions[i]), tuple(velocities[i]), max_t=3.0)
+        assert bool(batch.hit[i]) == bool(single.hit)
+        if bool(single.hit):
+            assert abs(float(batch.t[i]) - float(single.t)) < 1e-5
+            assert int(batch.body[i]) == int(single.body)
+    # The central ray hits the dynamic sphere first; the offset ones hit the ground.
+    assert bool(batch.hit[0]) and int(batch.body[0]) == 1
+    assert bool(batch.hit[1]) and int(batch.body[1]) == 0

@@ -100,12 +100,22 @@ def compute_body_bounds(pos, orn, vel, omega, shape_id, shapes: ShapeData, dt):
     lo = pos + center - ext
     hi = pos + center + ext
 
+    # Angular worst case: a point at max radius moves at most |w|*dt*r (chord upper
+    # bound). Two exact tightenings that keep spinning bodies out of the broad phase's
+    # 'large' set: spheres are rotation-invariant (zero expansion), and NO rotation can
+    # carry the shape outside its bounding sphere — clamp the expanded box to
+    # pos ± max_radius (the reference's BoundingBoxHelpers uses the same
+    # min(angular expansion, maximumRadius) style bound).
+    ang = jnp.where(
+        stype == SPHERE, 0.0, jnp.minimum(omega.length() * dt, jnp.pi) * max_radius
+    )
+    ang_v = Vec3(ang, ang, ang)
+    r_v = Vec3(max_radius, max_radius, max_radius)
+    lo = (lo - ang_v).max(pos - r_v)
+    hi = (hi + ang_v).min(pos + r_v)
+
     # Linear sweep: expand toward the displacement direction.
     disp = vel * dt
     lo = lo + disp.min(Vec3.zeros(disp.x.shape))
     hi = hi + disp.max(Vec3.zeros(disp.x.shape))
-
-    # Angular worst case: a point at max radius moves at most |w|*dt*r (chord upper bound).
-    ang = jnp.minimum(omega.length() * dt, jnp.pi) * max_radius
-    ang_v = Vec3(ang, ang, ang)
-    return lo - ang_v, hi + ang_v
+    return lo, hi

@@ -71,8 +71,10 @@ class SimConfig:
     # Grid cell size: 0 = adaptive (1.3 × median live AABB extent per frame; bodies
     # beyond it go to the 'large' set). Fixed positive values pin it.
     grid_cell_size: float = 0.0
-    grid_cell_capacity: int = 12
-    grid_max_large: int = 64
+    grid_cell_capacity: int = 16
+    # 'Large' set capacity: statics (ground slabs, meshes) plus any body whose
+    # velocity/spin-expanded AABB exceeds the cell this frame.
+    grid_max_large: int = 256
     integrator: IntegratorConfig = IntegratorConfig()
     # Sleeping (reference IslandSleeper velocity/timer heuristic, IslandSleeper.cs:28):
     enable_sleep: bool = True

@@ -23,6 +23,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..bodies import KIND_DYNAMIC, KIND_EMPTY
+from ..utils.packing import compact_true
 from ..utils.vec import Vec3
 
 
@@ -86,8 +87,16 @@ def brute_force(
     row_counts = jnp.sum(mask, axis=1)
 
     count = jnp.sum(jnp.minimum(row_counts, k))  # pairs actually harvested
-    ai, ki = jnp.nonzero(valid_rk, size=max_pairs, fill_value=0)
-    bi = cols[ai, ki]
+    fi, _ = compact_true(valid_rk, max_pairs)
+    # One payload ROW gather instead of a (row, col) 2D element gather (~30 ns/element
+    # × max_pairs — see grid2 decode note).
+    payload = jnp.stack(
+        [jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, k)), cols],
+        axis=-1,
+    ).reshape(n * k, 2)
+    pr = payload[fi]
+    ai = pr[:, 0]
+    bi = pr[:, 1]
     valid = jnp.arange(max_pairs) < count
     overflow = (count > max_pairs) | jnp.any(row_counts > k)
     # Row index is the larger body (lower-triangle mask); report pairs as (a < b).
@@ -128,7 +137,9 @@ def brute_force_rows(
     lower = rows[:, None] > jnp.arange(n)[None, :]
     mask = overlap & both_exist & either_active & group_ok & lower
     count = jnp.sum(mask)
-    ai, bi = jnp.nonzero(mask, size=max_pairs, fill_value=0)
+    fi, _ = compact_true(mask, max_pairs)
+    ai = fi // n
+    bi = fi % n
     valid = jnp.arange(max_pairs) < count
     return PairList(
         bi.astype(jnp.int32),
@@ -202,7 +213,9 @@ def sweep(aabb_min: Vec3, aabb_max: Vec3, kind, awake, group, max_pairs: int, wi
     cand = jnp.minimum(jax.vmap(lambda rc: jnp.searchsorted(rc, ks))(row_cum), window - 1)
     valid_rk = (ks - 1)[None, :] < row_counts[:, None]
     count = jnp.sum(jnp.minimum(row_counts, k))
-    ii, ki = jnp.nonzero(valid_rk, size=max_pairs, fill_value=0)
+    fi, _ = compact_true(valid_rk, max_pairs)
+    ii = fi // k
+    ki = fi % k
     jj = cand[ii, ki]
     orig_i = order[ii]
     orig_j = order[jnp.minimum(ii + 1 + jj, n - 1)]
@@ -211,6 +224,209 @@ def sweep(aabb_min: Vec3, aabb_max: Vec3, kind, awake, group, max_pairs: int, wi
     valid = jnp.arange(max_pairs) < count
     overflow = (count > max_pairs) | overflow_window | jnp.any(row_counts > k)
     return PairList(a, b, valid, overflow)
+
+def grid2(
+    aabb_min: Vec3,
+    aabb_max: Vec3,
+    kind,
+    awake,
+    group,
+    max_pairs: int,
+    cell_size: float = 0.0,
+    cell_capacity: int = 16,
+    max_large: int = 64,
+    entry_factor: int = 7,
+    cell_factor: float = 1.2,
+) -> PairList:
+    """Replicated-cell-entry broad phase — the gather-free large-N structure.
+
+    The stencil grid (``grid``) gathers (N, 14·K) candidate rows per frame; XLA tiles the
+    (rows, 8) gather output (8, 128) → 16x lane padding → a 14 GB temp at 64k bodies
+    (HBM OOM; BASELINE.md roadmap item 2), and the gather itself costs ~N·stencil serial
+    row fetches. This design inverts it: each small body INSERTS an entry into every cell
+    its AABB overlaps (≤ 8 cells when extent ≤ cell size), entries are sorted once by
+    cell key (stable argsort of 8N int32 — cheap), and candidate pairs are entries within
+    ``cell_capacity`` positions in sorted order with equal keys — pure shift/roll
+    comparisons with NO gathers beyond one packed (E_CAP, 8) feature fetch. A pair
+    sharing several cells is deduplicated by the HOME-CELL rule: it is emitted only from
+    the cell containing max(min_a, min_b) (the min corner of the AABB intersection, which
+    lies in a cell both bodies occupy — component-wise, so exactly one cell).
+
+    Capacities (all overflow-detected, never silent): E_CAP = entry_factor·N sorted
+    entries; same-cell window = cell_capacity; per-entry emitted pairs ≤ 8;
+    ``max_large`` oversized bodies (extent > cell) tested against everyone.
+
+    ``cell_size <= 0`` → adaptive: cell_factor × median live AABB extent (traced value,
+    no recompile). Larger cells mean fewer entries per body but more bodies per cell.
+    """
+    import jax
+
+    n = kind.shape[0]
+    exists = kind != KIND_EMPTY
+    active_dynamic = (kind == KIND_DYNAMIC) & awake
+
+    ext = aabb_max - aabb_min
+    max_ext = jnp.maximum(ext.x, jnp.maximum(ext.y, ext.z))
+    if cell_size and cell_size > 0:
+        cs = jnp.float32(cell_size)
+    else:
+        live_ext = jnp.where(exists, max_ext, jnp.nan)
+        cs = jnp.maximum(jnp.nanmedian(live_ext) * jnp.float32(cell_factor), 1e-3)
+    large = exists & (max_ext > cs)
+    small = exists & ~large
+    inv_cs = 1.0 / cs
+
+    # Min-corner cell + whether the AABB crosses into the next cell per axis.
+    c0x = jnp.floor(aabb_min.x * inv_cs).astype(jnp.int32)
+    c0y = jnp.floor(aabb_min.y * inv_cs).astype(jnp.int32)
+    c0z = jnp.floor(aabb_min.z * inv_cs).astype(jnp.int32)
+    ox = (jnp.floor(aabb_max.x * inv_cs).astype(jnp.int32) > c0x) & small
+    oy = (jnp.floor(aabb_max.y * inv_cs).astype(jnp.int32) > c0y) & small
+    oz = (jnp.floor(aabb_max.z * inv_cs).astype(jnp.int32) > c0z) & small
+
+    def cell_key(ix, iy, iz):
+        return ((ix & 1023) << 20) | ((iy & 1023) << 10) | (iz & 1023)
+
+    BIGKEY = jnp.int32(2**31 - 1)
+    # 8 entry slots per body; slot j = (dx, dy, dz) bits of j.
+    dx = jnp.arange(8, dtype=jnp.int32) & 1
+    dy = (jnp.arange(8, dtype=jnp.int32) >> 1) & 1
+    dz = (jnp.arange(8, dtype=jnp.int32) >> 2) & 1
+    evalid = (
+        small[:, None]
+        & ((dx[None, :] == 0) | ox[:, None])
+        & ((dy[None, :] == 0) | oy[:, None])
+        & ((dz[None, :] == 0) | oz[:, None])
+    )
+    ekey = jnp.where(
+        evalid,
+        cell_key(c0x[:, None] + dx[None, :], c0y[:, None] + dy[None, :],
+                 c0z[:, None] + dz[None, :]),
+        BIGKEY,
+    ).reshape(-1)
+    ebody = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, 8)
+    ).reshape(-1)
+
+    entry_count = jnp.sum(evalid)
+    E_CAP = min(_round_up_int(entry_factor * n, 128), 8 * n)
+    # ONE stable multi-operand sort carries the body payload with the keys (two 1D
+    # permute-gathers of 8N elements cost more than the sort itself — ~7ns/element).
+    # Stable: same-cell entries stay in (body, slot) order — deterministic.
+    skey, sbody = jax.lax.sort((ekey, ebody), num_keys=1, is_stable=True)
+    skey = skey[:E_CAP]
+    sbody = sbody[:E_CAP]
+    overflow_entries = entry_count > E_CAP
+
+    # Packed per-entry features: ONE row gather (see ``grid`` packing rationale).
+    flags = active_dynamic.astype(jnp.float32)
+    feat = jnp.stack(
+        [aabb_min.x, aabb_min.y, aabb_min.z, aabb_max.x, aabb_max.y, aabb_max.z,
+         group.astype(jnp.float32), flags],
+        axis=-1,
+    )  # (N, 8)
+    f = feat[sbody]  # (E_CAP, 8)
+    fmin_x, fmin_y, fmin_z = f[:, 0], f[:, 1], f[:, 2]
+    fmax_x, fmax_y, fmax_z = f[:, 3], f[:, 4], f[:, 5]
+    fgroup = f[:, 6]
+    factive = f[:, 7] >= 1.0
+
+    W = cell_capacity
+    pos_e = jnp.arange(E_CAP, dtype=jnp.int32)
+
+    def rolled(x, d):
+        return jnp.roll(x, -d, axis=0)
+
+    ok_cols = []
+    for d in range(1, W + 1):
+        in_range = (pos_e + d) < E_CAP
+        same_cell = (skey == rolled(skey, d)) & (skey != BIGKEY) & in_range
+        r_min_x, r_min_y, r_min_z = rolled(fmin_x, d), rolled(fmin_y, d), rolled(fmin_z, d)
+        overlap = (
+            (fmin_x <= rolled(fmax_x, d)) & (fmax_x >= r_min_x)
+            & (fmin_y <= rolled(fmax_y, d)) & (fmax_y >= r_min_y)
+            & (fmin_z <= rolled(fmax_z, d)) & (fmax_z >= r_min_z)
+        )
+        either_active = factive | rolled(factive, d)
+        rgroup = rolled(fgroup, d)
+        group_ok = (fgroup != rgroup) | (fgroup == 0.0)
+        # Home cell: the cell of max(min_a, min_b), wrapped like the keys.
+        hx = jnp.floor(jnp.maximum(fmin_x, r_min_x) * inv_cs).astype(jnp.int32)
+        hy = jnp.floor(jnp.maximum(fmin_y, r_min_y) * inv_cs).astype(jnp.int32)
+        hz = jnp.floor(jnp.maximum(fmin_z, r_min_z) * inv_cs).astype(jnp.int32)
+        home_here = cell_key(hx, hy, hz) == skey
+        ok_cols.append(same_cell & overlap & either_active & group_ok & home_here)
+    ok = jnp.stack(ok_cols, axis=1)  # (E_CAP, W)
+    # Window overflow: a cell with more than W+1 entries may have pairs farther apart.
+    overflow_window = jnp.any(
+        (skey == rolled(skey, W)) & (skey != BIGKEY) & ((pos_e + W) < E_CAP)
+    )
+
+    # Per-entry top_k compaction CARRYING THE PARTNER ID as the score: the winners' ids
+    # come straight out of top_k (partner ids per column are rolls of sbody — no gather),
+    # so the final decode needs no (row, col) 2D gathers (those cost ~30 ns/element ×
+    # max_pairs — they dominated the first grid2 profile at 64k).
+    KP = min(8, W)
+    pb_dense = jnp.stack([rolled(sbody, d) for d in range(1, W + 1)], axis=1)
+    pbk, _ = jax.lax.top_k(jnp.where(ok, pb_dense, -1), KP)  # (E_CAP, KP)
+    valid_rk = pbk >= 0
+    row_counts = jnp.sum(ok, axis=1)
+    overflow_rowk = jnp.any(row_counts > KP)
+
+    # ---- Large bodies: test against everything (N × L) with packed rows.
+    groupf = group.astype(jnp.float32)
+    me = jnp.arange(n)[:, None]
+    large_count = jnp.sum(large)
+    large_idx, _ = compact_true(large, max_large)
+    large_live = jnp.arange(max_large) < large_count
+    gl = feat[large_idx]  # (L, 8)
+    lg_ok = (
+        large_live[None, :]
+        & exists[:, None]
+        & (large_idx[None, :] != me)
+        & (active_dynamic[:, None] | (gl[None, :, 7] >= 1.0))
+        & ((groupf[:, None] != gl[None, :, 6]) | (group == 0)[:, None])
+        & (aabb_min.x[:, None] <= gl[None, :, 3]) & (aabb_max.x[:, None] >= gl[None, :, 0])
+        & (aabb_min.y[:, None] <= gl[None, :, 4]) & (aabb_max.y[:, None] >= gl[None, :, 1])
+        & (aabb_min.z[:, None] <= gl[None, :, 5]) & (aabb_max.z[:, None] >= gl[None, :, 2])
+        # dedupe large-large: keep i < j only
+        & (~large[:, None] | (me < large_idx[None, :]))
+    )
+    KL = min(8, max_large)
+    lidx_dense = jnp.broadcast_to(large_idx[None, :], (n, max_large))
+    lbk, _ = jax.lax.top_k(jnp.where(lg_ok, lidx_dense, -1), KL)  # (N, KL)
+    valid_lk = lbk >= 0
+    lrow_counts = jnp.sum(lg_ok, axis=1)
+    overflow_lk = jnp.any(lrow_counts > KL)
+
+    # ---- ONE compaction over both candidate sets (smalls first) + ONE payload
+    # row-gather: (a, b) rows packed next to the validity mask.
+    count = jnp.sum(jnp.minimum(row_counts, KP)) + jnp.sum(jnp.minimum(lrow_counts, KL))
+    pay_small = jnp.stack(
+        [jnp.broadcast_to(sbody[:, None], (E_CAP, KP)), pbk], axis=-1
+    ).reshape(E_CAP * KP, 2)
+    pay_large = jnp.stack(
+        [jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, KL)), lbk],
+        axis=-1,
+    ).reshape(n * KL, 2)
+    payload = jnp.concatenate([pay_small, pay_large])
+    flat_valid = jnp.concatenate([valid_rk.reshape(-1), valid_lk.reshape(-1)])
+    fi, _ = compact_true(flat_valid, max_pairs)
+    pr = payload[fi]  # one (max_pairs, 2) row gather
+    pa, pb = pr[:, 0], pr[:, 1]
+    a = jnp.minimum(pa, pb)
+    b = jnp.maximum(pa, pb)
+    valid = jnp.arange(max_pairs) < count
+    overflow = (
+        (count > max_pairs) | overflow_entries | overflow_window | overflow_rowk
+        | (large_count > max_large) | overflow_lk
+    )
+    return PairList(a, b, valid, overflow)
+
+
+def _round_up_int(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
+
 
 def grid(
     aabb_min: Vec3,
@@ -348,7 +564,7 @@ def grid(
 
     # Large bodies: test against everything (N × L), same packed-row fetch.
     large_count = jnp.sum(large)
-    large_idx = jnp.nonzero(large, size=max_large, fill_value=0)[0]
+    large_idx, _ = compact_true(large, max_large)
     large_live = jnp.arange(max_large) < large_count
     gl = feat[large_idx]  # (L, 8)
     gl_min = Vec3(gl[None, :, 0], gl[None, :, 1], gl[None, :, 2])
@@ -378,7 +594,9 @@ def grid(
     row_counts = jnp.sum(all_ok, axis=1)
 
     count = jnp.sum(jnp.minimum(row_counts, KP))
-    ai, ki = jnp.nonzero(valid_rk, size=max_pairs, fill_value=0)
+    fi, _ = compact_true(valid_rk, max_pairs)
+    ai = fi // KP
+    ki = fi % KP
     jj = all_j[ai, jnp.minimum(cols[ai, ki], all_j.shape[1] - 1)]
     a = jnp.minimum(ai.astype(jnp.int32), jj.astype(jnp.int32))
     b = jnp.maximum(ai.astype(jnp.int32), jj.astype(jnp.int32))

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from ..bodies import BodyState
 from ..shapes.registry import COMPOUND, MESH, TRIANGLE, ShapeData
-from ..utils.packing import select_col, select_cols
+from ..utils.packing import compact_true,  select_col, select_cols
 from ..utils.vec import Quat, Vec3
 
 
@@ -111,7 +111,7 @@ def expand_compound_pairs(
     both_comp = pair_valid & comp_a & comp_b  # unsupported this phase → overflow flag
 
     count = jnp.sum(is_comp & ~both_comp)
-    sel = jnp.nonzero(is_comp & ~both_comp, size=max_compound_pairs, fill_value=0)[0]
+    sel, _ = compact_true(is_comp & ~both_comp, max_compound_pairs)
     live_pair = jnp.arange(max_compound_pairs) < count
     overflow = count > max_compound_pairs
     if flag_both_comp:
@@ -266,7 +266,7 @@ def expand_compound_compound(
     both = pair_valid & comp_a & comp_b
 
     count = jnp.sum(both)
-    sel = jnp.nonzero(both, size=max_cc_pairs, fill_value=0)[0]
+    sel, _ = compact_true(both, max_cc_pairs)
     live_pair = jnp.arange(max_cc_pairs) < count
     overflow = count > max_cc_pairs
 

@@ -242,7 +242,8 @@ def narrow_phase(
             & ((cont[a] > 0) | (cont[b] > 0))
             & (rel_disp > 0.5 * jnp.minimum(ra, rb))
         )
-        sel = jnp.nonzero(risk, size=max_ccd, fill_value=0)[0]
+        from ..utils.packing import compact_true as _ct
+        sel, _ = _ct(risk, max_ccd)
         live = jnp.arange(max_ccd) < jnp.sum(risk)
         t_hit = pair_toi(state, shapes, a[sel], b[sel], live, dt)
         t_eval = (
@@ -497,7 +498,10 @@ def _warm_start_from_cache_keyed(
     else:
         sort_idx = jnp.argsort(cache.key)
         sorted_keys = cache.key[sort_idx]
-    pos = jnp.searchsorted(sorted_keys, key)
+    # method='sort': the default 'scan' lowers to a vmapped while-loop binary search
+    # (measured 3.5 ms/step at 4k bodies — the single hottest narrow-phase op); the
+    # sort-based join is one fused sort over keys+queries instead.
+    pos = jnp.searchsorted(sorted_keys, key, method="sort")
     pos_c = jnp.minimum(pos, sorted_keys.shape[0] - 1)
     hit_slot = pos_c if sort_idx is None else sort_idx[pos_c]
     hit = gather_rows(

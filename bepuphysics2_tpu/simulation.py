@@ -57,7 +57,7 @@ class SimConfig:
     color_cap_factor: float = 1.5
     # Jacobi-slice capacity fraction of the contact bank (solver/solve.py).
     jacobi_cap_factor: float = 0.3
-    broadphase: str = "auto"  # 'brute' | 'sweep' | 'auto'
+    broadphase: str = "auto"  # 'brute' | 'sweep' | 'grid' | 'grid2' | 'auto'
     joint_capacity: int = 256  # per-type bank capacity
     # Compound/mesh expansion (collision/compound.py):
     max_compound_pairs: int = 256
@@ -75,6 +75,10 @@ class SimConfig:
     # 'Large' set capacity: statics (ground slabs, meshes) plus any body whose
     # velocity/spin-expanded AABB exceeds the cell this frame.
     grid_max_large: int = 256
+    # grid2 (replicated-cell-entry) parameters: sorted-entry capacity factor (entries =
+    # entry_factor·N) and adaptive cell size factor (cell = cell_factor × median extent).
+    grid_entry_factor: int = 7
+    grid_cell_factor: float = 1.2
     integrator: IntegratorConfig = IntegratorConfig()
     # Sleeping (reference IslandSleeper velocity/timer heuristic, IslandSleeper.cs:28):
     enable_sleep: bool = True
@@ -168,11 +172,18 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
         # to several thousand bodies (measured 62ms/step full pipeline at 4k incl. solve);
         # past that the sorted grid bounds memory at O(N·stencil) and stays pair-exact
         # (size grid_cell_size ≥ the largest velocity-expanded AABB extent).
-        method = "brute" if config.body_capacity <= 8192 else "grid"
+        method = "brute" if config.body_capacity <= 8192 else "grid2"
     if method == "brute":
         pairs = bp.brute_force(
             aabb_min, aabb_max, bodies.kind, bodies.awake, bodies.collision_group,
             config.max_pairs,
+        )
+    elif method == "grid2":
+        pairs = bp.grid2(
+            aabb_min, aabb_max, bodies.kind, bodies.awake, bodies.collision_group,
+            config.max_pairs,
+            config.grid_cell_size, config.grid_cell_capacity, config.grid_max_large,
+            config.grid_entry_factor, config.grid_cell_factor,
         )
     elif method == "grid":
         pairs = bp.grid(

@@ -169,8 +169,8 @@ def color_constraints_incremental(
     )
 
     # Compact the churn set.
-    n_un = jnp.sum(unassigned)
-    sel = jnp.nonzero(unassigned, size=churn_cap, fill_value=0)[0].astype(jnp.int32)
+    from ..utils.packing import compact_true
+    sel, n_un = compact_true(unassigned, churn_cap)
     live = jnp.arange(churn_cap) < n_un
     srefs = refs[sel]
     sdyn = dyn[sel] & live[:, None]

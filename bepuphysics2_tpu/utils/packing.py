@@ -86,3 +86,21 @@ def gather_rows(tree, idx):
             out[li] = piece.astype(x.dtype)
             off += w
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def compact_true(mask: jnp.ndarray, size: int, fill: int = 0):
+    """Sort-based ``nonzero(size=)``: flat indices of True elements in ascending order,
+    padded with ``fill``. Returns (idx, count).
+
+    jnp.nonzero lowers to a full-size scatter on TPU — measured ~9 ms per MILLION input
+    elements (nonzero over 2M bools = 19 ms; it was the single hottest op family in the
+    step). One int32 key sort computes the same compaction ~7x cheaper at every size
+    (sort of 2M int32 = 2.5 ms), and the output order is identical (ascending).
+    """
+    flat = mask.reshape(-1)
+    m = flat.shape[0]
+    big = jnp.int32(2**31 - 1)
+    keys = jnp.where(flat, jnp.arange(m, dtype=jnp.int32), big)
+    s = jax.lax.sort(keys, is_stable=False)[:size]
+    count = jnp.sum(flat)
+    return jnp.where(s != big, s, fill), count

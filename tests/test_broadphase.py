@@ -61,3 +61,34 @@ def test_sweep_matches_brute(seed):
     ref = _pairs(bp.brute_force(amin, amax, kind, awake, group, 4096))
     got = _pairs(bp.sweep(amin, amax, kind, awake, group, 4096, window=127))
     assert got == ref
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 4])
+def test_grid2_matches_brute(seed):
+    amin, amax, kind, awake, group = _scene(seed)
+    ref = _pairs(bp.brute_force(amin, amax, kind, awake, group, 4096))
+    for cell in (0.0, 1.4, 2.5):  # 0 = adaptive
+        got = _pairs(
+            bp.grid2(amin, amax, kind, awake, group, 4096, cell,
+                     cell_capacity=32, max_large=32, entry_factor=8)
+        )
+        assert got == ref, (cell, len(got), len(ref), sorted(got ^ ref)[:5])
+
+
+def test_grid2_dense_cluster():
+    # Dense cluster stressing same-cell windows + boundary crossings.
+    rng = np.random.default_rng(11)
+    n = 200
+    c = rng.uniform(-2.0, 2.0, (n, 3)).astype(np.float32)
+    half = rng.uniform(0.2, 0.5, (n, 1)).astype(np.float32)
+    amin = Vec3(*(jnp.asarray((c - half)[:, k]) for k in range(3)))
+    amax = Vec3(*(jnp.asarray((c + half)[:, k]) for k in range(3)))
+    kind = jnp.full(n, KIND_DYNAMIC, jnp.int32)
+    awake = jnp.ones(n, bool)
+    group = jnp.zeros(n, jnp.int32)
+    ref = _pairs(bp.brute_force(amin, amax, kind, awake, group, 8192, row_candidates=128))
+    got = _pairs(
+        bp.grid2(amin, amax, kind, awake, group, 8192, 0.0,
+                 cell_capacity=64, max_large=16, entry_factor=8)
+    )
+    assert got == ref, (len(got), len(ref), sorted(got ^ ref)[:5])

@@ -272,6 +272,13 @@ def grid2(
     else:
         live_ext = jnp.where(exists, max_ext, jnp.nan)
         cs = jnp.maximum(jnp.nanmedian(live_ext) * jnp.float32(cell_factor), 1e-3)
+        # Clamp from below by the k-th largest live extent so at most k-1 bodies can
+        # classify as 'large' — a uniform extent distribution around the median would
+        # otherwise overflow max_large (median×factor splits the upper tail, not a
+        # fixed count).
+        k_lim = max(2, min(max_large // 2, n))
+        top_ext, _ = jax.lax.top_k(jnp.where(exists, max_ext, -jnp.inf), k_lim)
+        cs = jnp.maximum(cs, top_ext[k_lim - 1])
     large = exists & (max_ext > cs)
     small = exists & ~large
     inv_cs = 1.0 / cs
@@ -478,6 +485,11 @@ def grid(
         # robust to a few huge statics (ground slabs, meshes).
         live_ext = jnp.where(exists, max_ext, jnp.nan)
         cs = jnp.maximum(jnp.nanmedian(live_ext) * 1.3, 1e-3)
+        # Bound the large set by construction (see grid2): cell size at least the k-th
+        # largest live extent → fewer than k large bodies.
+        k_lim = max(2, min(max_large // 2, n))
+        top_ext, _ = jax.lax.top_k(jnp.where(exists, max_ext, -jnp.inf), k_lim)
+        cs = jnp.maximum(cs, top_ext[k_lim - 1])
     large = exists & (max_ext > cs)
     small = exists & ~large
 

@@ -173,6 +173,7 @@ def narrow_phase(
     present_types: tuple = None,
     max_ccd: int = 0,
     pairs_sorted: bool = False,
+    sleep_bank: PairCache = None,
 ):
     """Run all testers and build contact constraint records (+warm-started impulses).
 
@@ -305,7 +306,7 @@ def narrow_phase(
     )
 
     imp, carried_color = _warm_start_from_cache(
-        prestep, cache, n_bodies, presorted=pairs_sorted
+        prestep, cache, n_bodies, presorted=pairs_sorted, sleep_bank=sleep_bank
     )
     return prestep, imp, carried_color
 
@@ -319,12 +320,15 @@ def pair_key(body_a, body_b, n_bodies: int):
 
 
 def _warm_start_from_cache(
-    prestep: ContactPrestep, cache: PairCache, n_bodies: int, presorted: bool = False
+    prestep: ContactPrestep, cache: PairCache, n_bodies: int, presorted: bool = False,
+    sleep_bank: PairCache = None,
 ):
     """Carry accumulated impulses from last frame's records by (pair key, feature id)
     (reference NarrowPhaseConstraintUpdate impulse redistribution + PairCache.cs:78)."""
     key = pair_key(prestep.body_a, prestep.body_b, n_bodies)
-    return _warm_start_from_cache_keyed(prestep, cache, key, presorted=presorted)
+    return _warm_start_from_cache_keyed(
+        prestep, cache, key, presorted=presorted, sleep_bank=sleep_bank
+    )
 
 
 def update_cache(
@@ -365,6 +369,7 @@ def narrow_phase_compound(
     present_types: tuple = None,
     max_cc_pairs: int = 0,
     cc_children_per_side: int = 4,
+    sleep_bank: PairCache = None,
 ):
     """Compound/mesh pair path: expand into child convex records and build a second
     contact bank (see collision/compound.py). Cache keys combine (pair key, child slot).
@@ -472,12 +477,15 @@ def narrow_phase_compound(
     # Warm start: composite key = pair_key * sub_cap + subslot (stable: child enumeration
     # order is deterministic). Requires NB² · sub_cap < 2^31.
     key = pair_key(a, b, n_bodies) * sub_cap + sub
-    imp, carried_color = _warm_start_from_cache_keyed(prestep, cache, key)
+    imp, carried_color = _warm_start_from_cache_keyed(
+        prestep, cache, key, sleep_bank=sleep_bank
+    )
     return prestep, imp, carried_color, key, cp.overflow
 
 
 def _warm_start_from_cache_keyed(
-    prestep: ContactPrestep, cache: PairCache, key, presorted: bool = False
+    prestep: ContactPrestep, cache: PairCache, key, presorted: bool = False,
+    sleep_bank: PairCache = None,
 ) -> ContactImpulses:
     """Generic cache carry given explicit record keys (sorted-key lookup + feature-id
     impulse redistribution). One packed row gather fetches the whole hit record
@@ -485,7 +493,12 @@ def _warm_start_from_cache_keyed(
 
     ``presorted``: the cache's VALID records are an ascending-key prefix (true when the
     records came from the brute broad phase with b-major keys — see pair_key), so the
-    per-step argsort (measured 2.6 ms at 24k records) is skipped."""
+    per-step argsort (measured 2.6 ms at 24k records) is skipped.
+
+    ``sleep_bank``: optional sleeping-pair storage (ascending keys by construction —
+    retain_sleeping); pairs missing from the active cache match against it, so islands
+    woken this frame warm-start instead of rebuilding impulses (reference
+    PairCache_Activity)."""
     from ..utils.packing import gather_rows
 
     # Dead slots store +BIG keys at WRITE time (update_cache), so the key array is
@@ -514,6 +527,33 @@ def _warm_start_from_cache_keyed(
     )
     matched = (sorted_keys[pos_c] == key) & prestep.valid & hit["valid"]
 
+    if sleep_bank is not None:
+        spos = jnp.searchsorted(sleep_bank.key, key, method="sort")
+        spos_c = jnp.minimum(spos, sleep_bank.key.shape[0] - 1)
+        shit = gather_rows(
+            dict(
+                feature=sleep_bank.feature, penetration=sleep_bank.penetration,
+                tx=sleep_bank.tangent.x, ty=sleep_bank.tangent.y,
+                twist=sleep_bank.twist, valid=sleep_bank.valid,
+                # Colors do NOT survive sleep: while the pair slept, other constraints
+                # (awake-vs-sleeping contacts) may have claimed its (body, color) slots,
+                # so a carried color could break the conflict-free invariant. Impulses
+                # carry; the color re-proposes (-1) on the wake frame.
+                color=jnp.full_like(sleep_bank.color, -1),
+            ),
+            spos_c,
+        )
+        smatched = (
+            (sleep_bank.key[spos_c] == key) & prestep.valid & shit["valid"] & ~matched
+        )
+        hit = jax.tree_util.tree_map(
+            lambda h, s: jnp.where(
+                smatched.reshape((-1,) + (1,) * (h.ndim - 1)), s, h
+            ),
+            hit, shit,
+        )
+        matched = matched | smatched
+
     eq = (prestep.feature[:, :, None] == hit["feature"][:, None, :]) & prestep.contact_mask[:, :, None]
     pen = jnp.sum(jnp.where(eq, hit["penetration"][:, None, :], 0.0), axis=-1)
     pen = jnp.where(matched[:, None], pen, 0.0)
@@ -536,3 +576,77 @@ def update_cache_keyed(prestep: ContactPrestep, imp: ContactImpulses, key, color
         valid=prestep.valid,
         color=color,
     )
+
+
+def retain_sleeping(
+    sleep_bank: PairCache, new_cache: PairCache, kind, awake, n_bodies: int,
+    sub_cap: int = 1,
+):
+    """End-of-step migration of contact records into/out of the SLEEP bank — the
+    reference's sleeping pair storage (PairCache_Activity.cs: sleeping islands keep their
+    pairs in inactive cache sets, so wakes warm-start instead of rebuilding impulses).
+
+    A pair is FROZEN when neither endpoint is an awake dynamic (exactly the pairs the
+    next broad phase will drop). Per step, with end-of-step masks:
+      - keep a bank row while its pair stays frozen and was not re-absorbed into the
+        active cache this frame (the match consults the bank, so a woken pair re-enters
+        the active cache the same frame its pair reappears);
+      - add active-cache rows whose pairs froze this step (bodies just slept).
+    The merged set compacts into the bank capacity (ascending key order, so the match
+    path can searchsorted directly); spill raises the overflow diagnostic, never silent.
+    ``sub_cap``: composite-key subslot capacity (1 for the convex pair cache; the
+    compound child cache packs key = pair_key·sub_cap + slot)."""
+    S = sleep_bank.key.shape[0]
+    BIG = jnp.int32(2**31 - 1)
+    active_dyn = (kind == 1) & awake  # KIND_DYNAMIC == 1
+
+    def frozen_of(key, live):
+        pk = key // sub_cap
+        a = pk % n_bodies
+        b = pk // n_bodies
+        a = jnp.clip(a, 0, n_bodies - 1)
+        b = jnp.clip(b, 0, n_bodies - 1)
+        exists = (kind[a] != 0) & (kind[b] != 0)
+        return live & exists & ~(active_dyn[a] | active_dyn[b])
+
+    # Live keys of the active cache, ascending (dead rows store +BIG already; rows with
+    # valid=False keep real keys — mask them so only impulse-bearing records count).
+    new_keys_live = jnp.where(new_cache.valid, new_cache.key, BIG)
+    sorted_new = jnp.sort(new_keys_live)
+    pos = jnp.searchsorted(sorted_new, sleep_bank.key, method="sort")
+    in_new = sorted_new[jnp.minimum(pos, sorted_new.shape[0] - 1)] == sleep_bank.key
+
+    frozen_bank = frozen_of(sleep_bank.key, sleep_bank.valid)
+    # Wake grace: an island woken MID-frame has its pairs absent from this frame's
+    # active cache (the broad phase ran with the asleep mask) yet unfrozen now — they
+    # must survive until next frame's match re-absorbs them. The bank's ``color`` field
+    # is free (colors never survive sleep — see the match path), so it serves as an
+    # unfrozen-age counter: frozen rows reset to -1, unfrozen kept rows age by 1 and
+    # drop after one full unfrozen frame without re-absorption.
+    grace = (
+        sleep_bank.valid & ~in_new & ~frozen_bank & (sleep_bank.color < 1)
+    )
+    keep = (frozen_bank & ~in_new) | grace
+    add = frozen_of(new_cache.key, new_cache.valid)
+
+    from ..utils.packing import compact_true, gather_rows
+
+    age_bank = jnp.where(frozen_bank, -1, sleep_bank.color + 1)
+    merged = jax.tree_util.tree_map(
+        lambda s, n: jnp.concatenate([s, n]),
+        sleep_bank._replace(color=age_bank),
+        new_cache._replace(color=jnp.full_like(new_cache.color, -1)),
+    )
+    mask = jnp.concatenate([keep, add])
+    sel, count = compact_true(mask, S)
+    live_out = jnp.arange(S) < count
+    bank = gather_rows(merged, sel)
+    bank = bank._replace(
+        key=jnp.where(live_out, bank.key, BIG),
+        valid=live_out & bank.valid,
+    )
+    # compact_true selects in concat-position order, not key order — one small sort
+    # restores the ascending-key invariant the match path relies on.
+    order = jnp.argsort(bank.key)
+    bank = gather_rows(bank, order)
+    return bank, count > S

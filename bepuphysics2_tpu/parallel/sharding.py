@@ -146,7 +146,11 @@ def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str
             ),
             overflow=jax.lax.psum(pairs.overflow.astype(jnp.int32), axis) > 0,
         )
-        return SimState(new_bodies, cache, state.ccache, joint_imps, jcolors), diag
+        # Sharded path requires enable_sleep=False; the sleep banks pass through.
+        return SimState(
+            new_bodies, cache, state.ccache, joint_imps, jcolors,
+            state.sleep_cache, state.sleep_ccache,
+        ), diag
 
     rep = P()
     shard0 = P(axis)
@@ -158,6 +162,8 @@ def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str
             ccache=jax.tree_util.tree_map(lambda _: rep, state.ccache),
             joint_impulses=jax.tree_util.tree_map(lambda _: shard0, state.joint_impulses),
             joint_colors=jax.tree_util.tree_map(lambda _: shard0, state.joint_colors),
+            sleep_cache=jax.tree_util.tree_map(lambda _: rep, state.sleep_cache),
+            sleep_ccache=jax.tree_util.tree_map(lambda _: rep, state.sleep_ccache),
         )
 
     def make(state: SimState, shapes, joint_banks):
@@ -204,5 +210,11 @@ def shard_state(state: SimState, mesh: Mesh, axis: str = "world") -> SimState:
         ),
         joint_colors=jax.tree_util.tree_map(
             lambda x: jax.device_put(x, sh), state.joint_colors
+        ),
+        sleep_cache=jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), state.sleep_cache
+        ),
+        sleep_ccache=jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), state.sleep_ccache
         ),
     )

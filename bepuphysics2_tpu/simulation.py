@@ -107,6 +107,10 @@ class SimState(NamedTuple):
     # Per-joint persisted solver colors (reference: constraints keep their
     # ConstraintBatch across frames; see solver/coloring.py). -1 = unassigned.
     joint_colors: dict
+    # Sleeping-pair retention banks (reference PairCache_Activity: sleeping islands keep
+    # their contact records, so wakes warm-start instead of re-settling).
+    sleep_cache: PairCache
+    sleep_ccache: PairCache
 
 
 class StepDiagnostics(NamedTuple):
@@ -203,6 +207,7 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
     prestep, imp, pcolor = narrow_phase(
         bodies, shapes, pairs, state.cache, dt, present_types=present_types,
         max_ccd=config.max_ccd_pairs, pairs_sorted=(method == "brute"),
+        sleep_bank=state.sleep_cache if config.enable_sleep else None,
     )
     from .shapes.registry import COMPOUND as _COMPOUND, MESH as _MESH
 
@@ -216,6 +221,7 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
             present_types=present_types,
             max_cc_pairs=config.max_cc_pairs,
             cc_children_per_side=config.cc_children_per_side,
+            sleep_bank=state.sleep_ccache if config.enable_sleep else None,
         )
 
     # --- Wake sleeping bodies touched by awake dynamics (whole stored islands).
@@ -261,12 +267,36 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
     else:
         ccache = state.ccache
 
+    # --- Sleeping-pair retention (reference PairCache_Activity): records of pairs whose
+    # bodies slept this step migrate into the sleep banks; woken pairs were re-matched
+    # into the active caches above and leave the banks.
+    sleep_cache, sleep_ccache = state.sleep_cache, state.sleep_ccache
+    if config.enable_sleep:
+        from .collision.narrowphase import retain_sleeping
+
+        sleep_cache, sovfl = retain_sleeping(
+            state.sleep_cache, cache, bodies.kind, bodies.awake, config.body_capacity
+        )
+        overflow = overflow | sovfl
+        if has_compounds:
+            sub_cap = config.children_per_pair + (
+                config.cc_children_per_side ** 2 if config.max_cc_pairs > 0 else 0
+            )
+            sleep_ccache, scovfl = retain_sleeping(
+                state.sleep_ccache, ccache, bodies.kind, bodies.awake,
+                config.body_capacity, sub_cap=sub_cap,
+            )
+            overflow = overflow | scovfl
+
     diag = StepDiagnostics(
         pair_count=jnp.sum(pairs.valid),
         contact_count=contact_count,
         overflow=overflow,
     )
-    return SimState(bodies, cache, ccache, joint_imps, jcolors), diag
+    return (
+        SimState(bodies, cache, ccache, joint_imps, jcolors, sleep_cache, sleep_ccache),
+        diag,
+    )
 
 
 # Public step: value semantics, no donation — safe to keep using the input state.
@@ -408,7 +438,8 @@ class Simulation:
             for name, store in self.joints.items()
             if store.count > 0
         }
-        if self._colors_stale:
+        stale = self._colors_stale
+        if stale:
             # A body's dynamic/kinematic kind changed (or a slot was recycled): the
             # carried-color conflict structure is invalid — forget all persisted colors;
             # constraints re-propose over the next frames (Jacobi-solved meanwhile).
@@ -422,7 +453,22 @@ class Simulation:
             for name, store in self.joints.items()
             if store.count > 0
         }
-        self._state = SimState(self._host.device(), cache, ccache, joint_imps, joint_colors)
+        sleep_cache = (
+            self._state.sleep_cache
+            if self._state is not None and not stale
+            else PairCache.empty(self.config.max_pairs)
+        )
+        sleep_ccache = (
+            self._state.sleep_ccache
+            if self._state is not None and not stale
+            else PairCache.empty(
+                self.config.max_compound_pairs * self.config.children_per_pair + cc_extra
+            )
+        )
+        self._state = SimState(
+            self._host.device(), cache, ccache, joint_imps, joint_colors,
+            sleep_cache, sleep_ccache,
+        )
         self._dirty = False
 
     @property

@@ -62,12 +62,20 @@ def compute_islands(state: BodyState, presteps, joint_banks: dict) -> jnp.ndarra
     dyn_b = state.kind[eb] == KIND_DYNAMIC
     edge_ok = live & dyn_a & dyn_b
 
+    # Edge endpoints are static across rounds: pre-sort the scatter targets once
+    # (sorted-index TPU scatters are ~10x faster; solver/solve.py measurement) and
+    # neutralize dead edges through the VALUE (min with n is a no-op) instead of
+    # redirecting their target.
+    iota = jnp.arange(ea.shape[0], dtype=jnp.int32)
+    ea_s, ea_p = jax.lax.sort((ea, iota), num_keys=1)
+    eb_s, eb_p = jax.lax.sort((eb, iota), num_keys=1)
+
     def body_round(_, labels):
         la = labels[ea]
         lb = labels[eb]
-        m = jnp.minimum(la, lb)
-        labels = labels.at[jnp.where(edge_ok, ea, n)].min(m, mode="drop")
-        labels = labels.at[jnp.where(edge_ok, eb, n)].min(m, mode="drop")
+        m = jnp.where(edge_ok, jnp.minimum(la, lb), n)
+        labels = labels.at[ea_s].min(m[ea_p], indices_are_sorted=True)
+        labels = labels.at[eb_s].min(m[eb_p], indices_are_sorted=True)
         # Pointer jumping (twice) to collapse chains quickly.
         labels = labels[labels]
         labels = labels[labels]

@@ -160,12 +160,18 @@ def color_constraints_incremental(
 
     # Per-body used-color bitmask from carried rows. The carry invariant guarantees at
     # most one carried row per (body, color), so scatter-ADD of single bits is bitwise OR.
-    flat_tgt = jnp.where(dyn, refs, n_bodies).reshape(-1)
+    # Targets are the raw refs (pre-sorted once — sorted-index TPU scatters are ~10x
+    # faster, solver/solve.py measurement); dead/non-dynamic entries contribute a
+    # neutral 0 through the VALUE instead of a sink target.
+    flat_ref = refs.reshape(-1)
+    _iota = jnp.arange(m * k, dtype=jnp.int32)
+    fr_s, fr_p = jax.lax.sort((flat_ref, _iota), num_keys=1)
     cbit = jnp.where(carried, jnp.int32(1) << jnp.maximum(prev_color, 0), 0)
+    cbit_flat = jnp.where(dyn, cbit[:, None], 0).reshape(-1)
     used = (
         jnp.zeros(n_bodies + 1, jnp.int32)
-        .at[flat_tgt]
-        .add(jnp.broadcast_to(cbit[:, None], (m, k)).reshape(-1))
+        .at[fr_s]
+        .add(cbit_flat[fr_p], indices_are_sorted=True)
     )
 
     # Compact the churn set.
@@ -293,11 +299,16 @@ def jacobi_valence(body_a, body_b, dynamic_a, dynamic_b, in_jacobi, n_bodies: in
 
 
 def jacobi_valence_kary(refs, dyn, in_jacobi, n_bodies: int):
+    import jax
+
     m, k = refs.shape
-    flat = jnp.where(dyn & in_jacobi[:, None], refs, n_bodies).reshape(-1)
+    flat_ref = refs.reshape(-1)
+    iota = jnp.arange(m * k, dtype=jnp.int32)
+    fr_s, fr_p = jax.lax.sort((flat_ref, iota), num_keys=1)
+    vals = (dyn & in_jacobi[:, None]).astype(jnp.float32).reshape(-1)
     val = (
         jnp.zeros(n_bodies + 1, jnp.float32)
-        .at[flat]
-        .add(jnp.broadcast_to(in_jacobi.astype(jnp.float32)[:, None], (m, k)).reshape(-1))
+        .at[jnp.minimum(fr_s, n_bodies)]
+        .add(vals[fr_p], indices_are_sorted=True)
     )[:n_bodies]
     return jnp.maximum(val, 1.0)

@@ -261,9 +261,18 @@ def solve_all(
 
     # Global constraint table: identical on every device under sharding, so the greedy
     # coloring result is identical too — the invariant that makes per-color psum exact.
-    g_refs = [gather_global(g[1]) for g in groups]
+    # Columns are sliced to the scene's actual max constraint arity: contacts and most
+    # joints reference 2 bodies, and XLA scatters cost ~serial time PER INDEX — padded
+    # sink columns in the coloring/valence tables doubled that cost for nothing.
+    max_arity = 2
+    for name in bank_names:
+        if name not in ONE_BODY_NAMES:
+            max_arity = max(max_arity, getattr(JOINT_TYPES[name], "N_BODIES", 2))
+    g_refs = [gather_global(g[1][:, :max_arity]) for g in groups]
     all_refs = jnp.concatenate(g_refs, axis=0)
-    all_dyn = jnp.concatenate([gather_global(g[2]) for g in groups], axis=0)
+    all_dyn = jnp.concatenate(
+        [gather_global(g[2][:, :max_arity]) for g in groups], axis=0
+    )
     all_valid = jnp.concatenate([gather_global(g[3]) for g in groups], axis=0)
     all_prev = jnp.concatenate([gather_global(pc) for pc in prev_list], axis=0)
     all_color, all_rank = color_constraints_incremental(
@@ -377,6 +386,51 @@ def solve_all(
             )
             bk["idx2_j"] = jnp.concatenate([ba[ncap:], bb[ncap:]])
             bk["s2_j"] = jnp.concatenate([sa[ncap:], sb[ncap:]])
+            # Pre-sorted scatter targets: TPU scatters with indices_are_sorted run
+            # measurably faster (sorted 131k-row scatter-add: 1.66 → 0.86 ms). The bucket
+            # layouts are static per step, so one sort here makes EVERY pass's scatter
+            # sorted; each pass pays only a cheap values-permutation gather.
+            def _sort_idx(idx, axis=0):
+                iota = jax.lax.broadcasted_iota(jnp.int32, idx.shape, axis)
+                return jax.lax.sort((idx, iota), dimension=axis, num_keys=1)
+
+            bk["idx2_j_s"], bk["idx2_j_p"] = _sort_idx(bk["idx2_j"])
+
+            # Per-color INVERSE maps turn the color-pass scatter into a gather-apply:
+            # within a color no two live rows share a body (the coloring invariant), so
+            # body → bucket-position is a function, and
+            #     v6 += p2_padded[inv_col[c]]
+            # applies the color's deltas with one (NB,·) row gather. Measured on v5e,
+            # arbitrary row gathers cost ~2.3 ns/row vs ~6-13 ns/row for scatter-add
+            # (experiments/gather_cost_model.py), so this wins whenever the body count
+            # is not much larger than a color's row count; small banks (compound
+            # children) keep the sorted-scatter path.
+            present_col = bk["present"][:ncap].reshape(C, cap)
+            present2 = jnp.concatenate([present_col, present_col], axis=1)  # (C, 2cap)
+            # Padding positions alias row m-1's bodies — mask them to the sentinel
+            # column so they can't steal a real body's map slot.
+            tgt2 = jnp.where(present2, bk["idx2_col"], n_bodies)
+            bk["use_ga"] = n_bodies < 12 * cap
+            if bk["use_ga"]:
+                pos2 = jnp.broadcast_to(
+                    jnp.arange(2 * cap, dtype=jnp.int32)[None, :], (C, 2 * cap)
+                )
+                # NOT unique_indices: every padding alias lands on the sentinel column
+                # (sliced off below), where duplicates are allowed to race.
+                bk["inv_col"] = (
+                    jnp.full((C, n_bodies + 1), 2 * cap, jnp.int32)
+                    .at[jnp.arange(C, dtype=jnp.int32)[:, None], tgt2]
+                    .set(pos2)
+                )[:, :n_bodies]
+            else:
+                # Sorted scatter fallback: sink the padding aliases (mode=drop) so the
+                # per-color targets are truly unique.
+                def _sort_idx2(idx):
+                    iota = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
+                    return jax.lax.sort((idx, iota), dimension=1, num_keys=1)
+
+                bk["idx2_col_s"], bk["idx2_col_p"] = _sort_idx2(tgt2)
+                bk["idx2_s"], bk["idx2_p"] = _sort_idx(bk["idx2"])
 
     # ---- Masked-path helpers (sharded execution) ---------------------------------------
     cbank_refs = [(ps.body_a, ps.body_b) for ps, _ in contact_banks]
@@ -524,24 +578,44 @@ def solve_all(
 
         def body(carry, xs):
             v6, imp_flat, c = carry
-            kern_c, idx2_c = xs
+            kern_c, extra = xs
             imp_c = jax.tree_util.tree_map(
                 lambda x: jax.lax.dynamic_slice_in_dim(x, c * cap, cap), imp_flat
             )
+            if bk["use_ga"]:
+                idx2_c, inv_c = extra
+            else:
+                idx2_c, idx2_c_s, idx2_c_p = extra
             va, vb = _vel_pair_from12(v6[idx2_c])
             new_imp, nva, nvb = contact_mod.apply_iteration(
                 kern_c, imp_c, va, vb, kern_c.valid
             )
             p2 = jnp.concatenate([_pack_dv(_delta(nva, va)), _pack_dv(_delta(nvb, vb))])
-            v6 = v6.at[idx2_c].add(p2)
+            if bk["use_ga"]:
+                # Gather-apply (see inv_col construction): one (NB, 6) row gather from
+                # the color's padded delta block replaces the scatter-add.
+                p2z = jnp.concatenate([p2, jnp.zeros((1, 6), p2.dtype)])
+                v6 = v6 + p2z[inv_c]
+            else:
+                # Padding aliases were masked to the sentinel n_bodies (dropped), so the
+                # in-bounds targets are unique — but the sentinel repeats, so
+                # unique_indices must stay off.
+                v6 = v6.at[idx2_c_s].add(
+                    p2[idx2_c_p], mode="drop", indices_are_sorted=True
+                )
             imp_flat = jax.tree_util.tree_map(
                 lambda full, new: jax.lax.dynamic_update_slice_in_dim(full, new, c * cap, 0),
                 imp_flat, new_imp,
             )
             return (v6, imp_flat, c + 1), None
 
+        extra_xs = (
+            (bk["idx2_col"], bk["inv_col"])
+            if bk["use_ga"]
+            else (bk["idx2_col"], bk["idx2_col_s"], bk["idx2_col_p"])
+        )
         (v6, imp_flat, _), _ = jax.lax.scan(
-            body, (v6, imp_flat, jnp.int32(0)), (kern_rs, bk["idx2_col"])
+            body, (v6, imp_flat, jnp.int32(0)), (kern_rs, extra_xs)
         )
 
         # Jacobi slice: rows here MAY share bodies; the kernel was prepared with
@@ -551,7 +625,9 @@ def solve_all(
         va, vb = _vel_pair_from12(v6[bk["idx2_j"]])
         new_imp, nva, nvb = contact_mod.apply_iteration(kern_j, imp_j, va, vb, kern_j.valid)
         p2 = jnp.concatenate([_pack_dv(_delta(nva, va)), _pack_dv(_delta(nvb, vb))])
-        v6 = v6.at[bk["idx2_j"]].add(p2 / bk["s2_j"][:, None])
+        v6 = v6.at[bk["idx2_j_s"]].add(
+            (p2 / bk["s2_j"][:, None])[bk["idx2_j_p"]], indices_are_sorted=True
+        )
         imp_flat = jax.tree_util.tree_map(
             lambda full, new: full.at[ncap:].set(new), imp_flat, new_imp
         )
@@ -561,15 +637,14 @@ def solve_all(
         state, presteps_b, imps_b, jimps = carry
         if not first:
             v6 = _vel_to6(state)
-            presteps_b = tuple(
-                contact_mod.incremental_depth_update(
-                    presteps_b[ci],
-                    _gather_vel(v6, buckets[ci]["ps"].body_a),
-                    _gather_vel(v6, buckets[ci]["ps"].body_b),
-                    h,
+            new_ps = []
+            for ci in range(n_cbanks):
+                # ONE (2B, 6) gather for both sides — per-gather fixed cost halves.
+                va, vb = _vel_pair_from12(v6[buckets[ci]["idx2"]])
+                new_ps.append(
+                    contact_mod.incremental_depth_update(presteps_b[ci], va, vb, h)
                 )
-                for ci in range(n_cbanks)
-            )
+            presteps_b = tuple(new_ps)
             state = integrate_poses(state, integrator_cfg, h)
         state = integrate_velocities(state, integrator_cfg, h)
 
@@ -583,8 +658,15 @@ def solve_all(
         kerns = []
         for ci in range(n_cbanks):
             bk = buckets[ci]
-            ia = _gather_inertia(i7, presteps_b[ci].body_a, bk["sa"])
-            ib = _gather_inertia(i7, presteps_b[ci].body_b, bk["sb"])
+            # ONE (2B, 7) inertia gather for both sides, valence-scaled per row.
+            g2 = i7[bk["idx2"]] * bk["s2"][:, None]
+            half = bk["idx2"].shape[0] // 2
+            ia = GatheredInertia(
+                g2[:half, 0], Sym3(*(g2[:half, j] for j in range(1, 7)))
+            )
+            ib = GatheredInertia(
+                g2[half:, 0], Sym3(*(g2[half:, j] for j in range(1, 7)))
+            )
             kern = contact_mod.prepare(presteps_b[ci], ia, ib, h, inv_h)
             # Materialize the kernel: without the barrier XLA re-inlines the whole
             # prepare chain into EVERY consumer fusion (recomputed per element — measured
@@ -595,9 +677,29 @@ def solve_all(
         dv = jnp.zeros_like(v6)
         for ci in range(n_cbanks):
             bk = buckets[ci]
+            cap = bk["cap"]
+            ncap = C * cap
+            B = bk["order"].shape[0]
             dva, dvb = contact_mod.warm_start_kern(kerns[ci], imps_b[ci])
             p2 = jnp.concatenate([_pack_dv(dva), _pack_dv(dvb)]) / bk["s2"][:, None]
-            dv = dv.at[bk["idx2"]].add(p2)
+            if bk["use_ga"]:
+                # Color rows via the per-color inverse maps: one batched row gather
+                # (C, NB, 6) summed over colors replaces the 2B-row scatter-add.
+                pa = p2[:ncap].reshape(C, cap, 6)
+                pb = p2[B : B + ncap].reshape(C, cap, 6)
+                p2c = jnp.concatenate([pa, pb], axis=1)  # (C, 2cap, 6)
+                p2cz = jnp.concatenate(
+                    [p2c, jnp.zeros((C, 1, 6), p2.dtype)], axis=1
+                )
+                g = jnp.take_along_axis(p2cz, bk["inv_col"][:, :, None], axis=1)
+                dv = dv + jnp.sum(g, axis=0)
+                # Jacobi slice rows keep the (small) sorted scatter.
+                pj = jnp.concatenate([p2[ncap:B], p2[B + ncap :]])
+                dv = dv.at[bk["idx2_j_s"]].add(
+                    pj[bk["idx2_j_p"]], indices_are_sorted=True
+                )
+            else:
+                dv = dv.at[bk["idx2_s"]].add(p2[bk["idx2_p"]], indices_are_sorted=True)
         for name in bank_names:
             dv = joint_warm_start(v6, dv, i7, state, name, joint_banks[name], jimps[name])
         v6 = v6 + dv
@@ -728,9 +830,14 @@ def solve_all(
         for ci in range(n_cbanks):
             bk = buckets[ci]
             tgt = jnp.where(bk["present"], bk["order"], bk["m"])
+            t_s, t_p = jax.lax.sort(
+                (tgt, jnp.arange(tgt.shape[0], dtype=jnp.int32)), num_keys=1
+            )
             imps_out.append(
                 jax.tree_util.tree_map(
-                    lambda orig_leaf, b_leaf: orig_leaf.at[tgt].set(b_leaf, mode="drop"),
+                    lambda orig_leaf, b_leaf: orig_leaf.at[t_s].set(
+                        b_leaf[t_p], mode="drop", indices_are_sorted=True
+                    ),
                     contact_banks[ci][1], imps_final[ci],
                 )
             )

@@ -102,5 +102,9 @@ def compact_true(mask: jnp.ndarray, size: int, fill: int = 0):
     big = jnp.int32(2**31 - 1)
     keys = jnp.where(flat, jnp.arange(m, dtype=jnp.int32), big)
     s = jax.lax.sort(keys, is_stable=False)[:size]
+    if m < size:
+        # Capacity exceeds the element count (tiny scene, big bank): pad so callers
+        # always get exactly ``size`` indices.
+        s = jnp.concatenate([s, jnp.full(size - m, big, jnp.int32)])
     count = jnp.sum(flat)
     return jnp.where(s != big, s, fill), count

@@ -36,6 +36,7 @@ from .shapes.builder import CompoundBuilder
 from .shapes.custom import CustomShape, register_custom_shape
 from .simulation import Simulation, SimConfig
 from .validation import validate
+from .metrics import SimMetrics, simulation_metrics, TraceSession
 
 __all__ = [
     "Vec3", "Quat", "Mat3", "Sym3", "v3",
@@ -44,4 +45,5 @@ __all__ = [
     "Sphere", "Capsule", "Box", "Cylinder", "Triangle", "ConvexHull", "Compound", "Mesh",
     "CompoundBuilder", "CustomShape", "register_custom_shape",
     "Simulation", "SimConfig", "validate",
+    "SimMetrics", "simulation_metrics", "TraceSession",
 ]

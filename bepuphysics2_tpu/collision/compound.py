@@ -63,27 +63,89 @@ def _child_aabb_overlap(shapes: ShapeData, child_rows, other_center_local: Vec3,
     compound's local frame. child_rows: (MPC, W)."""
     cs = shapes.child_shape[child_rows]
     cpos = shapes.child_pos[child_rows]
-    # Child radius: registered shape's max radius, or triangle vertex max norm.
     shape_r = shapes.max_radius[jnp.maximum(cs, 0)]
+    # Triangle children live at cpos == 0 with absolute mesh-frame vertices: bound each
+    # by its own centroid + max vertex distance (a max-vertex-NORM bound — radius from
+    # the mesh origin — degenerates to 'everything overlaps' on large meshes).
     tri = shapes.child_tri[child_rows]
+    tcx = (tri[..., 0] + tri[..., 3] + tri[..., 6]) * (1.0 / 3.0)
+    tcy = (tri[..., 1] + tri[..., 4] + tri[..., 7]) * (1.0 / 3.0)
+    tcz = (tri[..., 2] + tri[..., 5] + tri[..., 8]) * (1.0 / 3.0)
     tri_r = jnp.sqrt(
         jnp.maximum(
-            tri[..., 0] ** 2 + tri[..., 1] ** 2 + tri[..., 2] ** 2,
+            (tri[..., 0] - tcx) ** 2 + (tri[..., 1] - tcy) ** 2 + (tri[..., 2] - tcz) ** 2,
             jnp.maximum(
-                tri[..., 3] ** 2 + tri[..., 4] ** 2 + tri[..., 5] ** 2,
-                tri[..., 6] ** 2 + tri[..., 7] ** 2 + tri[..., 8] ** 2,
+                (tri[..., 3] - tcx) ** 2 + (tri[..., 4] - tcy) ** 2 + (tri[..., 5] - tcz) ** 2,
+                (tri[..., 6] - tcx) ** 2 + (tri[..., 7] - tcy) ** 2 + (tri[..., 8] - tcz) ** 2,
             ),
         )
     )
-    # Triangle children are stored relative to the mesh frame (cpos == 0): their own
-    # vertex norms bound them. Registered children: offset + shape radius.
-    r = jnp.where(cs >= 0, shape_r, tri_r)
-    dx = cpos[..., 0] - other_center_local.x[:, None]
-    dy = cpos[..., 1] - other_center_local.y[:, None]
-    dz = cpos[..., 2] - other_center_local.z[:, None]
+    is_tri = cs < 0
+    r = jnp.where(is_tri, tri_r, shape_r)
+    ccx = jnp.where(is_tri, tcx, cpos[..., 0])
+    ccy = jnp.where(is_tri, tcy, cpos[..., 1])
+    ccz = jnp.where(is_tri, tcz, cpos[..., 2])
+    dx = ccx - other_center_local.x[:, None]
+    dy = ccy - other_center_local.y[:, None]
+    dz = ccz - other_center_local.z[:, None]
     d2 = dx * dx + dy * dy + dz * dz
     reach = r + other_radius[:, None]
-    return d2 <= reach * reach
+    return d2 <= reach * reach, d2
+
+
+def _select_children_clustered(
+    shapes: ShapeData, c_shape, other_local: Vec3, other_radius, n_pick: int
+):
+    """Two-level child candidate selection — the TPU analogue of the reference's
+    per-pair BVH walk (ConvexCompoundOverlapFinder / Mesh.Tree): test the other body's
+    bounding sphere against the shape's cluster spheres (built Morton-ordered at
+    registration, registry._build_clusters), keep the ``n_pick`` overlapping clusters,
+    and expand them to CLUSTER_SIZE child rows each. Returns (rows (MPC, n_pick·CS),
+    candidate_ok, overflow) — overflow fires when more clusters overlap than examined,
+    never silently drops."""
+    from ..shapes.registry import ShapeRegistry
+
+    CS = ShapeRegistry.CLUSTER_SIZE
+    crow = shapes.shape_cluster_row[c_shape]  # (MPC,)
+    crow_c = jnp.maximum(crow, 0)
+    centers = shapes.cl_center[crow_c]  # (MPC, CW, 3)
+    radii = shapes.cl_radius[crow_c]
+    counts = shapes.cl_count[crow_c]
+    dx = centers[..., 0] - other_local.x[:, None]
+    dy = centers[..., 1] - other_local.y[:, None]
+    dz = centers[..., 2] - other_local.z[:, None]
+    reach = radii + other_radius[:, None]
+    d2 = dx * dx + dy * dy + dz * dz
+    ov = (d2 <= reach * reach) & (counts > 0) & (crow >= 0)[:, None]
+    n_pick = min(n_pick, ov.shape[1])
+    overflow = jnp.any(jnp.sum(ov, -1) > n_pick)
+    # Nearest overlapping clusters first (same rationale as _pick_nearest).
+    order = jnp.argsort(jnp.where(ov, d2, jnp.float32(3.0e38)), axis=-1)[:, :n_pick]
+    pick_first = select_cols(shapes.cl_first[crow_c], order)
+    pick_cnt = select_cols(counts, order)
+    pick_ok = select_cols(ov, order)
+    sub = jnp.arange(CS, dtype=jnp.int32)
+    rows = pick_first[:, :, None] + sub[None, None, :]
+    ok = pick_ok[:, :, None] & (sub[None, None, :] < pick_cnt[:, :, None])
+    rows = jnp.minimum(rows, shapes.child_shape.shape[0] - 1)
+    m = rows.shape[0]
+    return rows.reshape(m, -1), ok.reshape(m, -1), overflow
+
+
+def _pick_nearest(rows, ov, d2, n_keep: int):
+    """Keep the ``n_keep`` NEAREST overlapping children (by centroid distance), then
+    re-sort the kept set by child row so slots stay stable across frames while the same
+    children remain in contact (slot-keyed warm-start cache). Nearest-first matters when
+    demand exceeds capacity: the supporting contacts are the close ones — a
+    first-by-index pick can drop the child actually holding the body up."""
+    BIGF = jnp.float32(3.0e38)
+    key = jnp.where(ov, d2, BIGF)
+    order = jnp.argsort(key, axis=-1)[:, :n_keep]
+    picked_rows = select_cols(rows, order)
+    picked_ok = select_cols(ov, order)
+    rkey = jnp.where(picked_ok, picked_rows, jnp.int32(2**31 - 1))
+    stable = jnp.argsort(rkey, axis=-1)
+    return select_cols(picked_rows, stable), select_cols(picked_ok, stable)
 
 
 def expand_compound_pairs(
@@ -133,20 +195,17 @@ def expand_compound_pairs(
     other_local = c_orn.rotate_inverse(v_pos - c_pos)
     v_radius = shapes.max_radius[v_shape]
 
-    W = child_window
-    offs = jnp.arange(W)
-    start = shapes.child_start[c_shape]
-    cnt = shapes.child_count[c_shape]
-    rows = jnp.minimum(start[:, None] + offs[None, :], shapes.child_shape.shape[0] - 1)
-    in_range = offs[None, :] < cnt[:, None]
-    ov = _child_aabb_overlap(shapes, rows, other_local, v_radius) & in_range
+    from ..shapes.registry import ShapeRegistry
+
+    n_pick = max(1, child_window // ShapeRegistry.CLUSTER_SIZE)
+    rows, cand_ok, cl_ovf = _select_children_clustered(
+        shapes, c_shape, other_local, v_radius, n_pick
+    )
+    ov, d2 = _child_aabb_overlap(shapes, rows, other_local, v_radius)
+    ov = ov & cand_ok
     child_overflow = jnp.any(jnp.sum(ov, -1) > children_per_pair)
-    overflow = overflow | child_overflow | jnp.any(cnt > W)
-    # Stable argsort: overlapping children first, original order preserved.
-    order = jnp.argsort(~ov, axis=-1, stable=True)
-    pick = order[:, :children_per_pair]  # (MPC, E)
-    picked_rows = select_cols(rows, pick)
-    picked_ok = select_cols(ov, pick)
+    overflow = overflow | child_overflow | cl_ovf
+    picked_rows, picked_ok = _pick_nearest(rows, ov, d2, children_per_pair)
 
     E = children_per_pair
     MPC = max_compound_pairs
@@ -275,26 +334,21 @@ def expand_compound_compound(
     shape_a = jnp.maximum(state.shape[a_sel], 0)
     shape_b = jnp.maximum(state.shape[b_sel], 0)
 
-    W = child_window
-    offs = jnp.arange(W)
+    from ..shapes.registry import ShapeRegistry
+
+    n_pick = max(1, child_window // ShapeRegistry.CLUSTER_SIZE)
 
     def pick_children(c_shape, c_body, o_body, o_shape):
-        """Top children_per_side children of c overlapping the other body's sphere."""
-        start = shapes.child_start[c_shape]
-        cnt = shapes.child_count[c_shape]
-        rows = jnp.minimum(start[:, None] + offs[None, :], shapes.child_shape.shape[0] - 1)
-        in_range = offs[None, :] < cnt[:, None]
+        """Top children_per_side children of c overlapping the other body's sphere
+        (cluster prefilter first — see _select_children_clustered)."""
         other_local = state.orn[c_body].rotate_inverse(state.pos[o_body] - state.pos[c_body])
-        ov = _child_aabb_overlap(
-            shapes, rows, other_local, shapes.max_radius[o_shape]
-        ) & in_range
-        order = jnp.argsort(~ov, axis=-1, stable=True)
-        pick = order[:, :children_per_side]
-        return (
-            select_cols(rows, pick),
-            select_cols(ov, pick),
-            jnp.any(jnp.sum(ov, -1) > children_per_side) | jnp.any(cnt > W),
+        rows, cand_ok, cl_ovf = _select_children_clustered(
+            shapes, c_shape, other_local, shapes.max_radius[o_shape], n_pick
         )
+        ov, d2 = _child_aabb_overlap(shapes, rows, other_local, shapes.max_radius[o_shape])
+        ov = ov & cand_ok
+        pr, po = _pick_nearest(rows, ov, d2, children_per_side)
+        return pr, po, jnp.any(jnp.sum(ov, -1) > children_per_side) | cl_ovf
 
     rows_a, ok_a, ovf_a = pick_children(shape_a, a_sel, b_sel, shape_b)
     rows_b, ok_b, ovf_b = pick_children(shape_b, b_sel, a_sel, shape_a)

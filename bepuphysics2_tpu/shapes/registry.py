@@ -256,7 +256,8 @@ class ConvexHull:
 class Compound:
     """A rigid collection of posed convex children (reference Collidables/Compound.cs:
     children as (shape, local pose) pairs; BigCompound.cs adds an internal BVH, which the
-    TPU build replaces with bounded child enumeration per pair). ``children`` is a tuple of
+    TPU build replaces with Morton-ordered bounding-sphere clusters tested per pair —
+    see ShapeData.cl_*). ``children`` is a tuple of
     (shape_id, local_position(3), local_orientation(4))."""
 
     children: tuple
@@ -281,9 +282,10 @@ class Compound:
 @dataclasses.dataclass(frozen=True)
 class Mesh:
     """Triangle soup collidable (reference Collidables/Mesh.cs:36 — triangles + embedded
-    Tree + scale). The TPU build stores triangles in the shared child pool; per-pair
-    narrow phase selects overlapping triangles by AABB test over the mesh's triangle
-    range (bounded enumeration; the embedded-BVH acceleration returns with the LBVH)."""
+    Tree + scale). The TPU build stores triangles Morton-ordered in the shared child pool
+    and groups them into bounding-sphere clusters (ShapeData.cl_*) — the embedded-BVH
+    replacement: per-pair narrow phase tests cluster spheres first, then only the
+    children of overlapping clusters (collision/compound.py _select_children_clustered)."""
 
     triangles: tuple  # tuple of ((ax,ay,az),(bx,by,bz),(cx,cy,cz))
     scale: tuple = (1.0, 1.0, 1.0)
@@ -327,6 +329,45 @@ class ShapeData(NamedTuple):
     child_tri: jnp.ndarray  # (CHILD_POOL, 9) triangle vertices for mesh children
     child_start: jnp.ndarray  # (MS,) int32
     child_count: jnp.ndarray  # (MS,) int32
+    # Two-level child acceleration (the TPU replacement for the reference's per-shape
+    # child BVH, BigCompound.cs / Mesh.cs embedded Tree): children are Morton-ordered at
+    # registration and grouped into bounding-sphere clusters of CLUSTER_SIZE. Pair
+    # expansion first tests the other body against a shape's cluster spheres, then only
+    # the children of overlapping clusters — O(clusters + picked·CLUSTER_SIZE) instead of
+    # O(child_count) per pair. Arrays are (NCOMP, CW[, 3]) — NCOMP = compound/mesh shape
+    # slots, CW = max clusters of any registered shape (both pow2-rounded; their SHAPES
+    # are the trace-time window bounds, so no extra static plumbing is needed).
+    cl_center: jnp.ndarray  # (NCOMP, CW, 3) cluster sphere centers (shape-local)
+    cl_radius: jnp.ndarray  # (NCOMP, CW) cluster sphere radii (0 = dead slot)
+    cl_first: jnp.ndarray  # (NCOMP, CW) int32 first child-pool row
+    cl_count: jnp.ndarray  # (NCOMP, CW) int32 children in cluster (0 = dead)
+    shape_cluster_row: jnp.ndarray  # (MS,) int32 row into cl_* (-1 = not compound/mesh)
+
+
+def _morton_order(centroids: np.ndarray) -> np.ndarray:
+    """Stable Morton-code ordering of points over their bounding box (10 bits/axis).
+    Space-filling locality makes consecutive chunks spatially tight clusters — the same
+    packing idea as the reference's binned BVH builds (Trees/Tree_BinnedBuilder.cs),
+    reduced to one sort because clusters here are fixed-size, not adaptive."""
+    lo = centroids.min(axis=0)
+    span = np.maximum(centroids.max(axis=0) - lo, 1e-9)
+    q = np.clip(((centroids - lo) / span) * 1023.0, 0, 1023).astype(np.uint64)
+
+    def spread(x):
+        x = (x | (x << np.uint64(16))) & np.uint64(0x0000FF0000FF)
+        x = (x | (x << np.uint64(8))) & np.uint64(0x00F00F00F00F)
+        x = (x | (x << np.uint64(4))) & np.uint64(0x0C30C30C30C3)
+        x = (x | (x << np.uint64(2))) & np.uint64(0x249249249249)
+        return x
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) | (
+        spread(q[:, 2]) << np.uint64(2)
+    )
+    return np.argsort(code, kind="stable")
+
+
+def _round_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
 
 
 class ShapeRegistry:
@@ -335,6 +376,7 @@ class ShapeRegistry:
     HULL_POOL = 4096  # total hull vertices across all hull shapes
     MAX_HULL_VERTS = 64  # per-shape cap (support kernel window size)
     CHILD_POOL = 8192  # total compound children / mesh triangles across all shapes
+    CLUSTER_SIZE = 16  # children per acceleration cluster (see ShapeData.cl_*)
 
     def __init__(self, capacity: int = 256):
         self.capacity = capacity
@@ -353,6 +395,8 @@ class ShapeRegistry:
         self.child_start = np.zeros(capacity, np.int32)
         self.child_count = np.zeros(capacity, np.int32)
         self._child_used = 0
+        # Per-shape child clusters (host lists; padded to 2D in device()).
+        self._clusters = {}  # shape row -> (centers (k,3), radii (k,), first (k,), count (k,))
         self.shapes = [None] * capacity
         self._free = list(range(capacity - 1, -1, -1))
         self._dirty = True
@@ -383,14 +427,21 @@ class ShapeRegistry:
                 raise RuntimeError("child pool full")
             self.child_start[idx] = self._child_used
             self.child_count[idx] = n
+            cent = np.array([c[1] for c in shape.children], np.float64).reshape(n, 3)
+            crad = np.array(
+                [float(self.max_radius[c[0]]) for c in shape.children], np.float64
+            )
+            order = _morton_order(cent)
             radius = 0.0
-            for k, (cs, cpos, corn) in enumerate(shape.children):
+            for k, src in enumerate(order):
+                cs, cpos, corn = shape.children[src]
                 row = self._child_used + k
                 self.child_shape[row] = cs
                 self.child_pos[row] = cpos
                 self.child_orn[row] = corn
                 radius = max(radius, float(np.linalg.norm(cpos)) + float(self.max_radius[cs]))
             self.max_radius[idx] = radius
+            self._build_clusters(idx, cent[order], crad[order])
             self._child_used += n
         elif type_id == MESH:
             n = len(shape.triangles)
@@ -398,18 +449,45 @@ class ShapeRegistry:
                 raise RuntimeError("child pool full (mesh triangles)")
             self.child_start[idx] = self._child_used
             self.child_count[idx] = n
-            for k, tri in enumerate(shape.triangles):
+            tris = np.asarray(shape.triangles, np.float64).reshape(n, 3, 3)
+            cent = tris.mean(axis=1)
+            crad = np.linalg.norm(tris - cent[:, None, :], axis=-1).max(axis=1)
+            order = _morton_order(cent)
+            for k, src in enumerate(order):
                 row = self._child_used + k
                 self.child_shape[row] = -1
-                self.child_tri[row] = np.asarray(tri, np.float32).reshape(9)
+                self.child_tri[row] = tris[src].astype(np.float32).reshape(9)
+            self._build_clusters(idx, cent[order], crad[order])
             self._child_used += n
         self.shapes[idx] = shape
         self._dirty = True
         return idx
 
+    def _build_clusters(self, idx: int, cent: np.ndarray, crad: np.ndarray) -> None:
+        """Group the (Morton-ordered) children written for shape ``idx`` into
+        CLUSTER_SIZE-sized bounding spheres (centers/radii in the shape's local frame)."""
+        cs = self.CLUSTER_SIZE
+        n = cent.shape[0]
+        centers, radii, firsts, counts = [], [], [], []
+        for lo in range(0, n, cs):
+            hi = min(lo + cs, n)
+            c = cent[lo:hi].mean(axis=0)
+            r = float((np.linalg.norm(cent[lo:hi] - c, axis=1) + crad[lo:hi]).max())
+            centers.append(c)
+            radii.append(r)
+            firsts.append(self._child_used + lo)
+            counts.append(hi - lo)
+        self._clusters[idx] = (
+            np.asarray(centers, np.float32).reshape(-1, 3),
+            np.asarray(radii, np.float32),
+            np.asarray(firsts, np.int32),
+            np.asarray(counts, np.int32),
+        )
+
     def remove(self, idx: int) -> None:
         self.types[idx] = SHAPE_NONE
         self.shapes[idx] = None
+        self._clusters.pop(idx, None)
         self._free.append(idx)
         self._dirty = True
 
@@ -418,6 +496,24 @@ class ShapeRegistry:
 
     def device(self) -> ShapeData:
         if self._dirty or self._device is None:
+            # Pad per-shape clusters to (NCOMP, CW): pow2-rounded so adding shapes of
+            # similar size reuses the jit cache (array SHAPES are the trace statics).
+            rows = sorted(self._clusters.keys())
+            ncomp = _round_pow2(max(1, len(rows)))
+            cw = _round_pow2(max(1, max((len(self._clusters[r][1]) for r in rows), default=1)))
+            cl_center = np.zeros((ncomp, cw, 3), np.float32)
+            cl_radius = np.zeros((ncomp, cw), np.float32)
+            cl_first = np.zeros((ncomp, cw), np.int32)
+            cl_count = np.zeros((ncomp, cw), np.int32)
+            shape_cluster_row = np.full(self.capacity, -1, np.int32)
+            for slot, r in enumerate(rows):
+                c, rad, fi, cnt = self._clusters[r]
+                k = len(rad)
+                cl_center[slot, :k] = c
+                cl_radius[slot, :k] = rad
+                cl_first[slot, :k] = fi
+                cl_count[slot, :k] = cnt
+                shape_cluster_row[r] = slot
             self._device = ShapeData(
                 jnp.asarray(self.types),
                 jnp.asarray(self.params),
@@ -433,6 +529,11 @@ class ShapeRegistry:
                 jnp.asarray(self.child_tri),
                 jnp.asarray(self.child_start),
                 jnp.asarray(self.child_count),
+                jnp.asarray(cl_center),
+                jnp.asarray(cl_radius),
+                jnp.asarray(cl_first),
+                jnp.asarray(cl_count),
+                jnp.asarray(shape_cluster_row),
             )
             self._dirty = False
         return self._device

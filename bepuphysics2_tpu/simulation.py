@@ -578,9 +578,11 @@ class Simulation:
         max_children = int(_np2.max(self.shapes.child_count)) if hasattr(
             self.shapes, "child_count"
         ) else 0
-        cw = 0 if max_children == 0 else min(
-            self.config.child_window, 1 << (max_children - 1).bit_length()
-        )
+        # Window = the largest registered child count (pow2-rounded for jit reuse).
+        # Capping at config.child_window would silently skip triangles of larger meshes —
+        # queries must be exact (config.child_window only budgets the contact pipeline's
+        # cluster-accelerated candidate pick, collision/compound.py).
+        cw = 0 if max_children == 0 else 1 << (max_children - 1).bit_length()
         return ray_cast_all(
             self._state.bodies, self.shapes.device(), ov, dv, jnp.float32(max_t),
             exclude=None if exclude is None else jnp.int32(exclude),

@@ -143,3 +143,33 @@ def test_compound_vs_compound():
     assert 0.3 < plo[1] < 0.5, f"bottom dumbbell rest height wrong: {plo}"
     assert 1.0 < phi[1] < 1.4, f"top dumbbell should rest on the bottom one: {phi}"
     assert np.linalg.norm(vhi) < 0.2, f"top dumbbell still moving: {vhi}"
+
+
+def test_big_mesh_cluster_acceleration():
+    """800-triangle mesh floor: the clustered child prefilter (ShapeData.cl_* — the
+    reference's embedded mesh BVH analogue) must find the supporting triangles anywhere
+    on the mesh without overflow, with children_per_pair far below the triangle count."""
+    import jax.numpy as jnp
+
+    tris = []
+    for i in range(20):
+        for j in range(20):
+            x0, z0 = i - 10.0, j - 10.0
+            tris.append(((x0, 0, z0), (x0, 0, z0 + 1), (x0 + 1, 0, z0)))
+            tris.append(((x0 + 1, 0, z0), (x0, 0, z0 + 1), (x0 + 1, 0, z0 + 1)))
+    sim = Simulation(
+        SimConfig(body_capacity=16, max_pairs=32, substeps=4, num_colors=4,
+                  max_compound_pairs=8, children_per_pair=16)
+    )
+    mesh = sim.add_shape(Mesh.build(tris))
+    s = Sphere(0.5)
+    ss = sim.add_shape(s)
+    sim.add_static(StaticDescription(position=(0, 0, 0), shape=mesh))
+    b = sim.add_body(BodyDescription.dynamic((7.3, 2.0, -6.2), ss, 1.0, s))
+    ovf = False
+    for _ in range(120):
+        sim.timestep(1 / 60.0)
+        ovf = ovf or bool(sim.last_diag.overflow)
+    pos = sim.get_body(b)[0]
+    assert abs(pos[1] - 0.5) < 0.03, f"ball fell through the far corner: y={pos[1]}"
+    assert not ovf

@@ -157,3 +157,26 @@ def test_sweep_shape_batch_matches_single():
     # The central ray hits the dynamic sphere first; the offset ones hit the ground.
     assert bool(batch.hit[0]) and int(batch.body[0]) == 1
     assert bool(batch.hit[1]) and int(batch.body[1]) == 0
+
+
+def test_raycast_big_mesh_far_triangle():
+    """Rays must hit triangles beyond the first config.child_window child slots — the
+    query window sizes to the real max child count (simulation.py ray_cast), unlike the
+    contact pipeline's budgeted candidate pick."""
+    from bepuphysics2_tpu import Mesh
+
+    tris = []
+    for i in range(20):
+        for j in range(20):
+            x0, z0 = i - 10.0, j - 10.0
+            tris.append(((x0, 0, z0), (x0, 0, z0 + 1), (x0 + 1, 0, z0)))
+            tris.append(((x0 + 1, 0, z0), (x0, 0, z0 + 1), (x0 + 1, 0, z0 + 1)))
+    sim = Simulation(SimConfig(body_capacity=8, max_pairs=8, substeps=2, num_colors=2))
+    mesh = sim.add_shape(Mesh.build(tris))
+    sim.add_static(StaticDescription(position=(0, 0, 0), shape=mesh))
+    # Morton order puts low-coordinate cells first; aim at the far +x/+z corner so the
+    # hit triangle is deep in the pool (beyond slot 128).
+    hit = sim.ray_cast(origin=(9.5, 5.0, 9.5), direction=(0.0, -1.0, 0.0))
+    assert bool(hit.hit), "ray missed the far corner of the mesh"
+    t = float(np.asarray(hit.t).reshape(()))
+    assert abs(t - 5.0) < 1e-3, f"expected t=5 to the mesh plane, got {t}"

@@ -13,27 +13,37 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_BODIES = int(os.environ.get("BENCH_BODIES", 4096))
 STEPS = int(os.environ.get("BENCH_STEPS", 96))
+# 'pile' (default headline, ShapePileBenchmark analogue) or 'ragdoll_tube'
+# (RagdollTubeBenchmark.cs:17 analogue — joint-heavy; BENCH_RAGDOLLS sizes it).
+SCENARIO = os.environ.get("BENCH_SCENARIO", "pile")
+N_RAGDOLLS = int(os.environ.get("BENCH_RAGDOLLS", 16))
 
 
 def main():
     import jax
 
-    from __graft_entry__ import _build_pile_sim
+    from __graft_entry__ import _build_pile_sim, _build_ragdoll_tube_sim
 
-    # Solver settings match the reference benchmark (ShapePileBenchmark.cs:106 uses
-    # SolveDescription(4, 1): 4 substeps, 1 velocity iteration). Capacities: the whole
-    # pipeline cost scales with max_pairs (measured ~linear), so the bank is sized to the
-    # measured peak demand (12.3k pairs at 4k bodies settling = 3N) + headroom, with
-    # tight color buckets (capacity-aware coloring keeps them exact) and a decoupled
-    # Jacobi slice; overflow stays False throughout the run.
-    sim, config = _build_pile_sim(
-        body_capacity=N_BODIES + 64,
-        max_pairs=max(4 * N_BODIES, 4096),
-        substeps=4,
-        num_colors=8,
-        n_bodies=N_BODIES,
-    )
     import dataclasses
+
+    if SCENARIO == "ragdoll_tube":
+        sim, config = _build_ragdoll_tube_sim(N_RAGDOLLS, substeps=4, num_colors=8)
+        metric = f"steps_per_sec_{N_RAGDOLLS}_ragdoll_tube"
+    else:
+        # Solver settings match the reference benchmark (ShapePileBenchmark.cs:106 uses
+        # SolveDescription(4, 1): 4 substeps, 1 velocity iteration). Capacities: the whole
+        # pipeline cost scales with max_pairs (measured ~linear), so the bank is sized to
+        # the measured peak demand (12.3k pairs at 4k bodies settling = 3N) + headroom,
+        # with tight color buckets (capacity-aware coloring keeps them exact) and a
+        # decoupled Jacobi slice; overflow stays False throughout the run.
+        sim, config = _build_pile_sim(
+            body_capacity=N_BODIES + 64,
+            max_pairs=max(4 * N_BODIES, 4096),
+            substeps=4,
+            num_colors=8,
+            n_bodies=N_BODIES,
+        )
+        metric = f"steps_per_sec_{N_BODIES}_body_mixed_pile"
 
     sim.config = dataclasses.replace(
         sim.config, color_cap_factor=1.0, jacobi_cap_factor=0.3
@@ -64,7 +74,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"steps_per_sec_{N_BODIES}_body_mixed_pile",
+                "metric": metric,
                 "value": round(steps_per_sec, 2),
                 "unit": "steps/sec",
                 "vs_baseline": round(steps_per_sec / 10000.0, 4),

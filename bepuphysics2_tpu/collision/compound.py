@@ -58,39 +58,27 @@ class ChildPairs(NamedTuple):
     overflow: jnp.ndarray  # () bool
 
 
+def _sphere_vs_aabb(mn, mx, cx, cy, cz, radius):
+    """Squared clamp-distance from sphere center to AABB + overlap mask.
+    mn/mx: (..., 3); cx/cy/cz, radius broadcastable to the leading dims."""
+    qx = jnp.clip(cx, mn[..., 0], mx[..., 0]) - cx
+    qy = jnp.clip(cy, mn[..., 1], mx[..., 1]) - cy
+    qz = jnp.clip(cz, mn[..., 2], mx[..., 2]) - cz
+    d2 = qx * qx + qy * qy + qz * qz
+    return d2 <= radius * radius, d2
+
+
 def _child_aabb_overlap(shapes: ShapeData, child_rows, other_center_local: Vec3, other_radius):
-    """Conservative bounding-sphere test of each child vs the other body, in the
-    compound's local frame. child_rows: (MPC, W)."""
-    cs = shapes.child_shape[child_rows]
-    cpos = shapes.child_pos[child_rows]
-    shape_r = shapes.max_radius[jnp.maximum(cs, 0)]
-    # Triangle children live at cpos == 0 with absolute mesh-frame vertices: bound each
-    # by its own centroid + max vertex distance (a max-vertex-NORM bound — radius from
-    # the mesh origin — degenerates to 'everything overlaps' on large meshes).
-    tri = shapes.child_tri[child_rows]
-    tcx = (tri[..., 0] + tri[..., 3] + tri[..., 6]) * (1.0 / 3.0)
-    tcy = (tri[..., 1] + tri[..., 4] + tri[..., 7]) * (1.0 / 3.0)
-    tcz = (tri[..., 2] + tri[..., 5] + tri[..., 8]) * (1.0 / 3.0)
-    tri_r = jnp.sqrt(
-        jnp.maximum(
-            (tri[..., 0] - tcx) ** 2 + (tri[..., 1] - tcy) ** 2 + (tri[..., 2] - tcz) ** 2,
-            jnp.maximum(
-                (tri[..., 3] - tcx) ** 2 + (tri[..., 4] - tcy) ** 2 + (tri[..., 5] - tcz) ** 2,
-                (tri[..., 6] - tcx) ** 2 + (tri[..., 7] - tcy) ** 2 + (tri[..., 8] - tcz) ** 2,
-            ),
-        )
+    """Per-child prefilter: the other body's bounding sphere vs each child's
+    host-precomputed local AABB (ShapeData.child_aabb_* — tight for long thin
+    children, exact for triangles). child_rows: (MPC, W)."""
+    mn = shapes.child_aabb_min[child_rows]
+    mx = shapes.child_aabb_max[child_rows]
+    return _sphere_vs_aabb(
+        mn, mx,
+        other_center_local.x[:, None], other_center_local.y[:, None],
+        other_center_local.z[:, None], other_radius[:, None],
     )
-    is_tri = cs < 0
-    r = jnp.where(is_tri, tri_r, shape_r)
-    ccx = jnp.where(is_tri, tcx, cpos[..., 0])
-    ccy = jnp.where(is_tri, tcy, cpos[..., 1])
-    ccz = jnp.where(is_tri, tcz, cpos[..., 2])
-    dx = ccx - other_center_local.x[:, None]
-    dy = ccy - other_center_local.y[:, None]
-    dz = ccz - other_center_local.z[:, None]
-    d2 = dx * dx + dy * dy + dz * dz
-    reach = r + other_radius[:, None]
-    return d2 <= reach * reach, d2
 
 
 def _select_children_clustered(
@@ -108,15 +96,13 @@ def _select_children_clustered(
     CS = ShapeRegistry.CLUSTER_SIZE
     crow = shapes.shape_cluster_row[c_shape]  # (MPC,)
     crow_c = jnp.maximum(crow, 0)
-    centers = shapes.cl_center[crow_c]  # (MPC, CW, 3)
-    radii = shapes.cl_radius[crow_c]
     counts = shapes.cl_count[crow_c]
-    dx = centers[..., 0] - other_local.x[:, None]
-    dy = centers[..., 1] - other_local.y[:, None]
-    dz = centers[..., 2] - other_local.z[:, None]
-    reach = radii + other_radius[:, None]
-    d2 = dx * dx + dy * dy + dz * dz
-    ov = (d2 <= reach * reach) & (counts > 0) & (crow >= 0)[:, None]
+    ovb, d2 = _sphere_vs_aabb(
+        shapes.cl_min[crow_c], shapes.cl_max[crow_c],
+        other_local.x[:, None], other_local.y[:, None], other_local.z[:, None],
+        other_radius[:, None],
+    )
+    ov = ovb & (counts > 0) & (crow >= 0)[:, None]
     n_pick = min(n_pick, ov.shape[1])
     overflow = jnp.any(jnp.sum(ov, -1) > n_pick)
     # Nearest overlapping clusters first (same rationale as _pick_nearest).

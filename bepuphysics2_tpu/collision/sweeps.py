@@ -50,54 +50,118 @@ def sweep_shape_all(
     omega: Vec3,
     sweep_radius,  # maximum radius of the swept shape (for angular bound)
     max_t,
+    child_owner=None,  # (K,) int32 body slot per compound/mesh child target (-1 = pad)
+    child_rows=None,  # (K,) int32 child-pool rows matching child_owner
 ) -> SweepHit:
-    """TOI of the swept shape against every collidable; min-t reduction."""
+    """TOI of the swept shape against every collidable; min-t reduction.
+
+    Targets are unified (owner body, local pose, convex shape) tuples: every plain body
+    is a target with identity local pose; compound/mesh bodies are EXPANDED into one
+    target per child via ``child_owner``/``child_rows`` (host-enumerated — reference
+    sweeps recurse into compound children, CompoundSweepTaskCommon) and masked out as
+    whole-body targets, so sweeps are exact against children rather than treating the
+    compound as a point."""
+    from ..shapes.registry import COMPOUND, MESH, BIG_COMPOUND, TRIANGLE
+
     n = state.pos.x.shape[0]
 
     tgt_shape = jnp.maximum(state.shape, 0)
     tgt_type = jnp.where(state.shape >= 0, shapes.type[tgt_shape], -1)
-    tgt_params = shapes.params[tgt_shape]
-    tgt_radius = shapes.max_radius[tgt_shape]
-    exists = state.exists & (state.shape >= 0)
+    is_comp = (tgt_type == COMPOUND) | (tgt_type == MESH) | (tgt_type == BIG_COMPOUND)
 
-    bshape = jnp.full((n,), 1, jnp.int32)
+    # ---- Unified target arrays: bodies first, child targets appended.
+    tg_owner = jnp.arange(n, dtype=jnp.int32)
+    tg_type = tgt_type
+    tg_params = shapes.params[tgt_shape]
+    tg_hull_start = shapes.hull_start[tgt_shape]
+    tg_hull_count = shapes.hull_count[tgt_shape]
+    tg_radius = shapes.max_radius[tgt_shape]
+    tg_exists = state.exists & (state.shape >= 0) & ~is_comp
+    zero = jnp.zeros((n,), jnp.float32)
+    tg_lpos = Vec3(zero, zero, zero)
+    tg_lorn = Quat(zero, zero, zero, jnp.ones((n,), jnp.float32))
+
+    if child_owner is not None and child_owner.shape[0] > 0:
+        co = child_owner
+        cr = jnp.maximum(child_rows, 0)
+        cs = shapes.child_shape[cr]
+        is_tri = cs < 0
+        cs_c = jnp.maximum(cs, 0)
+        ctype = jnp.where(is_tri, TRIANGLE, shapes.type[cs_c])
+        k = co.shape[0]
+        tri12 = jnp.concatenate(
+            [shapes.child_tri[cr], jnp.zeros((k, 3), jnp.float32)], axis=1
+        )
+        cparams = jnp.where(is_tri[:, None], tri12, shapes.params[cs_c])
+        lp = Vec3(
+            shapes.child_pos[cr, 0], shapes.child_pos[cr, 1], shapes.child_pos[cr, 2]
+        )
+        lq = Quat(
+            shapes.child_orn[cr, 0], shapes.child_orn[cr, 1],
+            shapes.child_orn[cr, 2], shapes.child_orn[cr, 3],
+        )
+        # Rotational lever arm bound: farthest AABB corner from the owner origin.
+        mn = shapes.child_aabb_min[cr]
+        mx = shapes.child_aabb_max[cr]
+        far = jnp.maximum(jnp.abs(mn), jnp.abs(mx))
+        crad = jnp.sqrt(far[:, 0] ** 2 + far[:, 1] ** 2 + far[:, 2] ** 2)
+
+        tg_owner = jnp.concatenate([tg_owner, jnp.maximum(co, 0)])
+        tg_type = jnp.concatenate([tg_type, ctype])
+        tg_params = jnp.concatenate([tg_params, cparams])
+        tg_hull_start = jnp.concatenate([tg_hull_start, shapes.hull_start[cs_c]])
+        tg_hull_count = jnp.concatenate(
+            [tg_hull_count, jnp.where(is_tri, 0, shapes.hull_count[cs_c])]
+        )
+        tg_radius = jnp.concatenate([tg_radius, crad])
+        tg_exists = jnp.concatenate([tg_exists, (co >= 0) & state.exists[jnp.maximum(co, 0)]])
+        tg_lpos = Vec3(*(jnp.concatenate([a, b]) for a, b in zip(tg_lpos, lp)))
+        tg_lorn = Quat(*(jnp.concatenate([a, b]) for a, b in zip(tg_lorn, lq)))
+
+    T = tg_owner.shape[0]
+    o_pos = state.pos[tg_owner]
+    o_orn = state.orn[tg_owner]
+    o_vel = state.vel[tg_owner]
+    o_omega = state.omega[tg_owner]
 
     def ctx_at(t):
-        # Integrate both the swept shape's and each target's pose to time t.
+        # Integrate both the swept shape's and each target owner's pose to time t.
         a_pos = pos + vel * t
         a_orn = integrate_orientation(orn, omega, t)
-        b_pos = state.pos + state.vel * t
-        b_orn = integrate_orientation(state.orn, state.omega, t)
+        ow_pos = o_pos + o_vel * t
+        ow_orn = integrate_orientation(o_orn, o_omega, t)
+        b_pos = ow_pos + ow_orn.rotate(tg_lpos)
+        b_orn = ow_orn.mul(tg_lorn)
         # Broadcast swept shape over all targets (it is the 'A' of each pair).
-        ones = jnp.ones((n,), jnp.float32)
+        ones = jnp.ones((T,), jnp.float32)
         a_pos_b = Vec3(a_pos.x * ones, a_pos.y * ones, a_pos.z * ones)
         a_orn_b = Quat(a_orn.x * ones, a_orn.y * ones, a_orn.z * ones, a_orn.w * ones)
-        params_a = jnp.broadcast_to(shape_params[None, :], (n, shape_params.shape[0]))
+        params_a = jnp.broadcast_to(shape_params[None, :], (T, shape_params.shape[0]))
         return SupportCtx(
-            type_a=jnp.full((n,), shape_type, jnp.int32),
+            type_a=jnp.full((T,), shape_type, jnp.int32),
             params_a=params_a,
-            type_b=tgt_type,
-            params_b=tgt_params,
+            type_b=tg_type,
+            params_b=tg_params,
             orn_ab=a_orn_b.conjugate().mul(b_orn),
             pos_ab=a_orn_b.rotate_inverse(b_pos - a_pos_b),
             hull_points=Vec3(shapes.hull_x, shapes.hull_y, shapes.hull_z),
             hull_start_a=jnp.broadcast_to(
-                shapes.hull_start[jnp.maximum(shape_row, 0)], (n,)
+                shapes.hull_start[jnp.maximum(shape_row, 0)], (T,)
             ),
             hull_count_a=jnp.broadcast_to(
                 jnp.where(shape_row >= 0, shapes.hull_count[jnp.maximum(shape_row, 0)], 0),
-                (n,),
+                (T,),
             ),
-            hull_start_b=shapes.hull_start[tgt_shape],
-            hull_count_b=shapes.hull_count[tgt_shape],
+            hull_start_b=tg_hull_start,
+            hull_count_b=tg_hull_count,
         )
 
-    # Approach-speed upper bound per target.
-    rel_v = vel - state.vel  # conservative: use magnitude, not normal projection
+    # Approach-speed upper bound per target (child lever arm folded into tg_radius).
+    rel_v = vel - o_vel  # conservative: use magnitude, not normal projection
     speed_bound = (
         rel_v.length()
         + omega.length() * sweep_radius
-        + state.omega.length() * tgt_radius
+        + o_omega.length() * tg_radius
         + 1e-6
     )
 
@@ -113,19 +177,19 @@ def sweep_shape_all(
         new_done = done | impact | (new_t > max_t)
         return (jnp.where(new_done, t, new_t), new_done, new_hit_t)
 
-    t0 = jnp.zeros((n,), jnp.float32)
-    done0 = ~exists
-    hit_t0 = jnp.full((n,), _INF, jnp.float32)
+    t0 = jnp.zeros((T,), jnp.float32)
+    done0 = ~tg_exists
+    hit_t0 = jnp.full((T,), _INF, jnp.float32)
     _, _, hit_t = jax.lax.fori_loop(0, SWEEP_ITERS, body_fn, (t0, done0, hit_t0))
 
-    hit_t = jnp.where(exists, hit_t, _INF)
+    hit_t = jnp.where(tg_exists, hit_t, _INF)
     best = jnp.argmin(hit_t)
     best_t = hit_t[best]
     found = best_t < _INF
     return SweepHit(
         hit=found,
         t=jnp.where(found, best_t, jnp.asarray(max_t, jnp.float32)),
-        body=jnp.where(found, best.astype(jnp.int32), -1),
+        body=jnp.where(found, tg_owner[best], -1),
     )
 
 

@@ -329,6 +329,12 @@ class ShapeData(NamedTuple):
     child_tri: jnp.ndarray  # (CHILD_POOL, 9) triangle vertices for mesh children
     child_start: jnp.ndarray  # (MS,) int32
     child_count: jnp.ndarray  # (MS,) int32
+    # Per-child conservative AABB in the COMPOUND/MESH local frame (host-precomputed at
+    # registration; rotated child extents for posed children, vertex bounds for
+    # triangles). Much tighter than bounding spheres for long thin children (tube
+    # panels, wall slabs) — the prefilter tests sphere-vs-AABB.
+    child_aabb_min: jnp.ndarray  # (CHILD_POOL, 3)
+    child_aabb_max: jnp.ndarray  # (CHILD_POOL, 3)
     # Two-level child acceleration (the TPU replacement for the reference's per-shape
     # child BVH, BigCompound.cs / Mesh.cs embedded Tree): children are Morton-ordered at
     # registration and grouped into bounding-sphere clusters of CLUSTER_SIZE. Pair
@@ -337,8 +343,8 @@ class ShapeData(NamedTuple):
     # O(child_count) per pair. Arrays are (NCOMP, CW[, 3]) — NCOMP = compound/mesh shape
     # slots, CW = max clusters of any registered shape (both pow2-rounded; their SHAPES
     # are the trace-time window bounds, so no extra static plumbing is needed).
-    cl_center: jnp.ndarray  # (NCOMP, CW, 3) cluster sphere centers (shape-local)
-    cl_radius: jnp.ndarray  # (NCOMP, CW) cluster sphere radii (0 = dead slot)
+    cl_min: jnp.ndarray  # (NCOMP, CW, 3) cluster AABB min (shape-local)
+    cl_max: jnp.ndarray  # (NCOMP, CW, 3) cluster AABB max
     cl_first: jnp.ndarray  # (NCOMP, CW) int32 first child-pool row
     cl_count: jnp.ndarray  # (NCOMP, CW) int32 children in cluster (0 = dead)
     shape_cluster_row: jnp.ndarray  # (MS,) int32 row into cl_* (-1 = not compound/mesh)
@@ -370,6 +376,36 @@ def _round_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+def _local_half_extents(type_id: int, params, max_radius: float) -> np.ndarray:
+    """Axis-aligned half extents of a shape in ITS OWN frame (host helper for the
+    per-child AABB precompute; falls back to the bounding sphere for generic shapes)."""
+    if type_id == BOX:
+        return np.asarray(params[:3], np.float64)
+    if type_id == CAPSULE:
+        r, hl = float(params[0]), float(params[1])
+        return np.array([r, hl + r, r])
+    if type_id == CYLINDER:
+        r, hl = float(params[0]), float(params[1])
+        return np.array([r, hl, r])
+    if type_id == SPHERE:
+        r = float(params[0])
+        return np.array([r, r, r])
+    return np.array([max_radius] * 3, np.float64)
+
+
+def _quat_abs_rot(q) -> np.ndarray:
+    """|R(q)| — elementwise absolute rotation matrix (conservative AABB rotation)."""
+    x, y, z, w = (float(v) for v in q)
+    r = np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+    return np.abs(r)
+
+
 class ShapeRegistry:
     """Host-side shape storage with recycled rows (analogue of reference Shapes registry)."""
 
@@ -392,6 +428,8 @@ class ShapeRegistry:
         self.child_orn = np.zeros((self.CHILD_POOL, 4), np.float32)
         self.child_orn[:, 3] = 1.0
         self.child_tri = np.zeros((self.CHILD_POOL, 9), np.float32)
+        self.child_aabb_min = np.zeros((self.CHILD_POOL, 3), np.float32)
+        self.child_aabb_max = np.zeros((self.CHILD_POOL, 3), np.float32)
         self.child_start = np.zeros(capacity, np.int32)
         self.child_count = np.zeros(capacity, np.int32)
         self._child_used = 0
@@ -428,20 +466,27 @@ class ShapeRegistry:
             self.child_start[idx] = self._child_used
             self.child_count[idx] = n
             cent = np.array([c[1] for c in shape.children], np.float64).reshape(n, 3)
-            crad = np.array(
-                [float(self.max_radius[c[0]]) for c in shape.children], np.float64
-            )
             order = _morton_order(cent)
             radius = 0.0
+            mins = np.zeros((n, 3))
+            maxs = np.zeros((n, 3))
             for k, src in enumerate(order):
                 cs, cpos, corn = shape.children[src]
                 row = self._child_used + k
                 self.child_shape[row] = cs
                 self.child_pos[row] = cpos
                 self.child_orn[row] = corn
+                # Conservative local AABB: rotated child extents + offset.
+                e = _quat_abs_rot(corn) @ _local_half_extents(
+                    int(self.types[cs]), self.params[cs], float(self.max_radius[cs])
+                )
+                mins[k] = np.asarray(cpos) - e
+                maxs[k] = np.asarray(cpos) + e
+                self.child_aabb_min[row] = mins[k]
+                self.child_aabb_max[row] = maxs[k]
                 radius = max(radius, float(np.linalg.norm(cpos)) + float(self.max_radius[cs]))
             self.max_radius[idx] = radius
-            self._build_clusters(idx, cent[order], crad[order])
+            self._build_clusters(idx, cent[order], mins, maxs)
             self._child_used += n
         elif type_id == MESH:
             n = len(shape.triangles)
@@ -451,35 +496,37 @@ class ShapeRegistry:
             self.child_count[idx] = n
             tris = np.asarray(shape.triangles, np.float64).reshape(n, 3, 3)
             cent = tris.mean(axis=1)
-            crad = np.linalg.norm(tris - cent[:, None, :], axis=-1).max(axis=1)
             order = _morton_order(cent)
+            mins = tris[order].min(axis=1)
+            maxs = tris[order].max(axis=1)
             for k, src in enumerate(order):
                 row = self._child_used + k
                 self.child_shape[row] = -1
                 self.child_tri[row] = tris[src].astype(np.float32).reshape(9)
-            self._build_clusters(idx, cent[order], crad[order])
+                self.child_aabb_min[row] = mins[k]
+                self.child_aabb_max[row] = maxs[k]
+            self._build_clusters(idx, cent[order], mins, maxs)
             self._child_used += n
         self.shapes[idx] = shape
         self._dirty = True
         return idx
 
-    def _build_clusters(self, idx: int, cent: np.ndarray, crad: np.ndarray) -> None:
+    def _build_clusters(self, idx: int, cent: np.ndarray, mins: np.ndarray,
+                        maxs: np.ndarray) -> None:
         """Group the (Morton-ordered) children written for shape ``idx`` into
-        CLUSTER_SIZE-sized bounding spheres (centers/radii in the shape's local frame)."""
+        CLUSTER_SIZE-sized AABBs (union of member child AABBs, shape-local frame)."""
         cs = self.CLUSTER_SIZE
         n = cent.shape[0]
-        centers, radii, firsts, counts = [], [], [], []
+        cl_min, cl_max, firsts, counts = [], [], [], []
         for lo in range(0, n, cs):
             hi = min(lo + cs, n)
-            c = cent[lo:hi].mean(axis=0)
-            r = float((np.linalg.norm(cent[lo:hi] - c, axis=1) + crad[lo:hi]).max())
-            centers.append(c)
-            radii.append(r)
+            cl_min.append(mins[lo:hi].min(axis=0))
+            cl_max.append(maxs[lo:hi].max(axis=0))
             firsts.append(self._child_used + lo)
             counts.append(hi - lo)
         self._clusters[idx] = (
-            np.asarray(centers, np.float32).reshape(-1, 3),
-            np.asarray(radii, np.float32),
+            np.asarray(cl_min, np.float32).reshape(-1, 3),
+            np.asarray(cl_max, np.float32).reshape(-1, 3),
             np.asarray(firsts, np.int32),
             np.asarray(counts, np.int32),
         )
@@ -500,17 +547,17 @@ class ShapeRegistry:
             # similar size reuses the jit cache (array SHAPES are the trace statics).
             rows = sorted(self._clusters.keys())
             ncomp = _round_pow2(max(1, len(rows)))
-            cw = _round_pow2(max(1, max((len(self._clusters[r][1]) for r in rows), default=1)))
-            cl_center = np.zeros((ncomp, cw, 3), np.float32)
-            cl_radius = np.zeros((ncomp, cw), np.float32)
+            cw = _round_pow2(max(1, max((len(self._clusters[r][2]) for r in rows), default=1)))
+            cl_min = np.zeros((ncomp, cw, 3), np.float32)
+            cl_max = np.full((ncomp, cw, 3), -1.0, np.float32)  # dead: max < min
             cl_first = np.zeros((ncomp, cw), np.int32)
             cl_count = np.zeros((ncomp, cw), np.int32)
             shape_cluster_row = np.full(self.capacity, -1, np.int32)
             for slot, r in enumerate(rows):
-                c, rad, fi, cnt = self._clusters[r]
-                k = len(rad)
-                cl_center[slot, :k] = c
-                cl_radius[slot, :k] = rad
+                mn, mx, fi, cnt = self._clusters[r]
+                k = len(fi)
+                cl_min[slot, :k] = mn
+                cl_max[slot, :k] = mx
                 cl_first[slot, :k] = fi
                 cl_count[slot, :k] = cnt
                 shape_cluster_row[r] = slot
@@ -529,8 +576,10 @@ class ShapeRegistry:
                 jnp.asarray(self.child_tri),
                 jnp.asarray(self.child_start),
                 jnp.asarray(self.child_count),
-                jnp.asarray(cl_center),
-                jnp.asarray(cl_radius),
+                jnp.asarray(self.child_aabb_min),
+                jnp.asarray(self.child_aabb_max),
+                jnp.asarray(cl_min),
+                jnp.asarray(cl_max),
                 jnp.asarray(cl_first),
                 jnp.asarray(cl_count),
                 jnp.asarray(shape_cluster_row),

@@ -726,6 +726,37 @@ class Simulation:
             "ended": prev - cur,
         }
 
+    def _sweep_child_targets(self):
+        """Host-enumerated (owner, child-row) targets for every compound/mesh body —
+        sweeps test children exactly (collision/sweeps.py unified targets). Padded to
+        pow2 (-1 owners) for jit reuse; (0,) arrays when no compounds exist."""
+        import numpy as _np
+
+        from .shapes.registry import BIG_COMPOUND as _BC, COMPOUND as _CO, MESH as _ME
+
+        self._sync_from_device()
+        owners, rows = [], []
+        for b in range(self.config.body_capacity):
+            s = int(self._host.shape[b])
+            if s < 0 or self._host.kind[b] == 0:
+                continue
+            t = int(self.shapes.types[s])
+            if t in (_CO, _ME, _BC):
+                st = int(self.shapes.child_start[s])
+                c = int(self.shapes.child_count[s])
+                owners.extend([b] * c)
+                rows.extend(range(st, st + c))
+        if not owners:
+            return jnp.zeros((0,), jnp.int32), jnp.zeros((0,), jnp.int32)
+        k = len(owners)
+        kp = 1 << (k - 1).bit_length()
+        owners.extend([-1] * (kp - k))
+        rows.extend([0] * (kp - k))
+        return (
+            jnp.asarray(_np.asarray(owners, _np.int32)),
+            jnp.asarray(_np.asarray(rows, _np.int32)),
+        )
+
     def sweep_shape(self, shape_obj, position, velocity, max_t: float = 10.0,
                     orientation=(0, 0, 0, 1), angular_velocity=(0, 0, 0)):
         """Narrow shape sweep to time-of-impact via conservative advancement including
@@ -749,10 +780,12 @@ class Simulation:
                 break
         v3 = lambda t: _V(jnp.float32(t[0]), jnp.float32(t[1]), jnp.float32(t[2]))
         q = _Q(*(jnp.float32(c) for c in orientation))
+        co, crw = self._sweep_child_targets()
         return sweep_shape_all(
             self._state.bodies, self.shapes.device(), type_id, jnp.asarray(params),
             jnp.int32(row), v3(position), q, v3(velocity), v3(angular_velocity),
             jnp.float32(shape_obj.maximum_radius()), jnp.float32(max_t),
+            child_owner=co, child_rows=crw,
         )
 
     def sweep_shape_batch(self, shape_obj, positions, velocities, max_t: float = 10.0,
@@ -793,12 +826,14 @@ class Simulation:
         )
         bodies = self._state.bodies
         shapes_d = self.shapes.device()
+        co, crw = self._sweep_child_targets()
 
         def one(p, q, v, w):
             return sweep_shape_all(
                 bodies, shapes_d, type_id, jnp.asarray(params), jnp.int32(row),
                 p, q, v, w,
                 jnp.float32(shape_obj.maximum_radius()), jnp.float32(max_t),
+                child_owner=co, child_rows=crw,
             )
 
         return jax.vmap(one)(

@@ -76,3 +76,23 @@ def test_character_walks_and_jumps():
         p, _, _, _ = sim.get_body(ch.body)
         max_y = max(max_y, p[1])
     assert max_y > pos[1] + 0.5, f"character did not jump: {max_y} vs {pos[1]}"
+
+
+def test_ragdoll_tube_scenario():
+    """RagdollTubeBenchmark analogue (__graft_entry__._build_ragdoll_tube_sim):
+    ragdolls must stay inside the spinning kinematic tube without capacity overflow —
+    exercises compound child AABB prefilter + joint-heavy solve."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import _build_ragdoll_tube_sim
+
+    sim, _ = _build_ragdoll_tube_sim(2, substeps=2, num_colors=4)
+    ovf = False
+    for _ in range(60):
+        sim.timestep(1 / 60.0)
+        ovf = ovf or bool(sim.last_diag.overflow)
+    assert not ovf, "capacity overflow in the ragdoll tube scene"
+    sim._sync_from_device()
+    ys = sim._host.py[sim._host.kind == 1]
+    assert ys.min() > 0.0, "ragdolls escaped the tube"
+    assert int(sim.last_diag.contact_count) > 0

@@ -180,3 +180,30 @@ def test_raycast_big_mesh_far_triangle():
     assert bool(hit.hit), "ray missed the far corner of the mesh"
     t = float(np.asarray(hit.t).reshape(()))
     assert abs(t - 5.0) < 1e-3, f"expected t=5 to the mesh plane, got {t}"
+
+
+def test_sweep_against_mesh_and_compound_children():
+    """Sweeps must resolve TOI against compound/mesh CHILDREN (unified sweep targets,
+    collision/sweeps.py) — previously compound targets degenerated to a point at the
+    body origin."""
+    from bepuphysics2_tpu import Compound, Mesh
+
+    tris = []
+    for i in range(4):
+        for j in range(4):
+            x0, z0 = i - 2.0, j - 2.0
+            tris.append(((x0, 0, z0), (x0, 0, z0 + 1), (x0 + 1, 0, z0)))
+            tris.append(((x0 + 1, 0, z0), (x0, 0, z0 + 1), (x0 + 1, 0, z0 + 1)))
+    sim = Simulation(SimConfig(body_capacity=8, max_pairs=8, substeps=2, num_colors=2))
+    mesh = sim.add_shape(Mesh.build(tris))
+    sim.add_static(StaticDescription(position=(0, 0, 0), shape=mesh))
+    bid = sim.add_shape(Box(0.5, 0.5, 0.5))
+    comp = sim.add_shape(Compound.build([(bid, (3.0, 1.0, 0.0)), (bid, (3.0, 2.5, 0.0))]))
+    sim.add_body(BodyDescription.kinematic((0.0, 0.0, 0.0), comp))
+
+    hit = sim.sweep_shape(Sphere(0.5), (0.5, 5.0, 0.5), (0, -1, 0), max_t=10.0)
+    assert bool(hit.hit) and abs(float(hit.t) - 4.5) < 0.02, float(hit.t)
+    # Top box of the compound: top face y=3.0 → sphere bottom impacts after 2.5.
+    hit2 = sim.sweep_shape(Sphere(0.5), (3.0, 6.0, 0.0), (0, -1, 0), max_t=10.0)
+    assert bool(hit2.hit) and abs(float(hit2.t) - 2.5) < 0.02, float(hit2.t)
+    assert int(hit2.body) == 1

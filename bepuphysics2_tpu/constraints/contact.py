@@ -187,7 +187,11 @@ def solve(
         ang_a_contrib = ia.inv_inertia.vector_sandwich(ang_a)
         ang_b_contrib = ib.inv_inertia.vector_sandwich(ang_b)
         linear = ia.inv_mass + ib.inv_mass
-        effective_mass = cfm_scale / (linear + ang_a_contrib + ang_b_contrib)
+        inv_eff = linear + ang_a_contrib + ang_b_contrib
+        # Guard zero total inverse mass (two locked-inertia bodies) — see prepare().
+        effective_mass = jnp.where(
+            inv_eff > 0.0, cfm_scale / jnp.maximum(inv_eff, 1e-30), 0.0
+        )
 
         depth_k = prestep.depth[:, k]
         bias = jnp.minimum(
@@ -375,7 +379,11 @@ def prepare(
     ang_a_im = ia4.transform(ang_a)
     ang_b_im = ib4.transform(ang_b)
     linear = (ia.inv_mass + ib.inv_mass)[:, None]
-    eff = cfm_scale[:, None] / (linear + ang_a.dot(ang_a_im) + ang_b.dot(ang_b_im))
+    inv_eff = linear + ang_a.dot(ang_a_im) + ang_b.dot(ang_b_im)
+    # Zero total inverse mass (two locked-inertia 'dynamic' bodies — the reference's
+    # definition of kinematic is exactly zero inverse inertia, Bodies.IsKinematic):
+    # the constraint can't move anything; a raw division would make eff=inf → NaN.
+    eff = jnp.where(inv_eff > 0.0, cfm_scale[:, None] / jnp.maximum(inv_eff, 1e-30), 0.0)
     bias = jnp.minimum(
         prestep.depth * inv_dt,
         jnp.minimum(prestep.depth * err_to_vel[:, None], prestep.max_recovery_velocity[:, None]),

@@ -44,6 +44,13 @@ def _angular_1dof_effective_mass(ctx: JointContext, jac: Vec3):
     )
 
 
+def _safe_eff(cfm, inv_eff):
+    """cfm / inv_eff with the zero-total-inverse-mass guard: a joint between two
+    locked-inertia bodies (reference kinematics — which it forbids constraining in
+    pairs) can't move anything; raw division would yield inf → NaN velocities."""
+    return jnp.where(inv_eff > 0.0, cfm / jnp.maximum(inv_eff, 1e-30), 0.0)
+
+
 def _quat_between(v1: Vec3, v2: Vec3) -> Quat:
     """Shortest-arc rotation q with q.rotate(v1) == v2 for unit vectors (reference
     QuaternionWide.GetQuaternionBetweenNormalizedVectors)."""
@@ -91,6 +98,8 @@ class AngularHinge:
     local_hinge_axis_b(3), spring(2). impulse: 2."""
 
     name = "angular_hinge"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("local_hinge_axis_a", "vec3"), ("local_hinge_axis_b", "vec3"), ("spring", "spring"))
     N_PRESTEP = 8
     N_IMPULSE = 2
 
@@ -174,6 +183,8 @@ class AngularSwivelHinge:
     local_hinge_axis_b(3), spring(2). impulse: 1."""
 
     name = "angular_swivel_hinge"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("local_swivel_axis_a", "vec3"), ("local_hinge_axis_b", "vec3"), ("spring", "spring"))
     N_PRESTEP = 8
     N_IMPULSE = 1
 
@@ -203,7 +214,7 @@ class AngularSwivelHinge:
     def solve(p, imp, ctx: JointContext, dt, inv_dt):
         swivel_a, hinge_b, jac = AngularSwivelHinge._jacobian(p, ctx)
         err_to_vel, cfm, softness = compute_springiness(get_spring(p, 6), dt)
-        eff = cfm / _angular_1dof_effective_mass(ctx, jac)
+        eff = _safe_eff(cfm, _angular_1dof_effective_mass(ctx, jac))
         # C = dot(swivelA, hingeB) = 0
         error = swivel_a.dot(hinge_b)
         bias = -error * err_to_vel
@@ -221,6 +232,8 @@ class SwingLimit:
     minimum_dot(1), spring(2). impulse: 1 (nonnegative)."""
 
     name = "swing_limit"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("axis_local_a", "vec3"), ("axis_local_b", "vec3"), ("minimum_dot", "scalar"), ("spring", "spring"))
     N_PRESTEP = 9
     N_IMPULSE = 1
 
@@ -251,7 +264,7 @@ class SwingLimit:
     def solve(p, imp, ctx: JointContext, dt, inv_dt):
         axis_a, axis_b, jac = SwingLimit._jacobian(p, ctx)
         err_to_vel, cfm, softness = compute_springiness(get_spring(p, 7), dt)
-        eff = cfm / _angular_1dof_effective_mass(ctx, jac)
+        eff = _safe_eff(cfm, _angular_1dof_effective_mass(ctx, jac))
         error = axis_a.dot(axis_b) - p[:, 6]
         bias = -jnp.minimum(error * inv_dt, error * err_to_vel)
         csv = (ctx.vel_a.angular - ctx.vel_b.angular).dot(jac)
@@ -292,6 +305,8 @@ class TwistServo:
     target_angle(1), spring(2), servo(3). impulse: 1."""
 
     name = "twist_servo"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("local_basis_a", "quat"), ("local_basis_b", "quat"), ("target_angle", "scalar"), ("spring", "spring"), ("servo", "servo"))
     N_PRESTEP = 14
     N_IMPULSE = 1
 
@@ -313,7 +328,7 @@ class TwistServo:
         jac, angle = _twist_jacobian(p, ctx, 0, 4)
         err_to_vel, cfm, softness = compute_springiness(get_spring(p, 9), dt)
         servo = get_servo(p, 11)
-        eff = cfm / _angular_1dof_effective_mass(ctx, jac)
+        eff = _safe_eff(cfm, _angular_1dof_effective_mass(ctx, jac))
         error = signed_angle_difference(p[:, 8], angle)
         bias, max_imp = servo_clamped_bias_scalar(error, err_to_vel, servo, dt, inv_dt)
         csv = (ctx.vel_a.angular - ctx.vel_b.angular).dot(jac)
@@ -330,6 +345,8 @@ class TwistLimit:
     prestep: local_basis_a(4), local_basis_b(4), min(1), max(1), spring(2). impulse: 1."""
 
     name = "twist_limit"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("local_basis_a", "quat"), ("local_basis_b", "quat"), ("minimum_angle", "scalar"), ("maximum_angle", "scalar"), ("spring", "spring"))
     N_PRESTEP = 12
     N_IMPULSE = 1
 
@@ -363,7 +380,7 @@ class TwistLimit:
 
         jac, angle = _twist_jacobian(p, ctx, 0, 4)
         err_to_vel, cfm, softness = compute_springiness(get_spring(p, 10), dt)
-        eff = cfm / _angular_1dof_effective_mass(ctx, jac)
+        eff = _safe_eff(cfm, _angular_1dof_effective_mass(ctx, jac))
         e, s = TwistLimit._side(p, angle)
         csv = (ctx.vel_a.angular - ctx.vel_b.angular).dot(jac)
         new_acc, csi = limit_solve_1dof(
@@ -379,6 +396,8 @@ class TwistMotor:
     target_velocity(1), motor(2). impulse: 1."""
 
     name = "twist_motor"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("local_axis_a", "vec3"), ("local_axis_b", "vec3"), ("target_velocity", "scalar"), ("motor", "motor"))
     N_PRESTEP = 9
     N_IMPULSE = 1
 
@@ -408,7 +427,7 @@ class TwistMotor:
     def solve(p, imp, ctx: JointContext, dt, inv_dt):
         jac = TwistMotor._jacobian(p, ctx)
         cfm, softness, max_imp = motor_softness(get_motor(p, 7), dt)
-        eff = cfm / _angular_1dof_effective_mass(ctx, jac)
+        eff = _safe_eff(cfm, _angular_1dof_effective_mass(ctx, jac))
         bias = p[:, 6]
         csv = (ctx.vel_a.angular - ctx.vel_b.angular).dot(jac)
         csi = eff * (bias - csv) - imp[:, 0] * softness
@@ -425,6 +444,8 @@ class AngularServo:
     spring(2), servo(3). impulse: 3."""
 
     name = "angular_servo"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("target_relative_rotation", "quat"), ("spring", "spring"), ("servo", "servo"))
     N_PRESTEP = 9
     N_IMPULSE = 3
 
@@ -480,6 +501,8 @@ class AngularMotor:
     Constraints/AngularMotor.cs). prestep: target_velocity_local_a(3), motor(2). impulse: 3."""
 
     name = "angular_motor"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("target_velocity", "vec3"), ("motor", "motor"))
     N_PRESTEP = 5
     N_IMPULSE = 3
 
@@ -515,6 +538,8 @@ class AngularAxisMotor:
     motor(2). impulse: 1."""
 
     name = "angular_axis_motor"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("local_axis_a", "vec3"), ("target_velocity", "scalar"), ("motor", "motor"))
     N_PRESTEP = 6
     N_IMPULSE = 1
 
@@ -531,7 +556,7 @@ class AngularAxisMotor:
     def solve(p, imp, ctx: JointContext, dt, inv_dt):
         jac = ctx.orn_a.rotate(get3(p, 0))
         cfm, softness, max_imp = motor_softness(get_motor(p, 4), dt)
-        eff = cfm / _angular_1dof_effective_mass(ctx, jac)
+        eff = _safe_eff(cfm, _angular_1dof_effective_mass(ctx, jac))
         bias = p[:, 3]
         csv = (ctx.vel_a.angular - ctx.vel_b.angular).dot(jac)
         csi = eff * (bias - csv) - imp[:, 0] * softness
@@ -548,6 +573,8 @@ class AngularAxisGearMotor:
     motor(2). impulse: 1."""
 
     name = "angular_axis_gear_motor"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("local_axis_a", "vec3"), ("velocity_scale", "scalar"), ("motor", "motor"))
     N_PRESTEP = 6
     N_IMPULSE = 1
 
@@ -578,7 +605,7 @@ class AngularAxisGearMotor:
             ctx.inertia_a.inv_inertia.vector_sandwich(axis) * scale * scale
             + ctx.inertia_b.inv_inertia.vector_sandwich(axis)
         )
-        eff = cfm / inv_eff
+        eff = _safe_eff(cfm, inv_eff)
         csv = ctx.vel_a.angular.dot(axis) * scale - ctx.vel_b.angular.dot(axis)
         csi = eff * (-csv) - imp[:, 0] * softness
         new_acc, csi = clamp_impulse_scalar(max_imp, imp[:, 0], csi)

@@ -91,6 +91,48 @@ def motor_cols(motor) -> list:
     return [motor.maximum_force, 0.0 if motor.softness <= 0 else 1.0 / motor.softness]
 
 
+def unpack_fields(cls, row) -> dict:
+    """Inverse of ``pack`` for FIELDS-declared joint types: prestep row → description
+    kwargs (reference Solver.GetDescription, Solver.cs:1413 — the read-back side of
+    constraint description plumbing; DemoTests/ConstraintDescriptionMappingTests.cs:15 is
+    the round-trip oracle). Column inverses are computed in float64 so repacking the
+    result reproduces the row bit-exactly."""
+    out = {}
+    i = 0
+    for name, kind in cls.FIELDS:
+        if kind == "vec3":
+            out[name] = tuple(float(v) for v in row[i : i + 3])
+            i += 3
+        elif kind == "quat":
+            out[name] = tuple(float(v) for v in row[i : i + 4])
+            i += 4
+        elif kind == "scalar":
+            out[name] = float(row[i])
+            i += 1
+        elif kind == "spring":
+            out["spring_frequency"] = float(row[i]) / (2.0 * np.pi)
+            out["spring_damping"] = float(row[i + 1]) / 2.0
+            i += 2
+        elif kind == "servo":
+            out["servo"] = ServoSettingsDesc(
+                float(row[i]), float(row[i + 1]), float(row[i + 2])
+            )
+            i += 3
+        elif kind == "motor":
+            inv = float(row[i + 1])
+            out["motor"] = MotorSettingsDesc(
+                float(row[i]), 0.0 if inv == 0.0 else 1.0 / inv
+            )
+            i += 2
+        else:  # pragma: no cover
+            raise ValueError(f"unknown field kind {kind}")
+    if i != cls.N_PRESTEP:
+        raise AssertionError(
+            f"{cls.name}: FIELDS covers {i} columns, N_PRESTEP is {cls.N_PRESTEP}"
+        )
+    return out
+
+
 @dataclasses.dataclass
 class ServoSettingsDesc:
     """reference ServoSettings (Constraints/ServoSettings.cs)."""

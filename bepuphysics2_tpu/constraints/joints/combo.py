@@ -21,6 +21,8 @@ class Weld:
     local_orientation(4), spring(2). impulse: 6 (orientation 3 + offset 3)."""
 
     name = "weld"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("local_offset", "vec3"), ("local_orientation", "quat"), ("spring", "spring"))
     N_PRESTEP = 9
     N_IMPULSE = 6
 
@@ -162,6 +164,8 @@ class Hinge:
     impulse: 5 (ball socket 3 + hinge 2)."""
 
     name = "hinge"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("local_offset_a", "vec3"), ("local_hinge_axis_a", "vec3"), ("local_offset_b", "vec3"), ("local_hinge_axis_b", "vec3"), ("spring", "spring"))
     N_PRESTEP = 14
     N_IMPULSE = 5
 
@@ -298,6 +302,8 @@ class SwivelHinge:
     local_hinge_axis_b(3), spring(2). impulse: 4."""
 
     name = "swivel_hinge"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("local_offset_a", "vec3"), ("local_swivel_axis_a", "vec3"), ("local_offset_b", "vec3"), ("local_hinge_axis_b", "vec3"), ("spring", "spring"))
     N_PRESTEP = 14
     N_IMPULSE = 4
 

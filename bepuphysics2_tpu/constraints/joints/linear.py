@@ -33,11 +33,20 @@ from .base import (
 )
 
 
+def _safe_eff(cfm, inv_eff):
+    """cfm / inv_eff guarded for zero total inverse mass (locked-inertia pairs) —
+    see angular._safe_eff; raw division yields inf → NaN velocities."""
+    return jnp.where(inv_eff > 0.0, cfm / jnp.maximum(inv_eff, 1e-30), 0.0)
+
+
+
 class BallSocket:
     """Constrains a point on A to a point on B (reference Constraints/BallSocket.cs:66).
     prestep: local_offset_a(3), local_offset_b(3), spring(2). impulse: 3."""
 
     name = "ball_socket"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("local_offset_a", "vec3"), ("local_offset_b", "vec3"), ("spring", "spring"))
     N_PRESTEP = 8
     N_IMPULSE = 3
 
@@ -81,6 +90,8 @@ class BallSocketServo:
     prestep: local_offset_a(3), local_offset_b(3), spring(2), servo(3). impulse: 3."""
 
     name = "ball_socket_servo"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("local_offset_a", "vec3"), ("local_offset_b", "vec3"), ("spring", "spring"), ("servo", "servo"))
     N_PRESTEP = 11
     N_IMPULSE = 3
 
@@ -119,6 +130,8 @@ class BallSocketMotor:
     motor(2). impulse: 3. The anchor on A is B's anchor position (shared grip point)."""
 
     name = "ball_socket_motor"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("local_offset_b", "vec3"), ("target_velocity", "vec3"), ("motor", "motor"))
     N_PRESTEP = 8
     N_IMPULSE = 3
 
@@ -171,7 +184,7 @@ def _axis_1dof_solve(
     """Shared 1-DOF center-linear constraint along ``axis`` (jacobians: ±axis on linear,
     no angular). Used by CenterDistance* (reference CenterDistanceConstraint.cs)."""
     inv_eff = ctx.inertia_a.inv_mass + ctx.inertia_b.inv_mass
-    eff = cfm / inv_eff
+    eff = _safe_eff(cfm, inv_eff)
     csv = ctx.vel_a.linear.dot(axis) - ctx.vel_b.linear.dot(axis)
     corrective = (bias - csv) * eff - acc * softness
     if max_imp is None:
@@ -192,6 +205,8 @@ class CenterDistance:
     impulse: 1."""
 
     name = "center_distance"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("target_distance", "scalar"), ("spring", "spring"))
     N_PRESTEP = 3
     N_IMPULSE = 1
 
@@ -228,6 +243,8 @@ class CenterDistanceLimit:
     Constraints/CenterDistanceLimit.cs). prestep: min(1), max(1), spring(2). impulse: 1."""
 
     name = "center_distance_limit"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("minimum_distance", "scalar"), ("maximum_distance", "scalar"), ("spring", "spring"))
     N_PRESTEP = 4
     N_IMPULSE = 1
 
@@ -260,7 +277,7 @@ class CenterDistanceLimit:
         e = jnp.where(use_min, dist - lo, hi - dist)
         s = jnp.where(use_min, -1.0, 1.0)
         inv_eff = ctx.inertia_a.inv_mass + ctx.inertia_b.inv_mass
-        eff = cfm / inv_eff
+        eff = _safe_eff(cfm, inv_eff)
         csv = ctx.vel_a.linear.dot(axis) - ctx.vel_b.linear.dot(axis)
         new_acc, csi = limit_solve_1dof(
             e, s * csv, eff, softness, imp[:, 0], inv_dt, err_to_vel, ctx.active
@@ -293,7 +310,7 @@ def _offset_1dof_solve(ctx, axis, offset_a, offset_b, bias, cfm, softness, acc, 
         + ctx.inertia_a.inv_inertia.vector_sandwich(ang_a)
         + ctx.inertia_b.inv_inertia.vector_sandwich(ang_b)
     )
-    eff = cfm / inv_eff
+    eff = _safe_eff(cfm, inv_eff)
     csv = (
         ctx.vel_a.linear.dot(axis)
         + ctx.vel_a.angular.dot(ang_a)
@@ -335,6 +352,8 @@ class DistanceServo:
     target_distance(1), spring(2), servo(3). impulse: 1."""
 
     name = "distance_servo"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("local_offset_a", "vec3"), ("local_offset_b", "vec3"), ("target_distance", "scalar"), ("spring", "spring"), ("servo", "servo"))
     N_PRESTEP = 12
     N_IMPULSE = 1
 
@@ -371,6 +390,8 @@ class DistanceLimit:
     prestep: local_offset_a(3), local_offset_b(3), min(1), max(1), spring(2). impulse: 1."""
 
     name = "distance_limit"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("local_offset_a", "vec3"), ("local_offset_b", "vec3"), ("minimum_distance", "scalar"), ("maximum_distance", "scalar"), ("spring", "spring"))
     N_PRESTEP = 10
     N_IMPULSE = 1
 
@@ -407,7 +428,7 @@ class DistanceLimit:
             + ctx.inertia_a.inv_inertia.vector_sandwich(ang_a)
             + ctx.inertia_b.inv_inertia.vector_sandwich(ang_b)
         )
-        eff = cfm / inv_eff
+        eff = _safe_eff(cfm, inv_eff)
         csv = (
             ctx.vel_a.linear.dot(axis)
             + ctx.vel_a.angular.dot(ang_a)

@@ -10,6 +10,7 @@ from ...utils.spring import compute_springiness
 from ...utils.vec import Sym2, Vec2, Vec3, build_orthonormal_basis
 from ..contact import BodyVel
 from .base import (
+
     JointContext,
     clamp_impulse_scalar,
     clamp_impulse_vec2,
@@ -25,12 +26,21 @@ from .base import (
 )
 
 
+def _safe_eff(cfm, inv_eff):
+    """cfm / inv_eff guarded for zero total inverse mass (locked-inertia pairs) —
+    see angular._safe_eff; raw division yields inf → NaN velocities."""
+    return jnp.where(inv_eff > 0.0, cfm / jnp.maximum(inv_eff, 1e-30), 0.0)
+
+
+
 class PointOnLineServo:
     """Constrains B's anchor to a line fixed on A — 2 DOF perpendicular to the line
     (reference Constraints/PointOnLineServo.cs). prestep: local_offset_a(3),
     local_offset_b(3), local_direction(3), spring(2), servo(3). impulse: 2."""
 
     name = "point_on_line_servo"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("local_offset_a", "vec3"), ("local_offset_b", "vec3"), ("local_direction", "vec3"), ("spring", "spring"), ("servo", "servo"))
     N_PRESTEP = 14
     N_IMPULSE = 2
 
@@ -155,7 +165,7 @@ def _linear_axis_eff_mass(ctx, ang_a, ang_b, cfm):
         + ctx.inertia_a.inv_inertia.vector_sandwich(ang_a)
         + ctx.inertia_b.inv_inertia.vector_sandwich(ang_b)
     )
-    return cfm / inv_eff
+    return _safe_eff(cfm, inv_eff)
 
 
 def _linear_axis_csv(ctx, normal, ang_a, ang_b):
@@ -173,6 +183,8 @@ class LinearAxisServo:
     local_plane_normal(3), target_offset(1), spring(2), servo(3). impulse: 1."""
 
     name = "linear_axis_servo"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("local_offset_a", "vec3"), ("local_offset_b", "vec3"), ("local_plane_normal", "vec3"), ("target_offset", "scalar"), ("spring", "spring"), ("servo", "servo"))
     N_PRESTEP = 15
     N_IMPULSE = 1
 
@@ -211,6 +223,8 @@ class LinearAxisMotor:
     motor(2). impulse: 1."""
 
     name = "linear_axis_motor"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("local_offset_a", "vec3"), ("local_offset_b", "vec3"), ("local_axis", "vec3"), ("target_velocity", "scalar"), ("motor", "motor"))
     N_PRESTEP = 12
     N_IMPULSE = 1
 
@@ -248,6 +262,8 @@ class LinearAxisLimit:
     local_axis(3), min(1), max(1), spring(2). impulse: 1."""
 
     name = "linear_axis_limit"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("local_offset_a", "vec3"), ("local_offset_b", "vec3"), ("local_axis", "vec3"), ("minimum_offset", "scalar"), ("maximum_offset", "scalar"), ("spring", "spring"))
     N_PRESTEP = 13
     N_IMPULSE = 1
 

@@ -14,6 +14,14 @@ from ..contact import BodyVel
 from .base import JointContext, get_spring, spring_cols, zero_dv
 
 
+def _safe_eff(cfm, inv_eff):
+    """cfm / inv_eff guarded for zero total inverse mass (locked-inertia pairs) —
+    see angular._safe_eff; raw division yields inf → NaN velocities."""
+    return jnp.where(inv_eff > 0.0, cfm / jnp.maximum(inv_eff, 1e-30), 0.0)
+
+
+
+
 class MultiBodyContext:
     """Gathered state for 4-body banks (A, B, C, D)."""
 
@@ -29,6 +37,8 @@ class AreaConstraint:
     prestep: target_scaled_area(1), spring(2). impulse: 1. Linear jacobians only."""
 
     name = "area"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("target_scaled_area", "scalar"), ("spring", "spring"))
     N_PRESTEP = 3
     N_IMPULSE = 1
     N_BODIES = 3
@@ -81,7 +91,7 @@ class AreaConstraint:
             1e-14,
             inv_jlen * inv_jlen * (ca * ctx.inv_mass[0] + cb * ctx.inv_mass[1] + cc * ctx.inv_mass[2]),
         )
-        eff = cfm / inv_eff
+        eff = _safe_eff(cfm, inv_eff)
         bias = (p[:, 0] - normal_length) * inv_jlen * err_to_vel
         csv = inv_jlen * (
             ctx.vel[1].linear.dot(jb) + ctx.vel[2].linear.dot(jc) - ctx.vel[0].linear.dot(nja)
@@ -99,6 +109,8 @@ class VolumeConstraint:
     impulse: 1. Linear jacobians only."""
 
     name = "volume"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("target_scaled_volume", "scalar"), ("spring", "spring"))
     N_PRESTEP = 3
     N_IMPULSE = 1
     N_BODIES = 4
@@ -157,7 +169,7 @@ class VolumeConstraint:
                 + cd * ctx.inv_mass[3]
             ),
         )
-        eff = cfm / inv_eff
+        eff = _safe_eff(cfm, inv_eff)
         volume = jd.dot(ad)
         bias = (p[:, 0] - volume) * inv_jlen * err_to_vel
         csv = inv_jlen * (

@@ -39,6 +39,8 @@ class OneBodyLinearServo:
     servo(3). impulse: 3."""
 
     name = "one_body_linear_servo"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("local_offset", "vec3"), ("target", "vec3"), ("spring", "spring"), ("servo", "servo"))
     N_PRESTEP = 11
     N_IMPULSE = 3
 
@@ -85,6 +87,8 @@ class OneBodyLinearMotor:
     motor(2). impulse: 3."""
 
     name = "one_body_linear_motor"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("local_offset", "vec3"), ("target_velocity", "vec3"), ("motor", "motor"))
     N_PRESTEP = 8
     N_IMPULSE = 3
 
@@ -121,6 +125,8 @@ class OneBodyAngularServo:
     servo(3). impulse: 3."""
 
     name = "one_body_angular_servo"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("target_orientation", "quat"), ("spring", "spring"), ("servo", "servo"))
     N_PRESTEP = 9
     N_IMPULSE = 3
 
@@ -167,6 +173,8 @@ class OneBodyAngularMotor:
     Constraints/OneBodyAngularMotor.cs). prestep: target_velocity(3), motor(2). impulse: 3."""
 
     name = "one_body_angular_motor"
+    # Description layout (generic unpack_fields — reference GetDescription).
+    FIELDS = (("target_velocity", "vec3"), ("motor", "motor"))
     N_PRESTEP = 5
     N_IMPULSE = 3
 

@@ -409,6 +409,26 @@ class Simulation:
         self._dirty = True
         self.joints[name].update_description(idx, make_description(name, **params))
 
+    def get_constraint(self, handle):
+        """Read back a constraint's description + body references + accumulated impulses
+        from storage (reference Solver.GetDescription, Solver.cs:1413, and
+        EnumerateAccumulatedImpulses, Solver.cs:1535). Returns
+        (bodies: list[int], params: dict, impulses: np.ndarray)."""
+        import numpy as _np
+
+        from .constraints.joints import ONE_BODY_NAMES as _OB
+        from .constraints.joints.base import unpack_fields
+
+        name, idx = handle
+        store = self.joints[name]
+        if not store.valid[idx]:
+            raise KeyError(f"constraint {handle} was removed")
+        self._sync_from_device()
+        nb = 1 if name in _OB else store.n_bodies
+        bodies = [int(b) for b in store.bodies[idx, :nb]]
+        params = unpack_fields(store.cls, store.prestep[idx])
+        return bodies, params, _np.array(store.impulse[idx])
+
     @property
     def constraint_count(self) -> int:
         return sum(s.count for s in self.joints.values())

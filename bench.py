@@ -65,6 +65,21 @@ def main():
     sim.run(33, dt)
     sync()
 
+    # Right-size pair capacity to live demand (Simulation.reconfigure — the reference
+    # allocates TypeBatches to actual constraint counts; fixed-shape XLA pays for
+    # CAPACITY in every stage, so an oversized bank taxes the whole pipeline). The
+    # timed window still grows contacts, so leave generous headroom over the warmup
+    # count; `overflow` in the diagnostics would flag any capacity breach honestly.
+    if SCENARIO != "ragdoll_tube" and os.environ.get("BENCH_ADAPTIVE", "1") == "1":
+        live_pairs = int(sim.last_diag.pair_count)
+        target = max(6 * live_pairs, N_BODIES, 4096)
+        target = min(target, 4 * N_BODIES)
+        if target < sim.config.max_pairs:
+            sim.reconfigure(max_pairs=target)
+            # Compile the resized chunk+single-step programs before the timed window.
+            sim.run(33, dt)
+            sync()
+
     t0 = time.perf_counter()
     sim.run(STEPS, dt)
     sync()

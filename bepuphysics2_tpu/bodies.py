@@ -61,6 +61,13 @@ class BodyState(NamedTuple):
     # Collidables/Collidable.cs:9): 0 = Discrete/Passive (speculative margins only),
     # 1 = Continuous (fast pairs swept to time-of-impact in the narrow phase).
     continuity: jnp.ndarray  # (NB,) int32
+    # Speculative margin bounds (reference Collidable.MinimumSpeculativeMargin /
+    # MaximumSpeculativeMargin, Collidables/Collidable.cs:131,139): the velocity-based
+    # pair margin in the narrow phase is floored by the larger endpoint minimum and
+    # capped by the smaller endpoint maximum. The resting default (0.1) is the baseline
+    # speculative band that keeps stacks stable without contact chatter.
+    spec_margin_min: jnp.ndarray  # (NB,)
+    spec_margin_max: jnp.ndarray  # (NB,)
 
     @property
     def exists(self):
@@ -104,6 +111,8 @@ class BodyState(NamedTuple):
             sleep_island=jnp.zeros(capacity, jnp.int32),
             collision_group=jnp.zeros(capacity, jnp.int32),
             continuity=jnp.zeros(capacity, jnp.int32),
+            spec_margin_min=jnp.full(capacity, 0.1, jnp.float32),
+            spec_margin_max=jnp.full(capacity, 3.0e38, jnp.float32),
         )
 
 
@@ -125,7 +134,12 @@ class BodyDescription:
     spring_damping: float = 1.0
     max_recovery_velocity: float = 2.0
     sleep_threshold: float = 0.01
+    # Minimum speculative margin: the resting-contact speculative band (reference
+    # Collidable.MinimumSpeculativeMargin, Collidables/Collidable.cs:131).
     speculative_margin: float = 0.1
+    # Maximum speculative margin: caps the velocity-based margin — lower it on fast
+    # bodies to filter ghost collisions (Collidable.MaximumSpeculativeMargin, :139).
+    speculative_margin_max: float = 3.0e38
     collision_group: int = 0  # same nonzero group → no contacts (self-collision filter)
     continuity: int = 0  # 0 = Discrete/Passive; 1 = Continuous (swept CCD)
 
@@ -168,6 +182,8 @@ class StaticDescription:
     spring_damping: float = 1.0
     max_recovery_velocity: float = 2.0
     collision_group: int = 0
+    speculative_margin: float = 0.1
+    speculative_margin_max: float = 3.0e38
 
 
 class BodyBuffer:
@@ -179,7 +195,7 @@ class BodyBuffer:
         "px", "py", "pz", "qx", "qy", "qz", "qw", "vx", "vy", "vz", "wx", "wy", "wz",
         "inv_mass", "ixx", "iyx", "iyy", "izx", "izy", "izz",
         "friction", "spring_frequency", "spring_damping", "max_recovery_velocity",
-        "sleep_threshold", "sleep_timer",
+        "sleep_threshold", "sleep_timer", "spec_margin_min", "spec_margin_max",
     ]
 
     def __init__(self, capacity: int):
@@ -187,6 +203,8 @@ class BodyBuffer:
         for f in self.FIELDS_F32:
             setattr(self, f, np.zeros(capacity, np.float32))
         self.qw[:] = 1.0
+        self.spec_margin_min[:] = 0.1
+        self.spec_margin_max[:] = 3.0e38
         self.kind = np.zeros(capacity, np.int32)
         self.awake = np.zeros(capacity, bool)
         self.shape = np.full(capacity, -1, np.int32)
@@ -228,6 +246,8 @@ class BodyBuffer:
         self.max_recovery_velocity[i] = d.max_recovery_velocity
         self.collision_group[i] = getattr(d, "collision_group", 0)
         self.continuity[i] = getattr(d, "continuity", 0)
+        self.spec_margin_min[i] = getattr(d, "speculative_margin", 0.1)
+        self.spec_margin_max[i] = getattr(d, "speculative_margin_max", 3.0e38)
         self.sleep_timer[i] = 0.0
         return i
 
@@ -264,6 +284,8 @@ class BodyBuffer:
             sleep_island=jnp.asarray(self.sleep_island),
             collision_group=jnp.asarray(self.collision_group),
             continuity=jnp.asarray(self.continuity),
+            spec_margin_min=jnp.asarray(self.spec_margin_min),
+            spec_margin_max=jnp.asarray(self.spec_margin_max),
         )
 
     def load(self, state: BodyState) -> None:

@@ -60,6 +60,25 @@ class PairCache(NamedTuple):
             color=jnp.full(capacity, -1, jnp.int32),
         )
 
+    def resized(self, capacity: int) -> "PairCache":
+        """Grow/shrink the bank (reference Simulation.EnsureCapacity/Resize,
+        Simulation.cs:332-415). Growth appends dead (+BIG-key) rows, preserving the
+        ascending-key invariant; shrink keeps the lowest-keyed rows (dead rows sort last,
+        so they drop first — live records are only lost if live count exceeds the new
+        capacity, which degrades warm starting for one frame, never correctness)."""
+        import jax
+
+        cur = self.key.shape[0]
+        if capacity == cur:
+            return self
+        if capacity > cur:
+            pad = PairCache.empty(capacity - cur)
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b]), self, pad
+            )
+        order = jnp.argsort(self.key)[:capacity]
+        return jax.tree_util.tree_map(lambda a: a[order], self)
+
 
 # Registered convex type-pair testers (canonical order: type_a <= type_b).
 # Each entry: (type_a, type_b, fn(pos_ab, orn_a, orn_b, params_a, params_b) -> Manifold).
@@ -197,6 +216,7 @@ def narrow_phase(
             state.vel.x, state.vel.y, state.vel.z,
             state.friction, state.spring_frequency, state.spring_damping,
             state.max_recovery_velocity,
+            state.spec_margin_min, state.spec_margin_max,
         ],
         -1,
     )
@@ -278,9 +298,17 @@ def narrow_phase(
         manifold = manifold._replace(depth=manifold.depth + (vn * t_eval)[:, None])
 
     # Speculative margin acceptance (reference Collidable speculative margin clamp,
-    # Collidables/Collidable.cs:115): discard contacts further than the pair margin.
+    # Collidables/Collidable.cs:115,131,139): discard contacts further than the pair
+    # margin = clamp(relative-speed·dt + (min_a+min_b)/2, ·, min(max_a, max_b)). The
+    # reference clamps each endpoint's |v|·dt to its own [min, max] then SUMS; using the
+    # relative speed with the averaged minimum and min-combined maximum is tighter
+    # (fewer ghost speculative contacts) while honoring both collidables' bounds, and
+    # matches the bounds-prediction expansion (each AABB grows by min_i/2, so every
+    # pair within the resting band is guaranteed to reach the narrow phase).
     rel_speed = (vel_a - vel_b).length()
-    margin = jnp.minimum(rel_speed * dt + 0.1, spec_margin_max)
+    pair_min = 0.5 * (fa[:, 14] + fb[:, 14])
+    pair_max = jnp.minimum(jnp.minimum(fa[:, 15], fb[:, 15]), spec_margin_max)
+    margin = jnp.clip(rel_speed * dt + pair_min, 0.0, jnp.maximum(pair_min, pair_max))
     contact_ok = manifold.contact_mask & (manifold.depth > -margin[:, None])
     record_valid = pairs.valid & jnp.any(contact_ok, axis=-1)
 
@@ -447,7 +475,10 @@ def narrow_phase_compound(
 
     a, b = cp.body_a, cp.body_b
     rel_speed = (state.vel[a] - state.vel[b]).length()
-    margin = rel_speed * dt + 0.1
+    # Per-collidable margin bounds (Collidable.cs:131,139) — see narrow_phase.
+    pair_min = 0.5 * (state.spec_margin_min[a] + state.spec_margin_min[b])
+    pair_max = jnp.minimum(state.spec_margin_max[a], state.spec_margin_max[b])
+    margin = jnp.clip(rel_speed * dt + pair_min, 0.0, jnp.maximum(pair_min, pair_max))
     contact_ok = (
         cp.valid[:, None] & front[:, None] & manifold.contact_mask
         & (manifold.depth > -margin[:, None])

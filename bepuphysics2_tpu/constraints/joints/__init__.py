@@ -95,9 +95,33 @@ class JointTypeStore:
         self.dirty = True
         self._device = None
 
+    def grow(self, new_capacity: int) -> None:
+        """Double-style bank growth (reference Solver.EnsureTypeBatchCapacities /
+        BufferPool resize): existing slots keep their indices; new slots append to the
+        free list. Changes the device bank's shape, so the step recompiles once."""
+        old = self.capacity
+        if new_capacity <= old:
+            return
+        extra = new_capacity - old
+        self.bodies = np.concatenate(
+            [self.bodies, np.zeros((extra, self.bodies.shape[1]), np.int32)]
+        )
+        self.valid = np.concatenate([self.valid, np.zeros(extra, bool)])
+        self.prestep = np.concatenate(
+            [self.prestep, np.zeros((extra, self.cls.N_PRESTEP), np.float32)]
+        )
+        self.impulse = np.concatenate(
+            [self.impulse, np.zeros((extra, self.cls.N_IMPULSE), np.float32)]
+        )
+        self.color = np.concatenate([self.color, np.full(extra, -1, np.int32)])
+        self._free = list(range(new_capacity - 1, old - 1, -1)) + self._free
+        self.capacity = new_capacity
+        self.dirty = True
+        self._device = None
+
     def add(self, bodies, desc) -> int:
         if not self._free:
-            raise RuntimeError(f"joint bank '{self.cls.name}' full; raise capacity")
+            self.grow(max(2 * self.capacity, 8))
         i = self._free.pop()
         bodies = list(np.atleast_1d(bodies))
         if len(bodies) == 1:

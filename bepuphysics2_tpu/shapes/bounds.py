@@ -83,12 +83,19 @@ def compute_shape_bounds(shape_type, params, max_radius, orn):
     return ext, center
 
 
-def compute_body_bounds(pos, orn, vel, omega, shape_id, shapes: ShapeData, dt):
+def compute_body_bounds(pos, orn, vel, omega, shape_id, shapes: ShapeData, dt,
+                        spec_min=None):
     """Speculative (velocity-expanded) world AABBs for all bodies.
 
     Returns (aabb_min: Vec3, aabb_max: Vec3) of shape (N,).
     reference: PoseIntegrator.PredictBoundingBoxes (PoseIntegrator.cs:424) +
     BoundingBoxHelpers.ExpandBoundingBoxes.
+
+    ``spec_min``: per-body minimum speculative margin (reference
+    Collidable.MinimumSpeculativeMargin, Collidables/Collidable.cs:131). Each AABB
+    expands by half its body's minimum so any pair within the resting speculative band
+    (narrow-phase floor = (min_a+min_b)/2) overlaps in the broad phase. None = no
+    margin expansion (legacy behavior).
     """
     shape_id_c = jnp.maximum(shape_id, 0)
     stype = shapes.type[shape_id_c]
@@ -118,4 +125,10 @@ def compute_body_bounds(pos, orn, vel, omega, shape_id, shapes: ShapeData, dt):
     disp = vel * dt
     lo = lo + disp.min(Vec3.zeros(disp.x.shape))
     hi = hi + disp.max(Vec3.zeros(disp.x.shape))
+
+    if spec_min is not None:
+        m = 0.5 * spec_min
+        mv = Vec3(m, m, m)
+        lo = lo - mv
+        hi = hi + mv
     return lo, hi

@@ -143,7 +143,19 @@ class Triangle:
         return TRIANGLE, [*self.a, *self.b, *self.c]
 
     def compute_inertia(self, mass: float):
-        raise NotImplementedError("triangles are intended as static/mesh geometry")
+        """Uniform thin-lamina triangle inertia about the shape-local origin
+        (reference Triangle.ComputeInertia → MeshInertiaHelper.ComputeTriangleContribution,
+        Collidables/Triangle.cs:112, MeshInertiaHelper.cs). Second moment of a uniform
+        triangle lamina: C = (A/12)·(Σᵢ vᵢvᵢᵀ + s sᵀ), s = Σᵢ vᵢ; I = σ(tr C·𝟙 − C)."""
+        verts = np.asarray([self.a, self.b, self.c], np.float64)
+        area = 0.5 * np.linalg.norm(np.cross(verts[1] - verts[0], verts[2] - verts[0]))
+        s = verts.sum(axis=0)
+        c2 = (verts[:, :, None] * verts[:, None, :]).sum(axis=0) + np.outer(s, s)
+        c2 *= area / 12.0
+        inertia = (mass / max(area, 1e-30)) * (np.trace(c2) * np.eye(3) - c2)
+        inv = np.linalg.inv(inertia)
+        inv_mass = 1.0 / mass
+        return inv_mass, (inv[0, 0], inv[1, 1], inv[2, 2]), inv
 
     def maximum_radius(self):
         return float(max(np.linalg.norm(self.a), np.linalg.norm(self.b), np.linalg.norm(self.c)))
@@ -301,6 +313,27 @@ class Mesh:
     def pack(self):
         return MESH, []
 
+    def compute_inertia(self, mass: float):
+        """Closed-mesh inertia about the volume centroid (reference
+        MeshInertiaHelper.ComputeClosedInertia, Collidables/MeshInertiaHelper.cs:160):
+        signed-tetrahedron decomposition against the local origin, recentered to the
+        center of mass with the parallel-axis offset (GetInertiaOffset,
+        MeshInertiaHelper.cs:344). Valid for CLOSED, consistently-wound meshes; a
+        dynamic concave mesh now tumbles with its true mass distribution instead of a
+        hull proxy. Use ``compute_inertia_with_center`` when the mesh is not modeled
+        with its center of mass at the local origin."""
+        inv_mass, inv, _center = self.compute_inertia_with_center(mass)
+        return inv_mass, (inv[0, 0], inv[1, 1], inv[2, 2]), inv
+
+    def compute_inertia_with_center(self, mass: float):
+        """Returns (inv_mass, inverse inertia 3x3 about the center of mass, center)."""
+        volume, inertia_origin, center = mesh_closed_second_moment(self.triangles, mass)
+        # Parallel-axis recentering: I_com = I_origin − m·((c·c)𝟙 − c cᵀ).
+        inertia = inertia_origin - mass * (
+            np.dot(center, center) * np.eye(3) - np.outer(center, center)
+        )
+        return 1.0 / mass, np.linalg.inv(inertia), center
+
     def maximum_radius(self):
         return float(
             max(
@@ -308,6 +341,60 @@ class Mesh:
                 default=0.0,
             )
         )
+
+
+def mesh_closed_second_moment(triangles, mass: float):
+    """Signed-tetra integration over a closed triangle list (reference
+    MeshInertiaHelper.ComputeClosedInertia/ComputeTetrahedronContribution,
+    Collidables/MeshInertiaHelper.cs:122,160): each triangle forms a tetrahedron with
+    the origin; signed volumes make the sum exact for any closed, consistently-wound
+    surface regardless of where the origin lies. Second moment of a tetra (0,a,b,c):
+    C = (V/20)·(Σᵢ vᵢvᵢᵀ + s sᵀ), s = a+b+c (v₀ = 0 contributes nothing).
+
+    Returns (volume, inertia about the origin for total ``mass``, center of mass)."""
+    tris = np.asarray(triangles, np.float64)  # (T, 3, 3)
+    if tris.size == 0:
+        raise ValueError("mesh has no triangles")
+    a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
+    vols = np.einsum("ij,ij->i", a, np.cross(b, c)) / 6.0  # (T,) signed
+    volume = float(vols.sum())
+    if abs(volume) < 1e-30:
+        raise ValueError("mesh encloses no volume (open or degenerate)")
+    s = a + b + c
+    vvt = (
+        np.einsum("ti,tj->tij", a, a)
+        + np.einsum("ti,tj->tij", b, b)
+        + np.einsum("ti,tj->tij", c, c)
+        + np.einsum("ti,tj->tij", s, s)
+    )
+    c2 = np.einsum("t,tij->ij", vols / 20.0, vvt)
+    density = mass / volume
+    inertia = density * (np.trace(c2) * np.eye(3) - c2)
+    center = np.einsum("t,ti->i", vols, s / 4.0) / volume
+    return volume, inertia, center
+
+
+def mesh_open_inertia(triangles, mass: float):
+    """Surface-lamina inertia for OPEN meshes about the origin (reference
+    MeshInertiaHelper.ComputeOpenInertia, MeshInertiaHelper.cs:280): area-weighted sum
+    of thin-triangle second moments. Returns (inverse inertia 3x3, center of area)."""
+    tris = np.asarray(triangles, np.float64)
+    a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
+    areas = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1)
+    total = float(areas.sum())
+    if total < 1e-30:
+        raise ValueError("mesh has no area")
+    s = a + b + c
+    vvt = (
+        np.einsum("ti,tj->tij", a, a)
+        + np.einsum("ti,tj->tij", b, b)
+        + np.einsum("ti,tj->tij", c, c)
+        + np.einsum("ti,tj->tij", s, s)
+    )
+    c2 = np.einsum("t,tij->ij", areas / 12.0, vvt)
+    inertia = (mass / total) * (np.trace(c2) * np.eye(3) - c2)
+    center = np.einsum("t,ti->i", areas, s / 3.0) / total
+    return np.linalg.inv(inertia), center
 
 
 class ShapeData(NamedTuple):

@@ -161,7 +161,8 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
 
     # --- Predict bounding boxes (speculative AABBs).
     aabb_min, aabb_max = compute_body_bounds(
-        bodies.pos, bodies.orn, bodies.vel, bodies.omega, bodies.shape, shapes, dt
+        bodies.pos, bodies.orn, bodies.vel, bodies.omega, bodies.shape, shapes, dt,
+        spec_min=bodies.spec_margin_min,
     )
     # Bodies without collidables never overlap.
     has_shape = bodies.shape >= 0
@@ -339,6 +340,35 @@ class Simulation:
         self._dirty = True
         self.last_diag: Optional[StepDiagnostics] = None
         self._next_collision_group = 1
+
+    def reconfigure(self, **overrides) -> None:
+        """Change static configuration in place (reference Simulation.EnsureCapacity /
+        Resize, Simulation.cs:332-415). Capacity-bearing device banks (pair caches and
+        their sleeping counterparts) are resized with warm-start records preserved; the
+        next step recompiles for the new shapes. ``body_capacity`` is NOT resizable here
+        — pair-cache keys encode it (pair_key = b·NB + a), so changing it requires a
+        fresh simulation.
+
+        Right-sizing pair capacity to live demand is THE first-order cost lever on TPU:
+        every fixed-shape stage (coloring, bucket reorder, solver banks, cache joins)
+        scales with capacity, not live count."""
+        if "body_capacity" in overrides and overrides["body_capacity"] != self.config.body_capacity:
+            raise ValueError("body_capacity is not resizable (pair keys encode it)")
+        self._sync_from_device()
+        self.config = dataclasses.replace(self.config, **overrides)
+        cfg = self.config
+        cc_cap = (
+            cfg.max_compound_pairs * cfg.children_per_pair
+            + cfg.max_cc_pairs * cfg.cc_children_per_side ** 2
+        )
+        if self._state is not None:
+            self._state = self._state._replace(
+                cache=self._state.cache.resized(cfg.max_pairs),
+                sleep_cache=self._state.sleep_cache.resized(cfg.max_pairs),
+                ccache=self._state.ccache.resized(cc_cap),
+                sleep_ccache=self._state.sleep_ccache.resized(cc_cap),
+            )
+        self._dirty = True
 
     def new_collision_group(self) -> int:
         """Fresh collision-group id: bodies sharing a nonzero group generate no contacts

@@ -9,7 +9,7 @@ Semantics follow reference Solver<T>.Solve (Solver_Solve.cs:1415):
         integrate velocities (gravity/damping callback)         [GatherAndIntegrate]
         warm start: re-apply accumulated (per-substep) impulses — contacts + all joints
         for iteration in 0..V-1:
-            for color in colors: solve color (contacts then joint banks, Gauss-Seidel)
+            for color in colors: solve color (contacts then joints, Gauss-Seidel)
             Jacobi bucket with mass splitting
     final pose integration (h)                                  [IntegrateAfterSubstepping]
 
@@ -22,12 +22,19 @@ splitting (reference SequentialFallbackBatch.cs:37).
 TPU execution shape (single chip): contact banks are reordered ONCE per step into
 **color-bucket layout** — a flat ``((num_colors+1)·cap,)`` array whose slice ``c`` holds
 exactly the constraints of color ``c`` (capacity-aware coloring guarantees the fit; slice
-``num_colors`` is the compacted Jacobi bucket). This is the compact-TypeBatch analogue of
-the reference's per-batch storage (ConstraintBatch.cs) and is what makes each color pass
-touch ~M/colors rows instead of masked full-bank sweeps: prestep preparation, warm starts,
-and every velocity-iteration pass run over contiguous slices, and body velocities live in
-a packed (NB, 6) array (the packed-row analogue of the reference's 256-bit BodyDynamics
-cache-line layout, BodyProperties.cs:319) so each pass costs one gather + one scatter-add.
+``num_colors`` is the compacted Jacobi bucket). Each color pass is ONE fused
+gather → jacobian-recompute → impulse-clamp → scatter kernel: body pose/inertia ride in a
+packed per-substep (NB, 14) context table and velocities in a packed (NB, 6) array, so a
+pass costs two row gathers + one conflict-free scatter. Jacobians/effective masses are
+recomputed inside each pass (the reference does the same per solve, TwoBodyTypeProcessor
+.cs:205 — on TPU the recompute fuses into the pass for free, where a materialized kernel
+would cost two full HBM round-trips per substep; measured ~3x solver speedup at 64k).
+
+All TWO-BODY joint types share ONE type-tagged color-bucketed bank: a single pass per
+color applies every present type's kernel masked by the row's type tag (the reference
+iterates TypeBatches per ConstraintBatch, ConstraintBatch.cs — here the types fuse into
+one kernel per color, collapsing |types|·|colors| masked full-bank sweeps into |colors|
+compact passes; this is what fixed the joint-heavy RagdollTube pathology).
 
 Multi-chip (``axis_name`` set): constraint banks are sharded; buckets would need
 device-local capacities, so the sharded path keeps masked full-bank color passes with the
@@ -69,6 +76,15 @@ class SolveConfig:
     # Jacobi-slice capacity as a fraction of each contact bank (independent of the color
     # caps so aggressive color_cap_factor tuning can't drop demoted rows).
     jacobi_cap_factor: float = 0.3
+    # Per-substep velocity iteration schedule (reference SolveDescription
+    # .VelocityIterationScheduler, SolveDescription.cs:17): an optional tuple of length
+    # ``substeps`` overriding velocity_iterations per substep.
+    iteration_schedule: tuple = None
+
+    def iterations_for(self, substep: int) -> int:
+        if self.iteration_schedule is not None:
+            return int(self.iteration_schedule[substep])
+        return self.velocity_iterations
 
 
 # ---------------------------------------------------------------------------------------
@@ -93,6 +109,36 @@ def _inertia7(state: BodyState, world_ii: Sym3) -> jnp.ndarray:
         [state.inv_mass, world_ii.xx, world_ii.yx, world_ii.yy, world_ii.zx, world_ii.zy, world_ii.zz],
         -1,
     )
+
+
+def _ctx14(state: BodyState, world_ii: Sym3) -> jnp.ndarray:
+    """Packed per-substep body context table (NB, 14): pos3 | orn4 | inv_mass | inertia6.
+
+    TPU row gathers cost the same for any width ≤ 128 lanes (measured ~3 ns/row), so one
+    wide gather from this table replaces the ~10 per-component gathers a joint pass would
+    otherwise issue against the SoA body pytree — the packed-row analogue of the
+    reference's 256-bit BodyDynamics cache-line layout (BodyProperties.cs:319)."""
+    return jnp.stack(
+        [
+            state.pos.x, state.pos.y, state.pos.z,
+            state.orn.x, state.orn.y, state.orn.z, state.orn.w,
+            state.inv_mass,
+            world_ii.xx, world_ii.yx, world_ii.yy, world_ii.zx, world_ii.zy, world_ii.zz,
+        ],
+        -1,
+    )
+
+
+def _split14(rows: jnp.ndarray, scale=None):
+    """(m, 14) context rows → (pos: Vec3, orn: Quat, inertia: GatheredInertia).
+    ``scale``: optional (m,) Jacobi mass-splitting factor applied to the inertia."""
+    pos = Vec3(rows[:, 0], rows[:, 1], rows[:, 2])
+    orn = Quat(rows[:, 3], rows[:, 4], rows[:, 5], rows[:, 6])
+    im = rows[:, 7:14]
+    if scale is not None:
+        im = im * scale[:, None]
+    gi = GatheredInertia(im[:, 0], Sym3(*(im[:, k] for k in range(1, 7))))
+    return pos, orn, gi
 
 
 def _gather_vel(v6, idx) -> BodyVel:
@@ -134,6 +180,10 @@ def _delta(new: BodyVel, old: BodyVel) -> BodyVel:
     return BodyVel(new.linear - old.linear, new.angular - old.angular)
 
 
+def _zero_vel(n) -> BodyVel:
+    return BodyVel(Vec3.zeros(n), Vec3.zeros(n))
+
+
 def _pad_refs(bodies, dyn_cols, m):
     """Pad body refs / dynamic masks to 4 columns (K-ary coloring table)."""
     refs = jnp.zeros((m, 4), jnp.int32)
@@ -150,6 +200,27 @@ def _bcast(mask, like):
 
 def _round_up(x: int, mult: int) -> int:
     return ((x + mult - 1) // mult) * mult
+
+
+def _pad_cols(x: jnp.ndarray, width: int) -> jnp.ndarray:
+    if x.shape[1] == width:
+        return x
+    return jnp.pad(x, ((0, 0), (0, width - x.shape[1])))
+
+
+def _sort_with_perm(idx, axis=0):
+    iota = jax.lax.broadcasted_iota(jnp.int32, idx.shape, axis)
+    return jax.lax.sort((idx, iota), dimension=axis, num_keys=1)
+
+
+# Unified two-body joint bank widths (max over all registered types; padded columns are
+# zero and ignored by each type's kernel).
+_U_PRESTEP = max(
+    getattr(t, "N_PRESTEP") for t in JOINT_TYPES.values() if getattr(t, "N_BODIES", 2) <= 2
+)
+_U_IMPULSE = max(
+    getattr(t, "N_IMPULSE") for t in JOINT_TYPES.values() if getattr(t, "N_BODIES", 2) <= 2
+)
 
 
 def solve_all(
@@ -183,7 +254,16 @@ def solve_all(
     h = dt / cfg.substeps
     inv_h = cfg.substeps / dt
     n_bodies = state.pos.x.shape[0]
-    bank_names = sorted(joint_banks.keys())
+    # Two-body (incl. one-body) joint types first so their groups form ONE contiguous
+    # range of the global coloring table (the unified bank's capacity segment);
+    # multi-body types follow, uncapped.
+    tb_names = sorted(
+        n for n in joint_banks if getattr(JOINT_TYPES[n], "N_BODIES", 2) <= 2
+    )
+    mb_names = sorted(
+        n for n in joint_banks if getattr(JOINT_TYPES[n], "N_BODIES", 2) > 2
+    )
+    bank_names = tb_names + mb_names
     # Normalize contact banks to (prestep, impulses) + carried colors.
     prev_colors_c = []
     _norm = []
@@ -234,6 +314,8 @@ def solve_all(
             segments.append((off_running, mi, cap))
         off_running += mi
     bank_valid = {}
+    mu_total = 0
+    joint_seg_start = off_running
     for name in bank_names:
         bank = joint_banks[name]
         cls = JOINT_TYPES[name]
@@ -249,7 +331,16 @@ def solve_all(
         v = bank_live(bank, name)
         bank_valid[name] = v
         groups.append((name, refs, dyn, v))
+        if name in tb_names:
+            mu_total += m
         off_running += m
+    cap_u = 0
+    if bucketed and mu_total:
+        cap_u = min(
+            _round_up(max(1, -(-int(cfg.color_cap_factor * mu_total) // C)), 8),
+            _round_up(mu_total, 8),
+        )
+        segments.append((joint_seg_start, mu_total, cap_u))
 
     # Carried colors per group, same order as ``groups`` (contacts then joint banks).
     prev_list = list(prev_colors_c) + [
@@ -359,10 +450,84 @@ def solve_all(
         for ci, (ps, _) in enumerate(contact_banks):
             cbank_in_jacobi.append(ps.valid & (colors[f"__contacts{ci}__"] == C))
 
+    # ---- Unified two-body joint bucket (single-chip path) ------------------------------
+    # All two-body joint types' records interleave into ONE color-bucketed bank with a
+    # per-row type tag; a color pass runs every PRESENT type's kernel masked by tag, so
+    # the whole joint population costs |colors| passes per sweep instead of
+    # |types|·|colors| masked full-bank sweeps (reference ConstraintBatch → TypeBatch
+    # iteration, ConstraintBatch.cs, collapsed type-wise).
+    ju = None
+    ju_in_jacobi = None
+    if bucketed and mu_total:
+        type_ids = {name: ti for ti, name in enumerate(tb_names)}
+        u_a = jnp.concatenate([joint_banks[n]["bodies"][:, 0] for n in tb_names])
+        u_b = jnp.concatenate([joint_banks[n]["bodies"][:, 1] for n in tb_names])
+        u_valid = jnp.concatenate([bank_valid[n] for n in tb_names])
+        u_color = jnp.concatenate([colors[n] for n in tb_names])
+        u_rank = jnp.concatenate([ranks[n] for n in tb_names])
+        u_tag = jnp.concatenate(
+            [
+                jnp.full(joint_banks[n]["bodies"].shape[0], type_ids[n], jnp.int32)
+                for n in tb_names
+            ]
+        )
+        u_ps = jnp.concatenate(
+            [_pad_cols(joint_banks[n]["prestep"], _U_PRESTEP) for n in tb_names]
+        )
+        u_imp = jnp.concatenate(
+            [
+                _pad_cols(
+                    joint_banks[n]["impulse"]
+                    * bank_valid[n][:, None].astype(jnp.float32),
+                    _U_IMPULSE,
+                )
+                for n in tb_names
+            ]
+        )
+        ncap_u = C * cap_u
+        jcap_u = min(
+            _round_up(max(8, int(cfg.jacobi_cap_factor * mu_total)), 8),
+            _round_up(mu_total, 8),
+        )
+        BU = ncap_u + jcap_u
+        jac_u = u_valid & (u_color == C)
+        rank_ju = jnp.cumsum(jac_u.astype(jnp.int32)) - 1
+        kept_ju = jac_u & (rank_ju < jcap_u)
+        overflow = overflow | jnp.any(jac_u & ~kept_ju)
+        pos_u = jnp.where(
+            u_valid & (u_color < C),
+            u_color * cap_u + u_rank,
+            jnp.where(kept_ju, ncap_u + rank_ju, BU),
+        )
+        order_u = (
+            jnp.full(BU + 1, mu_total, jnp.int32)
+            .at[pos_u]
+            .set(jnp.arange(mu_total, dtype=jnp.int32), mode="drop")[:BU]
+        )
+        present_u = order_u < mu_total
+        oc_u = jnp.minimum(order_u, mu_total - 1)
+        g = gather_rows(
+            dict(a=u_a, b=u_b, tag=u_tag, valid=u_valid, ps=u_ps, imp=u_imp), oc_u
+        )
+        live_u = present_u & g["valid"]
+        imp_bu = jnp.where(present_u[:, None], g["imp"], 0.0)
+        ju = dict(
+            order=order_u, present=present_u, live=live_u, a=g["a"], b=g["b"],
+            tag=g["tag"], ps=g["ps"], imp0=imp_bu, cap=cap_u, ncap=ncap_u, m=mu_total,
+            type_ids=type_ids,
+        )
+        ju_in_jacobi = kept_ju
+
     # Jacobi membership per group → global per-body valence for mass splitting.
-    jacobi_groups = list(cbank_in_jacobi) + [
-        bank_valid[name] & (colors[name] == C) for name in bank_names
-    ]
+    jacobi_groups = list(cbank_in_jacobi)
+    if bucketed:
+        for name in tb_names:
+            jacobi_groups.append(bank_valid[name] & (colors[name] == C))
+        for name in mb_names:
+            jacobi_groups.append(bank_valid[name] & (colors[name] == C))
+    else:
+        for name in bank_names:
+            jacobi_groups.append(bank_valid[name] & (colors[name] == C))
     in_jacobi_all = jnp.concatenate([gather_global(f) for f in jacobi_groups])
     valence = jacobi_valence_kary(all_refs, all_dyn, in_jacobi_all, n_bodies)
 
@@ -390,11 +555,7 @@ def solve_all(
             # measurably faster (sorted 131k-row scatter-add: 1.66 → 0.86 ms). The bucket
             # layouts are static per step, so one sort here makes EVERY pass's scatter
             # sorted; each pass pays only a cheap values-permutation gather.
-            def _sort_idx(idx, axis=0):
-                iota = jax.lax.broadcasted_iota(jnp.int32, idx.shape, axis)
-                return jax.lax.sort((idx, iota), dimension=axis, num_keys=1)
-
-            bk["idx2_j_s"], bk["idx2_j_p"] = _sort_idx(bk["idx2_j"])
+            bk["idx2_j_s"], bk["idx2_j_p"] = _sort_with_perm(bk["idx2_j"])
 
             # Per-color INVERSE maps turn the color-pass scatter into a gather-apply:
             # within a color no two live rows share a body (the coloring invariant), so
@@ -425,12 +586,37 @@ def solve_all(
             else:
                 # Sorted scatter fallback: sink the padding aliases (mode=drop) so the
                 # per-color targets are truly unique.
-                def _sort_idx2(idx):
-                    iota = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
-                    return jax.lax.sort((idx, iota), dimension=1, num_keys=1)
+                bk["idx2_col_s"], bk["idx2_col_p"] = _sort_with_perm(tgt2, axis=1)
+                bk["idx2_s"], bk["idx2_p"] = _sort_with_perm(bk["idx2"])
 
-                bk["idx2_col_s"], bk["idx2_col_p"] = _sort_idx2(tgt2)
-                bk["idx2_s"], bk["idx2_p"] = _sort_idx(bk["idx2"])
+        if ju is not None:
+            cap = ju["cap"]
+            ncap = ju["ncap"]
+            BU = ju["order"].shape[0]
+            is_j = jnp.arange(BU) >= ncap
+            sa = jnp.where(is_j, valence[ju["a"]], 1.0)
+            sb = jnp.where(is_j, valence[ju["b"]], 1.0)
+            ju["sa"] = sa
+            ju["sb"] = sb
+            ju["idx2"] = jnp.concatenate([ju["a"], ju["b"]])
+            ju["idx2_col"] = jnp.concatenate(
+                [ju["a"][:ncap].reshape(C, cap), ju["b"][:ncap].reshape(C, cap)], axis=1
+            )
+            present_col = ju["present"][:ncap].reshape(C, cap)
+            present2 = jnp.concatenate([present_col, present_col], axis=1)
+            ju["tgt2"] = jnp.where(present2, ju["idx2_col"], n_bodies)
+            ju["idx2_col_s"], ju["idx2_col_p"] = _sort_with_perm(ju["tgt2"], axis=1)
+            # Full-bank sorted scatter for warm starts; Jacobi slice scatter for the
+            # fallback pass.
+            present2_full = jnp.concatenate([ju["present"], ju["present"]])
+            ju["tgt2_full"] = jnp.where(present2_full, ju["idx2"], n_bodies)
+            ju["idx2_s"], ju["idx2_p"] = _sort_with_perm(ju["tgt2_full"])
+            ju["idx2_j"] = jnp.concatenate([ju["a"][ncap:], ju["b"][ncap:]])
+            pj = jnp.concatenate([ju["present"][ncap:], ju["present"][ncap:]])
+            ju["idx2_j_s"], ju["idx2_j_p"] = _sort_with_perm(
+                jnp.where(pj, ju["idx2_j"], n_bodies)
+            )
+            ju["s2_j"] = jnp.concatenate([sa[ncap:], sb[ncap:]])
 
     # ---- Masked-path helpers (sharded execution) ---------------------------------------
     cbank_refs = [(ps.body_a, ps.body_b) for ps, _ in contact_banks]
@@ -467,7 +653,7 @@ def solve_all(
         dv = dv.at[idx2].add(p2)
         return dv, new_imp
 
-    # ---- Joint passes ------------------------------------------------------------------
+    # ---- Joint passes (masked path + multibody types) ----------------------------------
     def two_body_ctx(v6, i7, state, bank, active, jacobi):
         a = bank["bodies"][:, 0]
         b = bank["bodies"][:, 1]
@@ -531,9 +717,36 @@ def solve_all(
             dv = _scatter_dv(dv, i, dvs[j])
         return dv
 
+    def mb_iteration_tail(v6, i7, state, jimps):
+        """Per-iteration solve of the (rare) 3/4-body types: masked full-bank per-color
+        passes (their banks are tiny; two-body types run in the unified bucket sweep)."""
+        if not mb_names:
+            return v6, jimps
+
+        def jcolor_pass(c, sc):
+            v6, jimps = sc
+            dv = jnp.zeros_like(v6)
+            new_jimps = dict(jimps)
+            for name in mb_names:
+                mask_j = bank_valid[name] & (colors[name] == c)
+                dv, new_jimps[name] = joint_pass(
+                    v6, dv, i7, state, name, joint_banks[name], jimps[name], mask_j, False
+                )
+            return apply_dv(v6, dv), new_jimps
+
+        v6, jimps = jax.lax.fori_loop(0, C, jcolor_pass, (v6, jimps))
+        dv = jnp.zeros_like(v6)
+        new_jimps = dict(jimps)
+        for name in mb_names:
+            mask_j = bank_valid[name] & (colors[name] == C)
+            dv, new_jimps[name] = joint_pass(
+                v6, dv, i7, state, name, joint_banks[name], jimps[name], mask_j, True
+            )
+        return apply_dv(v6, dv), new_jimps
+
     def joint_iteration_tail(v6, i7, state, jimps):
-        """Per-iteration joint solve: per-color passes then the Jacobi bucket. Joint
-        banks are small, so they stay masked-full-bank in both execution modes."""
+        """Per-iteration joint solve for the sharded path: per-color masked passes then
+        the Jacobi bucket over every joint bank."""
         if not bank_names:
             return v6, jimps
 
@@ -564,21 +777,71 @@ def solve_all(
         for name in bank_names
     }
 
+    # ---- Unified joint bank kernels (bucketed path) ------------------------------------
+    def ju_ctx(table14, v6, idx2, active, scale2=None):
+        """Build a JointContext from ONE context-table gather + ONE velocity gather."""
+        rows = table14[idx2]
+        m = idx2.shape[0] // 2
+        sa = scale2[:m] if scale2 is not None else None
+        sb = scale2[m:] if scale2 is not None else None
+        pos_a, orn_a, gi_a = _split14(rows[:m], sa)
+        pos_b, orn_b, gi_b = _split14(rows[m:], sb)
+        va, vb = _vel_pair_from12(v6[idx2])
+        return JointContext(
+            pos_a=pos_a, orn_a=orn_a, inertia_a=gi_a, vel_a=va,
+            pos_b=pos_b, orn_b=orn_b, inertia_b=gi_b, vel_b=vb,
+            active=active,
+        )
+
+    def ju_apply_types(fn_name, ps, imp, tag, ctx):
+        """Run every present type's ``solve``/``warm_start`` masked by the row tag and
+        merge results. Types fuse into one VPU kernel — padded columns are dead lanes."""
+        n = tag.shape[0]
+        dva = _zero_vel(n)
+        dvb = _zero_vel(n)
+        new_imp = imp
+        for name in tb_names:
+            cls = JOINT_TYPES[name]
+            m_t = ctx.active & (tag == ju["type_ids"][name])
+            ctx_t = ctx._replace(active=m_t)
+            ps_t = ps[:, : cls.N_PRESTEP]
+            imp_t = new_imp[:, : cls.N_IMPULSE]
+            if fn_name == "solve":
+                imp_out, da, db = cls.solve(ps_t, imp_t, ctx_t, h, inv_h)
+                new_imp = jnp.where(
+                    m_t[:, None],
+                    _pad_cols(imp_out, _U_IMPULSE),
+                    new_imp,
+                )
+            else:
+                da, db = cls.warm_start(ps_t, imp_t, ctx_t)
+            sel = lambda d: jax.tree_util.tree_map(
+                lambda x: jnp.where(m_t, x, 0.0), d
+            )
+            da, db = sel(da), sel(db)
+            dva = BodyVel(dva.linear + da.linear, dva.angular + da.angular)
+            dvb = BodyVel(dvb.linear + db.linear, dvb.angular + db.angular)
+        return new_imp, dva, dvb
+
     # ---- Bucketed substep loop (single chip) -------------------------------------------
-    def contact_bucket_sweep(ci, v6, imp_flat, kern):
+    def contact_bucket_sweep(ci, table14, v6, imp_flat, ps_full):
         """One Gauss-Seidel sweep over a contact bank: lax.scan over the color slices
         (contiguous ~cap-row blocks), then the compacted Jacobi slice with mass-split
-        scaling. Conflict-freedom within a slice makes the immediate scatter exact."""
+        scaling. Each pass is one fused gather → prepare → iterate → scatter kernel;
+        jacobians/effective masses are recomputed in-pass (reference recomputes per solve
+        too, TwoBodyTypeProcessor.cs:205 — materializing them instead costs two extra
+        full-bank HBM round-trips per substep). Conflict-freedom within a color makes
+        the immediate scatter exact."""
         bk = buckets[ci]
         cap = bk["cap"]
         ncap = C * cap
-        kern_rs = jax.tree_util.tree_map(
-            lambda x: x[:ncap].reshape((C, cap) + x.shape[1:]), kern
+        ps_rs = jax.tree_util.tree_map(
+            lambda x: x[:ncap].reshape((C, cap) + x.shape[1:]), ps_full
         )
 
         def body(carry, xs):
             v6, imp_flat, c = carry
-            kern_c, extra = xs
+            ps_c, extra = xs
             imp_c = jax.tree_util.tree_map(
                 lambda x: jax.lax.dynamic_slice_in_dim(x, c * cap, cap), imp_flat
             )
@@ -586,9 +849,13 @@ def solve_all(
                 idx2_c, inv_c = extra
             else:
                 idx2_c, idx2_c_s, idx2_c_p = extra
+            rows = table14[idx2_c]
+            _, _, ia = _split14(rows[:cap])
+            _, _, ib = _split14(rows[cap:])
             va, vb = _vel_pair_from12(v6[idx2_c])
+            kern = contact_mod.prepare(ps_c, ia, ib, h, inv_h)
             new_imp, nva, nvb = contact_mod.apply_iteration(
-                kern_c, imp_c, va, vb, kern_c.valid
+                kern, imp_c, va, vb, ps_c.valid
             )
             p2 = jnp.concatenate([_pack_dv(_delta(nva, va)), _pack_dv(_delta(nvb, vb))])
             if bk["use_ga"]:
@@ -615,15 +882,20 @@ def solve_all(
             else (bk["idx2_col"], bk["idx2_col_s"], bk["idx2_col_p"])
         )
         (v6, imp_flat, _), _ = jax.lax.scan(
-            body, (v6, imp_flat, jnp.int32(0)), (kern_rs, extra_xs)
+            body, (v6, imp_flat, jnp.int32(0)), (ps_rs, extra_xs)
         )
 
-        # Jacobi slice: rows here MAY share bodies; the kernel was prepared with
-        # valence-scaled inertia and the deltas are divided by valence (mass splitting).
-        kern_j = jax.tree_util.tree_map(lambda x: x[ncap:], kern)
+        # Jacobi slice: rows here MAY share bodies; inertia is valence-scaled and the
+        # deltas are divided by valence (mass splitting).
+        ps_j = jax.tree_util.tree_map(lambda x: x[ncap:], ps_full)
         imp_j = jax.tree_util.tree_map(lambda x: x[ncap:], imp_flat)
+        rows_j = table14[bk["idx2_j"]]
+        half_j = bk["idx2_j"].shape[0] // 2
+        _, _, ia_j = _split14(rows_j[:half_j], bk["s2_j"][:half_j])
+        _, _, ib_j = _split14(rows_j[half_j:], bk["s2_j"][half_j:])
         va, vb = _vel_pair_from12(v6[bk["idx2_j"]])
-        new_imp, nva, nvb = contact_mod.apply_iteration(kern_j, imp_j, va, vb, kern_j.valid)
+        kern_j = contact_mod.prepare(ps_j, ia_j, ib_j, h, inv_h)
+        new_imp, nva, nvb = contact_mod.apply_iteration(kern_j, imp_j, va, vb, ps_j.valid)
         p2 = jnp.concatenate([_pack_dv(_delta(nva, va)), _pack_dv(_delta(nvb, vb))])
         v6 = v6.at[bk["idx2_j_s"]].add(
             (p2 / bk["s2_j"][:, None])[bk["idx2_j_p"]], indices_are_sorted=True
@@ -633,8 +905,51 @@ def solve_all(
         )
         return v6, imp_flat
 
-    def substep_bucketed(carry, first: bool):
-        state, presteps_b, imps_b, jimps = carry
+    def ju_color_sweep(table14, v6, imp_flat):
+        """One Gauss-Seidel sweep over the unified joint bank (all two-body types)."""
+        cap = ju["cap"]
+        ncap = ju["ncap"]
+        ps_rs = ju["ps"][:ncap].reshape(C, cap, _U_PRESTEP)
+        tag_rs = ju["tag"][:ncap].reshape(C, cap)
+        live_rs = ju["live"][:ncap].reshape(C, cap)
+
+        def body(carry, xs):
+            v6, imp_flat, c = carry
+            ps_c, tag_c, live_c, idx2_c, idx2_c_s, idx2_c_p = xs
+            imp_c = jax.lax.dynamic_slice_in_dim(imp_flat, c * cap, cap)
+            ctx = ju_ctx(table14, v6, idx2_c, live_c)
+            new_imp, dva, dvb = ju_apply_types("solve", ps_c, imp_c, tag_c, ctx)
+            p2 = jnp.concatenate([_pack_dv(dva), _pack_dv(dvb)])
+            v6 = v6.at[idx2_c_s].add(
+                p2[idx2_c_p], mode="drop", indices_are_sorted=True
+            )
+            imp_flat = jax.lax.dynamic_update_slice_in_dim(imp_flat, new_imp, c * cap, 0)
+            return (v6, imp_flat, c + 1), None
+
+        (v6, imp_flat, _), _ = jax.lax.scan(
+            body,
+            (v6, imp_flat, jnp.int32(0)),
+            (ps_rs, tag_rs, live_rs, ju["idx2_col"], ju["idx2_col_s"], ju["idx2_col_p"]),
+        )
+
+        # Jacobi slice with mass splitting.
+        ps_j = ju["ps"][ncap:]
+        tag_j = ju["tag"][ncap:]
+        live_j = ju["live"][ncap:]
+        imp_j = imp_flat[ncap:]
+        ctx_j = ju_ctx(table14, v6, ju["idx2_j"], live_j, ju["s2_j"])
+        new_imp, dva, dvb = ju_apply_types("solve", ps_j, imp_j, tag_j, ctx_j)
+        p2 = jnp.concatenate([_pack_dv(dva), _pack_dv(dvb)]) / ju["s2_j"][:, None]
+        v6 = v6.at[ju["idx2_j_s"]].add(
+            p2[ju["idx2_j_p"]], mode="drop", indices_are_sorted=True
+        )
+        imp_flat = imp_flat.at[ncap:].set(new_imp)
+        return v6, imp_flat
+
+    def substep_bucketed(carry, first: bool, n_iters: int = None):
+        state, presteps_b, imps_b, jimps, ju_imp = carry
+        if n_iters is None:
+            n_iters = cfg.velocity_iterations
         if not first:
             v6 = _vel_to6(state)
             new_ps = []
@@ -649,38 +964,25 @@ def solve_all(
         state = integrate_velocities(state, integrator_cfg, h)
 
         world_ii = state.world_inv_inertia()
-        i7 = _inertia7(state, world_ii)
+        table14 = _ctx14(state, world_ii)
+        i7 = table14[:, 7:14]
         v6 = _vel_to6(state)
 
-        # Per-substep contact kernels over the bucket bank (velocity-independent
-        # jacobian/effective-mass setup hoisted out of the iteration passes). Jacobi-slice
-        # rows get valence-scaled inertia baked in.
-        kerns = []
-        for ci in range(n_cbanks):
-            bk = buckets[ci]
-            # ONE (2B, 7) inertia gather for both sides, valence-scaled per row.
-            g2 = i7[bk["idx2"]] * bk["s2"][:, None]
-            half = bk["idx2"].shape[0] // 2
-            ia = GatheredInertia(
-                g2[:half, 0], Sym3(*(g2[:half, j] for j in range(1, 7)))
-            )
-            ib = GatheredInertia(
-                g2[half:, 0], Sym3(*(g2[half:, j] for j in range(1, 7)))
-            )
-            kern = contact_mod.prepare(presteps_b[ci], ia, ib, h, inv_h)
-            # Materialize the kernel: without the barrier XLA re-inlines the whole
-            # prepare chain into EVERY consumer fusion (recomputed per element — measured
-            # 100x pass blowups), defeating the per-substep hoisting.
-            kerns.append(jax.lax.optimization_barrier(kern))
-
-        # Warm start (pure accumulation; Jacobi rows apply mass-split deltas).
+        # Warm start (pure accumulation; Jacobi rows apply mass-split deltas). Deltas are
+        # velocity-independent, so ONE fused elementwise pass over each full bucket bank
+        # computes them (warm_start with zero velocities returns the deltas directly).
         dv = jnp.zeros_like(v6)
         for ci in range(n_cbanks):
             bk = buckets[ci]
             cap = bk["cap"]
             ncap = C * cap
             B = bk["order"].shape[0]
-            dva, dvb = contact_mod.warm_start_kern(kerns[ci], imps_b[ci])
+            rows = table14[bk["idx2"]]
+            g2 = rows[:, 7:14] * bk["s2"][:, None]
+            ia = GatheredInertia(g2[:B, 0], Sym3(*(g2[:B, k] for k in range(1, 7))))
+            ib = GatheredInertia(g2[B:, 0], Sym3(*(g2[B:, k] for k in range(1, 7))))
+            zb = _zero_vel(B)
+            dva, dvb = contact_mod.warm_start(presteps_b[ci], imps_b[ci], ia, ib, zb, zb)
             p2 = jnp.concatenate([_pack_dv(dva), _pack_dv(dvb)]) / bk["s2"][:, None]
             if bk["use_ga"]:
                 # Color rows via the per-color inverse maps: one batched row gather
@@ -699,28 +1001,43 @@ def solve_all(
                     pj[bk["idx2_j_p"]], indices_are_sorted=True
                 )
             else:
-                dv = dv.at[bk["idx2_s"]].add(p2[bk["idx2_p"]], indices_are_sorted=True)
-        for name in bank_names:
+                dv = dv.at[bk["idx2_s"]].add(
+                    p2[bk["idx2_p"]], mode="drop", indices_are_sorted=True
+                )
+        if ju is not None:
+            ctx_w = ju_ctx(table14, v6, ju["idx2"], ju["live"])
+            _, dva, dvb = ju_apply_types("warm", ju["ps"], ju_imp, ju["tag"], ctx_w)
+            p2 = jnp.concatenate([_pack_dv(dva), _pack_dv(dvb)])
+            dv = dv.at[ju["idx2_s"]].add(
+                p2[ju["idx2_p"]], mode="drop", indices_are_sorted=True
+            )
+        for name in mb_names:
             dv = joint_warm_start(v6, dv, i7, state, name, joint_banks[name], jimps[name])
         v6 = v6 + dv
 
         def iteration(_, sc):
-            v6, imps_b, jimps = sc
+            v6, imps_b, jimps, ju_imp = sc
             new_imps = list(imps_b)
             for ci in range(n_cbanks):
-                v6, new_imps[ci] = contact_bucket_sweep(ci, v6, imps_b[ci], kerns[ci])
-            v6, jimps = joint_iteration_tail(v6, i7, state, jimps)
-            return v6, tuple(new_imps), jimps
+                v6, new_imps[ci] = contact_bucket_sweep(
+                    ci, table14, v6, imps_b[ci], presteps_b[ci]
+                )
+            if ju is not None:
+                v6, ju_imp = ju_color_sweep(table14, v6, ju_imp)
+            v6, jimps = mb_iteration_tail(v6, i7, state, jimps)
+            return v6, tuple(new_imps), jimps, ju_imp
 
-        v6, imps_b, jimps = jax.lax.fori_loop(
-            0, cfg.velocity_iterations, iteration, (v6, imps_b, jimps)
+        v6, imps_b, jimps, ju_imp = jax.lax.fori_loop(
+            0, n_iters, iteration, (v6, imps_b, jimps, ju_imp)
         )
         state = _vel_from6(state, v6)
-        return state, presteps_b, imps_b, jimps
+        return state, presteps_b, imps_b, jimps, ju_imp
 
     # ---- Masked substep loop (sharded path) --------------------------------------------
-    def substep_masked(carry, first: bool):
-        state, presteps_l, imps_l, jimps = carry
+    def substep_masked(carry, first: bool, n_iters: int = None):
+        state, presteps_l, imps_l, jimps, _ju_unused = carry
+        if n_iters is None:
+            n_iters = cfg.velocity_iterations
         if not first:
             v6 = _vel_to6(state)
             new_presteps = []
@@ -802,25 +1119,39 @@ def solve_all(
             return apply_dv(v6, dv), tuple(new_imps), new_jimps
 
         v6, imps_l, jimps = jax.lax.fori_loop(
-            0, cfg.velocity_iterations, iteration, (v6, imps_l, jimps)
+            0, n_iters, iteration, (v6, imps_l, jimps)
         )
         state = _vel_from6(state, v6)
-        return state, presteps_l, imps_l, jimps
+        return state, presteps_l, imps_l, jimps, _ju_unused
 
     # ---- Run the substep loop ----------------------------------------------------------
     substep = substep_bucketed if bucketed else substep_masked
     if bucketed:
         presteps0 = tuple(bk["ps"] for bk in buckets)
         imps0 = tuple(bk["imp"] for bk in buckets)
+        jimps0 = {name: joint_imps[name] for name in mb_names}
+        ju_imp0 = ju["imp0"] if ju is not None else jnp.zeros((0, _U_IMPULSE), jnp.float32)
     else:
         presteps0 = tuple(ps for ps, _ in contact_banks)
         imps0 = tuple(im for _, im in contact_banks)
-    carry = substep((state, presteps0, imps0, joint_imps), first=True)
-    if cfg.substeps > 1:
-        carry, _ = jax.lax.scan(
-            lambda c, _: (substep(c, first=False), None), carry, None, length=cfg.substeps - 1
-        )
-    state, _, imps_final, joint_imps = carry
+        jimps0 = joint_imps
+        ju_imp0 = jnp.zeros((0, _U_IMPULSE), jnp.float32)
+    carry0 = (state, presteps0, imps0, jimps0, ju_imp0)
+    if cfg.iteration_schedule is not None:
+        # Per-substep velocity-iteration counts (reference VelocityIterationScheduler,
+        # SolveDescription.cs:17): static per-substep loop lengths force an unrolled
+        # substep chain instead of the scanned one.
+        carry = substep(carry0, first=True, n_iters=cfg.iterations_for(0))
+        for s in range(1, cfg.substeps):
+            carry = substep(carry, first=False, n_iters=cfg.iterations_for(s))
+    else:
+        carry = substep(carry0, first=True)
+        if cfg.substeps > 1:
+            carry, _ = jax.lax.scan(
+                lambda c, _: (substep(c, first=False), None), carry, None,
+                length=cfg.substeps - 1,
+            )
+    state, _, imps_final, jimps_final, ju_imp_final = carry
 
     state = integrate_poses(state, integrator_cfg, h)
 
@@ -841,8 +1172,30 @@ def solve_all(
                     contact_banks[ci][1], imps_final[ci],
                 )
             )
-        return state, imps_out, joint_imps, overflow, persist_c, persist_j
-    return state, list(imps_final), joint_imps, overflow, persist_c, persist_j
+        joint_imps_out = dict(jimps_final)  # multibody types
+        if ju is not None:
+            tgt = jnp.where(ju["present"], ju["order"], ju["m"])
+            t_s, t_p = jax.lax.sort(
+                (tgt, jnp.arange(tgt.shape[0], dtype=jnp.int32)), num_keys=1
+            )
+            u_imp_out = (
+                jnp.zeros((ju["m"], _U_IMPULSE), jnp.float32)
+                .at[t_s]
+                .set(ju_imp_final[t_p], mode="drop", indices_are_sorted=True)
+            )
+            off_u = 0
+            for name in tb_names:
+                m_n = joint_banks[name]["bodies"].shape[0]
+                q_n = JOINT_TYPES[name].N_IMPULSE
+                joint_imps_out[name] = jax.lax.dynamic_slice_in_dim(
+                    u_imp_out, off_u, m_n
+                )[:, :q_n]
+                off_u += m_n
+        else:
+            for name in tb_names:
+                joint_imps_out[name] = joint_imps[name]
+        return state, imps_out, joint_imps_out, overflow, persist_c, persist_j
+    return state, list(imps_final), jimps_final, overflow, persist_c, persist_j
 
 
 def solve_contacts(state, prestep, imp, integrator_cfg, cfg, dt):

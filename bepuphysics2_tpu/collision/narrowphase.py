@@ -102,11 +102,16 @@ def _box_box(pos_ab, orn_a, orn_b, pa, pb):
     return testers.box_box(pos_ab, orn_a, orn_b, pa, pb)
 
 
+def _capsule_box(pos_ab, orn_a, orn_b, pa, pb):
+    return testers.capsule_box(pos_ab, orn_a, orn_b, pa, pb)
+
+
 TESTER_REGISTRY = [
     (SPHERE, SPHERE, _sphere_sphere),
     (SPHERE, CAPSULE, _sphere_capsule),
     (SPHERE, BOX, _sphere_box),
     (CAPSULE, CAPSULE, _capsule_capsule),
+    (CAPSULE, BOX, _capsule_box),
     (BOX, BOX, _box_box),
 ]
 
@@ -156,6 +161,10 @@ def run_convex_testers(
 
         si = jnp.maximum(shape_i, 0)
         sj = jnp.maximum(shape_j, 0)
+        # Trace-time gate: the 64-wide hull-window gather inside every support call is
+        # the single most expensive part of the generic kernel (measured ~50% of its
+        # device time in hull-free scenes) — skip it entirely when no hull shape exists.
+        hulls_possible = present is None or CONVEX_HULL in present
         ctx = SupportCtx(
             type_a=ti,
             params_a=params_i,
@@ -163,7 +172,11 @@ def run_convex_testers(
             params_b=params_j,
             orn_ab=orn_i.conjugate().mul(orn_j),
             pos_ab=orn_i.rotate_inverse(pos_ij),
-            hull_points=_V3(shapes.hull_x, shapes.hull_y, shapes.hull_z),
+            hull_points=(
+                _V3(shapes.hull_x, shapes.hull_y, shapes.hull_z)
+                if hulls_possible
+                else None
+            ),
             hull_start_a=shapes.hull_start[si],
             hull_count_a=shapes.hull_count[si],
             hull_start_b=shapes.hull_start[sj],

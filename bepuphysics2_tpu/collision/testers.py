@@ -196,6 +196,213 @@ def capsule_capsule(pos_ab: Vec3, orn_a: Quat, orn_b: Quat, params_a, params_b) 
     )
 
 
+def _capsule_box_edge(au, av, aw, du, dv, dw, hl, eu, ev, hu, hv, hw):
+    """Closest-approach candidate between the capsule segment and ONE representative box
+    edge, expressed in a (u, v, w) permutation of the box frame where the edge runs along
+    w through (eu, ev, 0). Returns (ta, depth_core, nu, nv, nw) with the normal unit and
+    calibrated toward the capsule center (B→A). reference capability:
+    CollisionTasks/CapsuleBoxTester.cs TestAndRefineBoxEdge (own derivation).
+
+    Segment: p(t) = a + t·d (|t| ≤ hl); edge line: q(s) = (eu, ev, s).
+    Unclamped closest approach: ta = (d·(b−a) + a_w·d_w) / (1 − d_w²) with
+    b = (eu, ev, 0); then both params clamp to their segments via the mutual
+    interval projections (cheap conservative clamp that agrees with the exact
+    clamped solution in the non-degenerate cases that matter for manifolds)."""
+    ab_u = eu - au
+    ab_v = ev - av
+    d_dot_ab = du * ab_u + dv * ab_v - dw * aw
+    denom = jnp.maximum(1e-15, 1.0 - dw * dw)
+    ta = (d_dot_ab + aw * dw) / denom
+    tb = ta * dw + aw
+
+    # Mutual clamped intervals: project each segment onto the other's axis.
+    absdadb = jnp.abs(dw)
+    b_onto_a = hw * absdadb
+    a_onto_b = hl * absdadb
+    ta_min = jnp.maximum(-hl, jnp.minimum(hl, d_dot_ab - b_onto_a))
+    ta_max = jnp.minimum(hl, jnp.maximum(-hl, d_dot_ab + b_onto_a))
+    tb_min = jnp.maximum(-hw, jnp.minimum(hw, aw - a_onto_b))
+    tb_max = jnp.minimum(hw, jnp.maximum(-hw, aw + a_onto_b))
+    ta = jnp.clip(ta, ta_min, ta_max)
+    tb = jnp.clip(tb, tb_min, tb_max)
+
+    cu = au + ta * du
+    cv = av + ta * dv
+    cw = aw + ta * dw
+    nu = cu - eu
+    nv = cv - ev
+    nw = cw - tb
+    len2 = nu * nu + nv * nv + nw * nw
+    # Degenerate (segment intersects edge): fall back to cross(d, edge_w) = (dv, -du, 0);
+    # doubly degenerate (parallel): (1, 0, 0).
+    fb2 = du * du + dv * dv
+    use_fb = len2 < 1e-10
+    use_fb2 = use_fb & (fb2 < 1e-10)
+    len2 = jnp.where(use_fb2, 1.0, jnp.where(use_fb, fb2, len2))
+    nu = jnp.where(use_fb2, 1.0, jnp.where(use_fb, dv, nu))
+    nv = jnp.where(use_fb2, 0.0, jnp.where(use_fb, -du, nv))
+    nw = jnp.where(use_fb2, 0.0, jnp.where(use_fb, 0.0, nw))
+    # Calibrate toward the capsule center (B→A) and normalize.
+    calib = nu * au + nv * av + nw * aw
+    sgn = jnp.where(calib < 0.0, -1.0, 1.0)
+    inv_len = sgn / jnp.sqrt(len2)
+    nu, nv, nw = nu * inv_len, nv * inv_len, nw * inv_len
+    # Core depth along the candidate normal: box support minus capsule-segment support.
+    box_extreme = jnp.abs(nu) * hu + jnp.abs(nv) * hv + jnp.abs(nw) * hw
+    cap_extreme = nu * cu + nv * cv + nw * cw
+    return ta, box_extreme - cap_extreme, nu, nv, nw
+
+
+def capsule_box(pos_ab: Vec3, orn_a: Quat, orn_b: Quat, params_a, params_b) -> Manifold:
+    """Capsule A vs box B: 3 representative-edge + 3 face candidates, then a 2-contact
+    manifold by clipping the capsule axis against the representative face in its tangent
+    plane (reference capability: CollisionTasks/CapsuleBoxTester.cs — own derivation).
+    Per-contact depths come from the unprojection separation, so a tilted capsule on a
+    face gets distinct endpoint depths."""
+    r, hl = params_a[:, 0], params_a[:, 1]
+    hb = Vec3(params_b[:, 0], params_b[:, 1], params_b[:, 2])
+    N = r.shape[0]
+
+    # Everything in the box's local frame.
+    a = orn_b.rotate_inverse(-1.0 * pos_ab)  # capsule center
+    d = orn_b.rotate_inverse(orn_a.rotate(Vec3.full((N,), 0.0, 1.0, 0.0)))  # capsule axis
+
+    # Representative edge per box axis: the edge of the sign-quadrant containing the
+    # closest point of the capsule segment to the box center.
+    t_star = jnp.clip(-a.dot(d), -hl, hl)
+    p_star = a + d * t_star
+    ex = jnp.where(p_star.x < 0.0, -hb.x, hb.x)
+    ey = jnp.where(p_star.y < 0.0, -hb.y, hb.y)
+    ez = jnp.where(p_star.z < 0.0, -hb.z, hb.z)
+
+    # Edge candidates (w = edge direction axis).
+    ta_z, dep_z, nzx, nzy, nzz = _capsule_box_edge(
+        a.x, a.y, a.z, d.x, d.y, d.z, hl, ex, ey, hb.x, hb.y, hb.z
+    )
+    ta_x, dep_x, nxy, nxz, nxx = _capsule_box_edge(
+        a.y, a.z, a.x, d.y, d.z, d.x, hl, ey, ez, hb.y, hb.z, hb.x
+    )
+    ta_y, dep_y, nyz, nyx, nyy = _capsule_box_edge(
+        a.z, a.x, a.y, d.z, d.x, d.y, hl, ez, ex, hb.z, hb.x, hb.y
+    )
+
+    depth = dep_x
+    ta = ta_x
+    n = Vec3(nxx, nxy, nxz)
+
+    def pick(dep_c, ta_c, n_c, depth, ta, n):
+        better = dep_c < depth
+        return (
+            jnp.where(better, dep_c, depth),
+            jnp.where(better, ta_c, ta),
+            n_c.where(better, n),
+        )
+
+    depth, ta, n = pick(dep_y, ta_y, Vec3(nyx, nyy, nyz), depth, ta, n)
+    depth, ta, n = pick(dep_z, ta_z, Vec3(nzx, nzy, nzz), depth, ta, n)
+
+    # Face candidates.
+    fsx = jnp.where(a.x > 0.0, 1.0, -1.0)
+    fsy = jnp.where(a.y > 0.0, 1.0, -1.0)
+    fsz = jnp.where(a.z > 0.0, 1.0, -1.0)
+    zero = jnp.zeros((N,), jnp.float32)
+    fdx = hb.x + jnp.abs(d.x) * hl - fsx * a.x
+    fdy = hb.y + jnp.abs(d.y) * hl - fsy * a.y
+    fdz = hb.z + jnp.abs(d.z) * hl - fsz * a.z
+    depth, ta, n = pick(fdx, ta, Vec3(fsx, zero, zero), depth, ta, n)
+    depth, ta, n = pick(fdy, ta, Vec3(zero, fsy, zero), depth, ta, n)
+    depth, ta, n = pick(fdz, ta, Vec3(zero, zero, fsz), depth, ta, n)
+
+    # Representative face = the face whose outward normal best matches the winning
+    # normal; build the capsule-axis interval by unprojecting onto that face plane
+    # along n and clipping in the face's tangent plane.
+    xd = n.x * fsx
+    yd = n.y * fsy
+    zd = n.z * fsz
+    use_x = xd > jnp.maximum(yd, zd)
+    use_y = (~use_x) & (yd > zd)
+    use_z = ~(use_x | use_y)
+
+    fn_dot_n = jnp.where(use_x, xd, jnp.where(use_y, yd, zd))
+    inv_fn_dot_n = 1.0 / jnp.maximum(1e-15, fn_dot_n)
+    axis_dot_fn = jnp.where(use_x, d.x * fsx, jnp.where(use_y, d.y * fsy, d.z * fsz))
+    center_dot_fn = jnp.where(use_x, a.x * fsx, jnp.where(use_y, a.y * fsy, a.z * fsz))
+    face_offset = jnp.where(use_x, hb.x, jnp.where(use_y, hb.y, hb.z))
+    t_axis = axis_dot_fn * inv_fn_dot_n
+    t_center = (center_dot_fn - face_offset) * inv_fn_dot_n
+
+    unproj_axis = d - n * t_axis
+    unproj_center = a - n * t_center
+    # Tangent coordinates: face X → (y, z); face Y → (x, z); face Z → (x, y).
+    ts_ax = jnp.where(use_x, unproj_axis.y, unproj_axis.x)
+    ts_ay = jnp.where(use_z, unproj_axis.y, unproj_axis.z)
+    ts_cx = jnp.where(use_x, unproj_center.y, unproj_center.x)
+    ts_cy = jnp.where(use_z, unproj_center.y, unproj_center.z)
+    eps_scale = jnp.minimum(
+        jnp.maximum(hb.x, jnp.maximum(hb.y, hb.z)), jnp.maximum(hl, r)
+    )
+    eps = eps_scale * 1e-3
+    half_u = eps + jnp.where(use_x, hb.y, hb.x)
+    half_v = eps + jnp.where(use_z, hb.y, hb.z)
+
+    inv_ax = -1.0 / jnp.where(jnp.abs(ts_ax) < 1e-15, 1e-15, ts_ax)
+    inv_ay = -1.0 / jnp.where(jnp.abs(ts_ay) < 1e-15, 1e-15, ts_ay)
+    tx0 = (ts_cx - half_u) * inv_ax
+    tx1 = (ts_cx + half_u) * inv_ax
+    ty0 = (ts_cy - half_v) * inv_ay
+    ty1 = (ts_cy + half_v) * inv_ay
+    min_x = jnp.minimum(tx0, tx1)
+    max_x = jnp.maximum(tx0, tx1)
+    min_y = jnp.minimum(ty0, ty1)
+    max_y = jnp.maximum(ty0, ty1)
+    big = 3.0e38
+    fb_x = jnp.abs(ts_ax) < 1e-15
+    fb_y = jnp.abs(ts_ay) < 1e-15
+    in_x = jnp.abs(ts_cx) <= half_u
+    in_y = jnp.abs(ts_cy) <= half_v
+    min_x = jnp.where(fb_x, jnp.where(in_x, -big, big), min_x)
+    max_x = jnp.where(fb_x, jnp.where(in_x, big, -big), max_x)
+    min_y = jnp.where(fb_y, jnp.where(in_y, -big, big), min_y)
+    max_y = jnp.where(fb_y, jnp.where(in_y, big, -big), max_y)
+    face_min = jnp.maximum(min_x, min_y)
+    face_max = jnp.minimum(max_x, max_y)
+    t_min = jnp.clip(face_min, -hl, hl)
+    t_max = jnp.clip(face_max, -hl, hl)
+    has_interval = face_max >= face_min
+    t_min = jnp.where(has_interval, jnp.minimum(t_min, ta), ta)
+    t_max = jnp.where(has_interval, jnp.maximum(t_max, ta), ta)
+
+    # Per-contact depths from the unprojection separation.
+    sep_min = t_center + t_axis * t_min
+    sep_max = t_center + t_axis * t_max
+    depth0 = r - sep_min
+    depth1 = r - sep_max
+
+    normal = orn_b.rotate(n)
+    p0 = orn_b.rotate(d * t_min)
+    p1 = orn_b.rotate(d * t_max)
+    # Push contacts from the axis to the capsule surface / midpoint of overlap.
+    p0 = p0 + normal * (depth0 * 0.5 - r)
+    p1 = p1 + normal * (depth1 * 0.5 - r)
+
+    z4 = jnp.zeros((N, 4), jnp.float32)
+    return Manifold(
+        normal=normal,
+        offset_a=Vec3(
+            z4.at[:, 0].set(p0.x).at[:, 1].set(p1.x),
+            z4.at[:, 0].set(p0.y).at[:, 1].set(p1.y),
+            z4.at[:, 0].set(p0.z).at[:, 1].set(p1.z),
+        ),
+        depth=z4.at[:, 0].set(depth0).at[:, 1].set(depth1),
+        feature=jnp.zeros((N, 4), jnp.int32).at[:, 1].set(1),
+        contact_mask=jnp.zeros((N, 4), bool)
+        .at[:, 0]
+        .set(True)
+        .at[:, 1]
+        .set(t_max - t_min > 1e-7 * hl),
+    )
+
+
 def _box_vertices(h: Vec3):
     """(N, 8) local vertices of a box with half extents h."""
     signs = jnp.array(

@@ -1,0 +1,481 @@
+"""Pallas TPU color-sweep kernel: the solver's per-substep velocity-iteration interior.
+
+The reference's entire performance identity is the multithreaded per-batch solve loop
+(reference Solver_Solve.cs:297-654, TwoBodyTypeProcessor.cs:205). The XLA formulation of
+that loop — one fused gather→prepare→iterate→scatter program per color slice — pays two
+HBM round-trips of the full (NB, 6) velocity array per pass plus per-fusion launch
+overheads, which dominates the solver at every scene size. This kernel keeps the body
+state **VMEM-resident across every color slice and velocity iteration of a substep** and
+routes constraint-row gathers/scatters through the MXU:
+
+- Body state lives in a transposed layout ``S[(comp·L + l), chunk]`` (L = 8 bodies per
+  chunk column): component rows, bodies split (chunk, lane-in-chunk). A slice's row
+  gather is then ``W = S @ OH_chunk`` (one-hot chunk-selection matmul) followed by an
+  8-way lane-in-chunk select — and the scatter is the transposed matmul. One-hot
+  operands are exact in bfloat16, and the f32 data is split into three bfloat16
+  components (``bf16x3``) whose partial products are each exact (every output element
+  has exactly one nonzero term), so the routing reproduces f32 gathers bit-exactly
+  (measured: 0 ulp vs XLA gather, ~3 µs per 1k-row pass on v5e).
+- The Jacobi fallback bucket becomes trailing pseudo-color slices with a per-row
+  mass-splitting scale (reference SequentialFallbackBatch.cs:37): the matmul scatter
+  accumulates duplicate-body contributions exactly like a segment-sum.
+- Jacobians / effective masses are recomputed in-kernel per visit from the streamed
+  prestep block + the gathered body context, matching the reference's
+  recompute-per-solve structure.
+
+Grid = (velocity_iterations, num_slices); slices stream their prestep block from HBM
+(double-buffered by Pallas) while velocities and accumulated impulses persist in VMEM
+scratch. Gauss-Seidel ordering holds because TPU grid steps execute sequentially.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constraints.contact import BodyVel
+from ..utils.vec import Sym2, Sym3, Vec2, Vec3, build_orthonormal_basis
+
+L = 8  # bodies per chunk column of the transposed state
+
+# --- packed contact prestep rows (component-major, (PS, B)) ---------------------------
+PS_N = 0  # 0-2 normal xyz
+PS_AX = 3  # 3-6 offset_a.x[k]
+PS_AY = 7  # 7-10 offset_a.y[k]
+PS_AZ = 11  # 11-14 offset_a.z[k]
+PS_B = 15  # 15-17 offset_b xyz
+PS_DEPTH = 18  # 18-21 depth[k]
+PS_MASK = 22  # 22-25 contact mask[k] (0/1)
+PS_FRICTION = 26
+PS_ERRVEL = 27
+PS_CFM = 28
+PS_SOFT = 29
+PS_MAXREC = 30
+PS_VALID = 31
+PS_ROWS = 32
+
+IMP_ROWS = 8  # 0-3 pen[k], 4 tx, 5 ty, 6 twist, 7 pad
+
+# state rows: 8 velocity comps then 16 body-context comps, each spread over L lanes
+NVC = 8  # vx vy vz wx wy wz pad pad
+NTC = 16  # px py pz qx qy qz qw | im ixx iyx iyy izx izy izz pad pad
+SROWS = (NVC + NTC) * L  # 192
+
+
+def _bf16x3(x):
+    b1 = x.astype(jnp.bfloat16)
+    r = x - b1.astype(jnp.float32)
+    b2 = r.astype(jnp.bfloat16)
+    b3 = (r - b2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return b1, b2, b3
+
+
+def _mm3(x, oh):
+    """Exact f32 matmul against a one-hot bf16 operand via 3-way bf16 split."""
+    b1, b2, b3 = _bf16x3(x)
+    return (
+        jnp.dot(b1, oh, preferred_element_type=jnp.float32)
+        + jnp.dot(b2, oh, preferred_element_type=jnp.float32)
+        + jnp.dot(b3, oh, preferred_element_type=jnp.float32)
+    )
+
+
+def _solve_contact_rows(ps, imp, ia_im, ia_ii, ib_im, ib_ii, va, vb, inv_h):
+    """One velocity iteration over a slice, all rows masked. Component-row port of
+    constraints/contact.py::solve (same math & update order; see that module for the
+    reference citations). ``ps``/``imp``: (rows, SB) blocks; sides' inertias gathered
+    and mass-split-scaled. Returns (new_imp rows, dva, dvb)."""
+    n = Vec3(ps[PS_N], ps[PS_N + 1], ps[PS_N + 2])
+    err_vel = ps[PS_ERRVEL]
+    cfm = ps[PS_CFM]
+    softness = ps[PS_SOFT]
+    valid = ps[PS_VALID] > 0.5
+    off_b = Vec3(ps[PS_B], ps[PS_B + 1], ps[PS_B + 2])
+    im_a, im_b = ia_im, ib_im
+
+    dva_l = Vec3.zeros(n.x.shape)
+    dva_a = Vec3.zeros(n.x.shape)
+    dvb_l = Vec3.zeros(n.x.shape)
+    dvb_a = Vec3.zeros(n.x.shape)
+
+    pen_new = []
+    pen_masked_sum = None
+    pen_lever_sum = None
+
+    # Friction center (depth-weighted; fallback = mean of live) — needed by tangent
+    # solve below; per-contact penetration solves run first, mutating va/vb.
+    live_f = [ps[PS_MASK + k] for k in range(4)]
+    w_raw = [
+        jnp.where(ps[PS_DEPTH + k] < 0.0, 0.0, 1.0) * live_f[k] for k in range(4)
+    ]
+    wsum = w_raw[0] + w_raw[1] + w_raw[2] + w_raw[3]
+    live_count = jnp.maximum(live_f[0] + live_f[1] + live_f[2] + live_f[3], 1.0)
+    fallback = wsum == 0.0
+    w = [
+        jnp.where(fallback, live_f[k] / live_count, w_raw[k] / jnp.maximum(wsum, 1.0))
+        for k in range(4)
+    ]
+    center_a = Vec3.zeros(n.x.shape)
+    for k in range(4):
+        off_k = Vec3(ps[PS_AX + k], ps[PS_AY + k], ps[PS_AZ + k])
+        center_a = center_a + off_k * w[k]
+    center_b = center_a - off_b
+
+    for k in range(4):
+        off_k = Vec3(ps[PS_AX + k], ps[PS_AY + k], ps[PS_AZ + k])
+        off_bk = off_k - off_b
+        ang_a = off_k.cross(n)
+        ang_b = n.cross(off_bk)
+        ang_a_im = ia_ii.transform(ang_a)
+        ang_b_im = ib_ii.transform(ang_b)
+        inv_eff = im_a + im_b + ang_a.dot(ang_a_im) + ang_b.dot(ang_b_im)
+        eff = jnp.where(inv_eff > 0.0, cfm / jnp.maximum(inv_eff, 1e-30), 0.0)
+        depth_k = ps[PS_DEPTH + k]
+        bias = jnp.minimum(
+            depth_k * inv_h, jnp.minimum(depth_k * err_vel, ps[PS_MAXREC])
+        )
+        csv = (
+            (va.linear + dva_l).dot(n)
+            - (vb.linear + dvb_l).dot(n)
+            + (va.angular + dva_a).dot(ang_a)
+            + (vb.angular + dvb_a).dot(ang_b)
+        )
+        acc_k = imp[k]
+        negated_csi = acc_k * softness + (csv - bias) * eff
+        new_acc = jnp.maximum(0.0, acc_k - negated_csi)
+        live = (live_f[k] > 0.5) & valid
+        new_acc = jnp.where(live, new_acc, acc_k)
+        corrective = jnp.where(live, new_acc - acc_k, 0.0)
+        pen_new.append(new_acc)
+        lin = n * corrective
+        dva_l = dva_l + lin * im_a
+        dva_a = dva_a + ang_a_im * corrective
+        dvb_l = dvb_l - lin * im_b
+        dvb_a = dvb_a + ang_b_im * corrective
+        pm = new_acc * live_f[k]
+        pen_masked_sum = pm if pen_masked_sum is None else pen_masked_sum + pm
+        dist_k = (off_k - center_a).length()
+        pl_ = pm * dist_k
+        pen_lever_sum = pl_ if pen_lever_sum is None else pen_lever_sum + pl_
+
+    # Tangent friction (2-DOF block at the manifold center).
+    t1, t2 = build_orthonormal_basis(n)
+    ang_a1 = center_a.cross(t1)
+    ang_a2 = center_a.cross(t2)
+    ang_b1 = t1.cross(center_b)
+    ang_b2 = t2.cross(center_b)
+    ang_a1_im = ia_ii.transform(ang_a1)
+    ang_a2_im = ia_ii.transform(ang_a2)
+    ang_b1_im = ib_ii.transform(ang_b1)
+    ang_b2_im = ib_ii.transform(ang_b2)
+    imass = im_a + im_b
+    m11 = imass + ang_a1.dot(ang_a1_im) + ang_b1.dot(ang_b1_im)
+    m22 = imass + ang_a2.dot(ang_a2_im) + ang_b2.dot(ang_b2_im)
+    m12 = ang_a1_im.dot(ang_a2) + ang_b1_im.dot(ang_b2)
+    eff_t = Sym2(m11, m12, m22).inverse()
+
+    va_l = va.linear + dva_l
+    va_a = va.angular + dva_a
+    vb_l = vb.linear + dvb_l
+    vb_a = vb.angular + dvb_a
+    csv1 = vb_l.dot(t1) - va_l.dot(t1) - va_a.dot(ang_a1) - vb_a.dot(ang_b1)
+    csv2 = vb_l.dot(t2) - va_l.dot(t2) - va_a.dot(ang_a2) - vb_a.dot(ang_b2)
+    csi = eff_t.transform(Vec2(csv1, csv2))
+
+    contact_count = jnp.maximum(live_f[0] + live_f[1] + live_f[2] + live_f[3], 1.0)
+    premul_friction = ps[PS_FRICTION] / contact_count
+    max_tangent = premul_friction * pen_masked_sum
+    prev_tx, prev_ty = imp[4], imp[5]
+    new_tx = prev_tx + csi.x
+    new_ty = prev_ty + csi.y
+    mag = jnp.sqrt(new_tx * new_tx + new_ty * new_ty)
+    sc = jnp.minimum(1.0, max_tangent / jnp.maximum(1e-16, mag))
+    new_tx = new_tx * sc
+    new_ty = new_ty * sc
+    new_tx = jnp.where(valid, new_tx, prev_tx)
+    new_ty = jnp.where(valid, new_ty, prev_ty)
+    cx = new_tx - prev_tx
+    cy = new_ty - prev_ty
+    lin_t = t1 * cx + t2 * cy
+    dva_l = dva_l + lin_t * im_a
+    dva_a = dva_a + ang_a1_im * cx + ang_a2_im * cy
+    dvb_l = dvb_l - lin_t * im_b
+    dvb_a = dvb_a + ang_b1_im * cx + ang_b2_im * cy
+
+    # Twist friction.
+    single = contact_count <= 1.0
+    lever0 = jnp.maximum(0.0, ps[PS_DEPTH])
+    twist_cap = jnp.where(
+        single,
+        premul_friction * pen_new[0] * live_f[0] * lever0,
+        premul_friction * pen_lever_sum,
+    )
+    n_im_a = ia_ii.transform(n)
+    n_im_b = ib_ii.transform(n)
+    inv_eff_tw = n.dot(n_im_a) + n.dot(n_im_b)
+    eff_tw = jnp.where(inv_eff_tw == 0.0, 0.0, 1.0 / jnp.maximum(inv_eff_tw, 1e-30))
+    csv_tw = (va.angular + dva_a).dot(n) - (vb.angular + dvb_a).dot(n)
+    csi_tw = -csv_tw * eff_tw
+    prev_tw = imp[6]
+    new_tw = jnp.clip(prev_tw + csi_tw, -twist_cap, twist_cap)
+    new_tw = jnp.where(valid, new_tw, prev_tw)
+    corr_tw = new_tw - prev_tw
+    dva_a = dva_a + n_im_a * corr_tw
+    dvb_a = dvb_a - n_im_b * corr_tw
+
+    new_imp = pen_new + [new_tx, new_ty, new_tw, jnp.zeros_like(new_tw)]
+    return new_imp, (dva_l, dva_a), (dvb_l, dvb_a)
+
+
+def _contact_sweep_kernel(
+    hscal_ref,  # (1, 2) SMEM: h, inv_h  (unused h kept for symmetry/extension)
+    hi_lane_ref,  # (1, 2SB) int32 block
+    lo_lane_ref,  # (1, 2SB) int32 block
+    hi_sub_ref,  # (2SB, 1) int32 block
+    scale_ref,  # (1, 2SB) f32 block
+    ps_ref,  # (PS_ROWS, SB) f32 block
+    v_in_ref,  # (NVC*L, NCH) f32 full
+    t_in_ref,  # (NTC*L, NCH) f32 full
+    imp_in_ref,  # (IMP_ROWS, B) f32 full
+    v_out_ref,  # (NVC*L, NCH) f32 full
+    imp_out_ref,  # (IMP_ROWS, B) f32 full
+    s_scratch,  # (SROWS, NCH) f32
+    imp_scratch,  # (IMP_ROWS, B) f32
+    *,
+    n_slices,
+    n_iters,
+    sb,
+):
+    it = pl.program_id(0)
+    s = pl.program_id(1)
+    first = (it == 0) & (s == 0)
+    last = (it == n_iters - 1) & (s == n_slices - 1)
+
+    @pl.when(first)
+    def _():
+        s_scratch[0 : NVC * L, :] = v_in_ref[:]
+        s_scratch[NVC * L :, :] = t_in_ref[:]
+        imp_scratch[:] = imp_in_ref[:]
+
+    nch = s_scratch.shape[1]
+    m2 = 2 * sb
+    inv_h = hscal_ref[0, 1]
+
+    hi_lane = hi_lane_ref[0]  # (1, 2SB)
+    lo_lane = lo_lane_ref[0]
+    hi_sub = hi_sub_ref[0]  # (2SB, 1)
+    scale2 = scale_ref[0, 0]  # (2SB,)
+
+    oh_g = (
+        jax.lax.broadcasted_iota(jnp.int32, (nch, m2), 0) == hi_lane
+    ).astype(jnp.bfloat16)
+    oh_s = (
+        jax.lax.broadcasted_iota(jnp.int32, (m2, nch), 1) == hi_sub
+    ).astype(jnp.bfloat16)
+    oh_lo = (
+        jax.lax.broadcasted_iota(jnp.int32, (L, m2), 0) == lo_lane
+    ).astype(jnp.float32)
+
+    # Gather: route all 24 body components for both sides in one matmul family.
+    W = _mm3(s_scratch[:], oh_g)  # (SROWS, 2SB)
+    W3 = W.reshape(NVC + NTC, L, m2)
+    G = jnp.sum(W3 * oh_lo[None, :, :], axis=1)  # (24, 2SB)
+
+    ga = G[:, :sb]
+    gb = G[:, sb:]
+    sa = scale2[:sb]
+    sb_ = scale2[sb:]
+
+    va = (Vec3(ga[0], ga[1], ga[2]), Vec3(ga[3], ga[4], ga[5]))
+    vb = (Vec3(gb[0], gb[1], gb[2]), Vec3(gb[3], gb[4], gb[5]))
+    ia_im = ga[NVC + 7] * sa
+    ia_ii = Sym3(*(ga[NVC + 8 + j] * sa for j in range(6)))
+    ib_im = gb[NVC + 7] * sb_
+    ib_ii = Sym3(*(gb[NVC + 8 + j] * sb_ for j in range(6)))
+
+    ps = ps_ref[:]  # (PS_ROWS, SB)
+    imp_blk = imp_scratch[:, pl.ds(s * sb, sb)]  # (IMP_ROWS, SB)
+    imp_rows = [imp_blk[r] for r in range(IMP_ROWS)]
+
+    new_imp, (dva_l, dva_a), (dvb_l, dvb_a) = _solve_contact_rows(
+        ps,
+        imp_rows,
+        ia_im,
+        ia_ii,
+        ib_im,
+        ib_ii,
+        BodyVel(va[0], va[1]),
+        BodyVel(vb[0], vb[1]),
+        inv_h,
+    )
+
+    imp_scratch[:, pl.ds(s * sb, sb)] = jnp.stack(new_imp)
+
+    # Scatter: mass-split scaling divides the deltas (Jacobi pseudo-colors).
+    # (2-D lane concat at the SB tile boundary — Mosaic rejects 1-D concatenation.)
+    za = jnp.zeros_like(dva_l.x)
+    zb = jnp.zeros_like(dvb_l.x)
+    d_a = jnp.stack([dva_l.x, dva_l.y, dva_l.z, dva_a.x, dva_a.y, dva_a.z, za, za])
+    d_b = jnp.stack([dvb_l.x, dvb_l.y, dvb_l.z, dvb_a.x, dvb_a.y, dvb_a.z, zb, zb])
+    d_rows = jnp.concatenate([d_a, d_b], axis=1)  # (8, 2SB)
+    # Mass splitting: inertia was scaled UP by the valence, the applied deltas divide
+    # back down (reference SequentialFallbackBatch semantics; scale == 1 in GS colors).
+    d_rows = d_rows / scale2[None, :]
+    dexp = (d_rows[:, None, :] * oh_lo[None, :, :]).reshape(NVC * L, m2)
+    dV = _mm3(dexp, oh_s)  # (NVC*L, NCH)
+    s_scratch[0 : NVC * L, :] = s_scratch[0 : NVC * L, :] + dV
+
+    @pl.when(last)
+    def _():
+        v_out_ref[:] = s_scratch[0 : NVC * L, :]
+        imp_out_ref[:] = imp_scratch[:]
+
+
+def contact_sweep(
+    vt,  # (NVC*L, NCH) f32 transposed velocities
+    tt,  # (NTC*L, NCH) f32 transposed body context
+    ps_t,  # (PS_ROWS, B) f32 transposed prestep (B = n_slices*SB)
+    imp_t,  # (IMP_ROWS, B) f32 transposed impulses
+    idx2,  # (B2 = n_slices*2SB,) int32 body index per row side (a rows then b rows per slice)
+    scale,  # (B2,) f32 jacobi scale per row side (1.0 in GS colors)
+    h,
+    inv_h,
+    *,
+    sb: int,
+    n_iters: int,
+    interpret: bool = False,
+):
+    """Run ``n_iters`` Gauss-Seidel sweeps over all slices. ``idx2``/``scale`` are laid
+    out per slice: slice s occupies rows [s*2SB, (s+1)*2SB) with the A sides first.
+    Returns (vt', imp_t')."""
+    srows, nch = vt.shape[0] + tt.shape[0], vt.shape[1]
+    B = ps_t.shape[1]
+    n_slices = B // sb
+    m2 = 2 * sb
+
+    hi = (idx2 // L).astype(jnp.int32).reshape(n_slices, 1, m2)
+    lo = (idx2 % L).astype(jnp.int32).reshape(n_slices, 1, m2)
+    hi_sub = hi.reshape(n_slices, m2, 1)
+    scale_r = scale.astype(jnp.float32).reshape(n_slices, 1, m2)
+    hscal = jnp.asarray([h, inv_h], jnp.float32).reshape(1, 2)
+
+    kernel = functools.partial(
+        _contact_sweep_kernel, n_slices=n_slices, n_iters=n_iters, sb=sb
+    )
+
+    grid = (n_iters, n_slices)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, m2), lambda it, s: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m2), lambda it, s: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m2, 1), lambda it, s: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m2), lambda it, s: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (PS_ROWS, sb), lambda it, s: (0, s), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((NVC * L, nch), lambda it, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NTC * L, nch), lambda it, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((IMP_ROWS, B), lambda it, s: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((NVC * L, nch), lambda it, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((IMP_ROWS, B), lambda it, s: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NVC * L, nch), jnp.float32),
+            jax.ShapeDtypeStruct((IMP_ROWS, B), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((srows, nch), jnp.float32),
+            pltpu.VMEM((IMP_ROWS, B), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        hscal,
+        hi,
+        lo,
+        hi_sub,
+        scale_r,
+        ps_t,
+        vt,
+        tt,
+        imp_t,
+    )
+
+
+# --------------------------------------------------------------------------------------
+# transposed-layout helpers (XLA side)
+
+def pack_state_v(v6, nch):
+    """(NB, 6) velocities -> (NVC*L, NCH) transposed state (pad comps to 8)."""
+    nb = v6.shape[0]
+    v8 = jnp.pad(v6, ((0, nch * L - nb), (0, NVC - v6.shape[1])))
+    return v8.reshape(nch, L, NVC).transpose(2, 1, 0).reshape(NVC * L, nch)
+
+
+def unpack_state_v(vt, nb):
+    """(NVC*L, NCH) -> (NB, 6)."""
+    nch = vt.shape[1]
+    v8 = vt.reshape(NVC, L, nch).transpose(2, 1, 0).reshape(nch * L, NVC)
+    return v8[:nb, :6]
+
+
+def pack_state_t(table14, nch):
+    """(NB, 14) body context -> (NTC*L, NCH)."""
+    nb = table14.shape[0]
+    t16 = jnp.pad(table14, ((0, nch * L - nb), (0, NTC - table14.shape[1])))
+    return t16.reshape(nch, L, NTC).transpose(2, 1, 0).reshape(NTC * L, nch)
+
+
+def pack_contact_prestep(ps, springiness):
+    """Bucketed row-major ContactPrestep (+precomputed springiness triple) ->
+    (PS_ROWS, B) component-major block."""
+    err_vel, cfm, soft = springiness
+    rows = [
+        ps.normal.x, ps.normal.y, ps.normal.z,
+        ps.offset_a.x[:, 0], ps.offset_a.x[:, 1], ps.offset_a.x[:, 2], ps.offset_a.x[:, 3],
+        ps.offset_a.y[:, 0], ps.offset_a.y[:, 1], ps.offset_a.y[:, 2], ps.offset_a.y[:, 3],
+        ps.offset_a.z[:, 0], ps.offset_a.z[:, 1], ps.offset_a.z[:, 2], ps.offset_a.z[:, 3],
+        ps.offset_b.x, ps.offset_b.y, ps.offset_b.z,
+        ps.depth[:, 0], ps.depth[:, 1], ps.depth[:, 2], ps.depth[:, 3],
+        ps.contact_mask[:, 0].astype(jnp.float32),
+        ps.contact_mask[:, 1].astype(jnp.float32),
+        ps.contact_mask[:, 2].astype(jnp.float32),
+        ps.contact_mask[:, 3].astype(jnp.float32),
+        ps.friction,
+        err_vel, cfm, soft,
+        ps.max_recovery_velocity,
+        ps.valid.astype(jnp.float32),
+    ]
+    return jnp.stack(rows)
+
+
+def pack_contact_impulses(imp):
+    """Row-major ContactImpulses -> (IMP_ROWS, B)."""
+    z = jnp.zeros_like(imp.twist)
+    return jnp.stack(
+        [
+            imp.penetration[:, 0], imp.penetration[:, 1],
+            imp.penetration[:, 2], imp.penetration[:, 3],
+            imp.tangent.x, imp.tangent.y, imp.twist, z,
+        ]
+    )
+
+
+def unpack_contact_impulses(imp_t, imp_like):
+    """(IMP_ROWS, B) -> ContactImpulses matching ``imp_like``'s structure."""
+    pen = jnp.stack([imp_t[0], imp_t[1], imp_t[2], imp_t[3]], -1)
+    return imp_like._replace(
+        penetration=pen,
+        tangent=imp_like.tangent._replace(x=imp_t[4], y=imp_t[5]),
+        twist=imp_t[6],
+    )

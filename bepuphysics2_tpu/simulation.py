@@ -86,6 +86,9 @@ class SimConfig:
     # Continuous collision detection: max pairs swept to TOI per step (0 = CCD off;
     # bodies opt in with BodyDescription(continuity=1); reference ContinuousDetection).
     max_ccd_pairs: int = 0
+    # Solver velocity-iteration backend (solver/solve.py SolveConfig.backend):
+    # "auto" = Pallas sweep kernel on TPU, XLA elsewhere; "xla"/"pallas" force.
+    solver_backend: str = "auto"
 
     def solve_config(self) -> SolveConfig:
         return SolveConfig(
@@ -94,6 +97,7 @@ class SimConfig:
             num_colors=self.num_colors,
             color_cap_factor=self.color_cap_factor,
             jacobi_cap_factor=self.jacobi_cap_factor,
+            backend=self.solver_backend,
         )
 
 

@@ -80,6 +80,11 @@ class SolveConfig:
     # .VelocityIterationScheduler, SolveDescription.cs:17): an optional tuple of length
     # ``substeps`` overriding velocity_iterations per substep.
     iteration_schedule: tuple = None
+    # Velocity-iteration backend: "auto" = Pallas color-sweep kernel on TPU
+    # (ops/sweep.py — VMEM-resident velocities across every color pass of a substep),
+    # XLA elsewhere; "xla"/"pallas" force a path ("pallas" off-TPU runs the kernel in
+    # interpreter mode — slow, for tests).
+    backend: str = "auto"
 
     def iterations_for(self, substep: int) -> int:
         if self.iteration_schedule is not None:
@@ -278,6 +283,14 @@ def solve_all(
     n_cbanks = len(contact_banks)
     bucketed = axis_name is None
     C = cfg.num_colors
+    use_pallas = (
+        bucketed
+        and cfg.backend != "xla"
+        and (cfg.backend == "pallas" or jax.default_backend() == "tpu")
+    )
+    pallas_interpret = jax.default_backend() != "tpu"
+    if use_pallas:
+        from ..ops import sweep as psweep
 
     def gather_global(x):
         """Concatenate a sharded per-constraint array across the mesh axis."""
@@ -299,16 +312,24 @@ def solve_all(
     caps = []
     segments = []
     off_running = 0
+    bank_sb = []  # pallas slice size per contact bank
     for ci, (ps, _) in enumerate(contact_banks):
         mi = ps.body_a.shape[0]
         c_refs, c_dyn = _pad_refs(
             [ps.body_a, ps.body_b], [dyn_of(ps.body_a), dyn_of(ps.body_b)], mi
         )
         groups.append((f"__contacts{ci}__", c_refs, c_dyn, ps.valid))
-        cap = min(
-            _round_up(max(1, -(-int(cfg.color_cap_factor * mi) // C)), 8),
-            _round_up(mi, 8),
-        )
+        cap_raw = max(1, -(-int(cfg.color_cap_factor * mi) // C))
+        if use_pallas:
+            # Slice size for the Pallas sweep: color capacities must be a multiple of
+            # the streamed block so slices never straddle a color boundary (conflict
+            # freedom holds only within a color).
+            sb_i = min(512, _round_up(cap_raw, 128))
+            cap = min(_round_up(cap_raw, sb_i), _round_up(mi, sb_i))
+            bank_sb.append(sb_i)
+        else:
+            cap = min(_round_up(cap_raw, 8), _round_up(mi, 8))
+            bank_sb.append(0)
         caps.append(cap)
         if bucketed:
             segments.append((off_running, mi, cap))
@@ -411,9 +432,17 @@ def solve_all(
             # color_cap_factor) shrink the per-pass banks, but demoted/over-valence rows
             # land here and must never be dropped — size it by jacobi_cap_factor of the
             # bank instead of one color cap.
-            jcap = min(
-                _round_up(max(8, int(cfg.jacobi_cap_factor * mi)), 8), _round_up(mi, 8)
-            )
+            if use_pallas:
+                sb_i = bank_sb[ci]
+                jcap = min(
+                    _round_up(max(8, int(cfg.jacobi_cap_factor * mi)), sb_i),
+                    _round_up(mi, sb_i),
+                )
+            else:
+                jcap = min(
+                    _round_up(max(8, int(cfg.jacobi_cap_factor * mi)), 8),
+                    _round_up(mi, 8),
+                )
             B = ncap + jcap
             col = colors[f"__contacts{ci}__"]
             rnk = ranks[f"__contacts{ci}__"]
@@ -588,6 +617,29 @@ def solve_all(
                 # per-color targets are truly unique.
                 bk["idx2_col_s"], bk["idx2_col_p"] = _sort_with_perm(tgt2, axis=1)
                 bk["idx2_s"], bk["idx2_p"] = _sort_with_perm(bk["idx2"])
+
+        if use_pallas:
+            # Per-step Pallas slice metadata: body indices and mass-splitting scales in
+            # slice layout (slice s = [A rows | B rows]); springiness precomputed so the
+            # kernel streams plain f32 rows (ops/sweep.py layout).
+            from ..utils.spring import compute_springiness as _springiness
+
+            p_nch = max(128, _round_up(-(-n_bodies // psweep.L), 128))
+            for ci, bk in enumerate(buckets):
+                sb_i = bank_sb[ci]
+                B = bk["order"].shape[0]
+                if B == 0 or sb_i == 0:
+                    bk["p_nsl"] = 0
+                    continue
+                nsl = B // sb_i
+                bk["p_nsl"] = nsl
+                ba_s = bk["ps"].body_a.reshape(nsl, sb_i)
+                bb_s = bk["ps"].body_b.reshape(nsl, sb_i)
+                bk["p_idx2"] = jnp.concatenate([ba_s, bb_s], axis=1).reshape(-1)
+                sa_s = bk["sa"].reshape(nsl, sb_i)
+                sb_s = bk["sb"].reshape(nsl, sb_i)
+                bk["p_scale"] = jnp.concatenate([sa_s, sb_s], axis=1).reshape(-1)
+                bk["p_spring"] = _springiness(bk["ps"].spring, h)
 
         if ju is not None:
             cap = ju["cap"]
@@ -1015,21 +1067,60 @@ def solve_all(
             dv = joint_warm_start(v6, dv, i7, state, name, joint_banks[name], jimps[name])
         v6 = v6 + dv
 
-        def iteration(_, sc):
-            v6, imps_b, jimps, ju_imp = sc
-            new_imps = list(imps_b)
+        if use_pallas:
+            # Pallas path: all contact color slices + Jacobi pseudo-colors of a bank run
+            # inside ONE kernel with VMEM-resident velocities (ops/sweep.py). Joint
+            # sweeps (rare in contact-heavy scenes) stay on the XLA path, interleaved
+            # per iteration to preserve the Gauss-Seidel order.
+            tt = psweep.pack_state_t(table14, p_nch)
+            ps_ts = {}
             for ci in range(n_cbanks):
-                v6, new_imps[ci] = contact_bucket_sweep(
-                    ci, table14, v6, imps_b[ci], presteps_b[ci]
-                )
-            if ju is not None:
-                v6, ju_imp = ju_color_sweep(table14, v6, ju_imp)
-            v6, jimps = mb_iteration_tail(v6, i7, state, jimps)
-            return v6, tuple(new_imps), jimps, ju_imp
+                if buckets[ci]["p_nsl"]:
+                    ps_ts[ci] = psweep.pack_contact_prestep(
+                        presteps_b[ci], buckets[ci]["p_spring"]
+                    )
 
-        v6, imps_b, jimps, ju_imp = jax.lax.fori_loop(
-            0, n_iters, iteration, (v6, imps_b, jimps, ju_imp)
-        )
+            def run_banks(v6, imps_b, n_it):
+                vt = psweep.pack_state_v(v6, p_nch)
+                new_imps = list(imps_b)
+                for ci in range(n_cbanks):
+                    bk = buckets[ci]
+                    if not bk["p_nsl"]:
+                        continue
+                    imp_t = psweep.pack_contact_impulses(imps_b[ci])
+                    vt, imp_t = psweep.contact_sweep(
+                        vt, tt, ps_ts[ci], imp_t, bk["p_idx2"], bk["p_scale"],
+                        h, inv_h, sb=bank_sb[ci], n_iters=n_it,
+                        interpret=pallas_interpret,
+                    )
+                    new_imps[ci] = psweep.unpack_contact_impulses(imp_t, imps_b[ci])
+                return psweep.unpack_state_v(vt, n_bodies), tuple(new_imps)
+
+            only_contacts = (ju is None) and not mb_names
+            if only_contacts and n_cbanks == 1:
+                v6, imps_b = run_banks(v6, imps_b, n_iters)
+            else:
+                for _ in range(n_iters):
+                    v6, imps_b = run_banks(v6, imps_b, 1)
+                    if ju is not None:
+                        v6, ju_imp = ju_color_sweep(table14, v6, ju_imp)
+                    v6, jimps = mb_iteration_tail(v6, i7, state, jimps)
+        else:
+            def iteration(_, sc):
+                v6, imps_b, jimps, ju_imp = sc
+                new_imps = list(imps_b)
+                for ci in range(n_cbanks):
+                    v6, new_imps[ci] = contact_bucket_sweep(
+                        ci, table14, v6, imps_b[ci], presteps_b[ci]
+                    )
+                if ju is not None:
+                    v6, ju_imp = ju_color_sweep(table14, v6, ju_imp)
+                v6, jimps = mb_iteration_tail(v6, i7, state, jimps)
+                return v6, tuple(new_imps), jimps, ju_imp
+
+            v6, imps_b, jimps, ju_imp = jax.lax.fori_loop(
+                0, n_iters, iteration, (v6, imps_b, jimps, ju_imp)
+            )
         state = _vel_from6(state, v6)
         return state, presteps_b, imps_b, jimps, ju_imp
 

@@ -37,7 +37,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constraints.contact import BodyVel
-from ..utils.vec import Sym2, Sym3, Vec2, Vec3, build_orthonormal_basis
+from ..utils.vec import (
+    Quat,
+    Sym2,
+    Sym3,
+    Vec2,
+    Vec3,
+    build_orthonormal_basis,
+    integrate_orientation,
+)
 
 L = 8  # bodies per chunk column of the transposed state
 
@@ -83,11 +91,31 @@ def _mm3(x, oh):
     )
 
 
-def _solve_contact_rows(ps, imp, ia_im, ia_ii, ib_im, ib_ii, va, vb, inv_h):
+def _friction_center_rows(ps, dep):
+    """Depth-weighted manifold center (component-row port of
+    constraints/contact.py::_friction_center). Returns (center_a, live_f list)."""
+    live_f = [ps[PS_MASK + k] for k in range(4)]
+    w_raw = [jnp.where(dep[k] < 0.0, 0.0, 1.0) * live_f[k] for k in range(4)]
+    wsum = w_raw[0] + w_raw[1] + w_raw[2] + w_raw[3]
+    live_count = jnp.maximum(live_f[0] + live_f[1] + live_f[2] + live_f[3], 1.0)
+    fallback = wsum == 0.0
+    w = [
+        jnp.where(fallback, live_f[k] / live_count, w_raw[k] / jnp.maximum(wsum, 1.0))
+        for k in range(4)
+    ]
+    center_a = Vec3.zeros(ps[PS_N].shape)
+    for k in range(4):
+        off_k = Vec3(ps[PS_AX + k], ps[PS_AY + k], ps[PS_AZ + k])
+        center_a = center_a + off_k * w[k]
+    return center_a, live_f
+
+
+def _solve_contact_rows(ps, dep, imp, ia_im, ia_ii, ib_im, ib_ii, va, vb, inv_h):
     """One velocity iteration over a slice, all rows masked. Component-row port of
     constraints/contact.py::solve (same math & update order; see that module for the
-    reference citations). ``ps``/``imp``: (rows, SB) blocks; sides' inertias gathered
-    and mass-split-scaled. Returns (new_imp rows, dva, dvb)."""
+    reference citations). ``ps``/``imp``: (rows, SB) blocks; ``dep``: 4 depth rows
+    (VMEM-resident, updated per substep); sides' inertias gathered and
+    mass-split-scaled. Returns (new_imp rows, dva, dvb)."""
     n = Vec3(ps[PS_N], ps[PS_N + 1], ps[PS_N + 2])
     err_vel = ps[PS_ERRVEL]
     cfm = ps[PS_CFM]
@@ -107,21 +135,7 @@ def _solve_contact_rows(ps, imp, ia_im, ia_ii, ib_im, ib_ii, va, vb, inv_h):
 
     # Friction center (depth-weighted; fallback = mean of live) — needed by tangent
     # solve below; per-contact penetration solves run first, mutating va/vb.
-    live_f = [ps[PS_MASK + k] for k in range(4)]
-    w_raw = [
-        jnp.where(ps[PS_DEPTH + k] < 0.0, 0.0, 1.0) * live_f[k] for k in range(4)
-    ]
-    wsum = w_raw[0] + w_raw[1] + w_raw[2] + w_raw[3]
-    live_count = jnp.maximum(live_f[0] + live_f[1] + live_f[2] + live_f[3], 1.0)
-    fallback = wsum == 0.0
-    w = [
-        jnp.where(fallback, live_f[k] / live_count, w_raw[k] / jnp.maximum(wsum, 1.0))
-        for k in range(4)
-    ]
-    center_a = Vec3.zeros(n.x.shape)
-    for k in range(4):
-        off_k = Vec3(ps[PS_AX + k], ps[PS_AY + k], ps[PS_AZ + k])
-        center_a = center_a + off_k * w[k]
+    center_a, live_f = _friction_center_rows(ps, dep)
     center_b = center_a - off_b
 
     for k in range(4):
@@ -133,7 +147,7 @@ def _solve_contact_rows(ps, imp, ia_im, ia_ii, ib_im, ib_ii, va, vb, inv_h):
         ang_b_im = ib_ii.transform(ang_b)
         inv_eff = im_a + im_b + ang_a.dot(ang_a_im) + ang_b.dot(ang_b_im)
         eff = jnp.where(inv_eff > 0.0, cfm / jnp.maximum(inv_eff, 1e-30), 0.0)
-        depth_k = ps[PS_DEPTH + k]
+        depth_k = dep[k]
         bias = jnp.minimum(
             depth_k * inv_h, jnp.minimum(depth_k * err_vel, ps[PS_MAXREC])
         )
@@ -207,7 +221,7 @@ def _solve_contact_rows(ps, imp, ia_im, ia_ii, ib_im, ib_ii, va, vb, inv_h):
 
     # Twist friction.
     single = contact_count <= 1.0
-    lever0 = jnp.maximum(0.0, ps[PS_DEPTH])
+    lever0 = jnp.maximum(0.0, dep[0])
     twist_cap = jnp.where(
         single,
         premul_friction * pen_new[0] * live_f[0] * lever0,
@@ -228,6 +242,53 @@ def _solve_contact_rows(ps, imp, ia_im, ia_ii, ib_im, ib_ii, va, vb, inv_h):
 
     new_imp = pen_new + [new_tx, new_ty, new_tw, jnp.zeros_like(new_tw)]
     return new_imp, (dva_l, dva_a), (dvb_l, dvb_a)
+
+
+def _warm_start_rows(ps, dep, imp, ia_im, ia_ii, ib_im, ib_ii):
+    """Warm-start velocity deltas (component-row port of constraints/contact.py::
+    warm_start — pure accumulation, velocity-independent). Invalid rows contribute
+    zero (impulses are pre-zeroed for invalid records)."""
+    n = Vec3(ps[PS_N], ps[PS_N + 1], ps[PS_N + 2])
+    off_b = Vec3(ps[PS_B], ps[PS_B + 1], ps[PS_B + 2])
+    valid = ps[PS_VALID] > 0.5
+    center_a, live_f = _friction_center_rows(ps, dep)
+    center_b = center_a - off_b
+    t1, t2 = build_orthonormal_basis(n)
+
+    tx = jnp.where(valid, imp[4], 0.0)
+    ty = jnp.where(valid, imp[5], 0.0)
+    tw = jnp.where(valid, imp[6], 0.0)
+    tangent_w = t1 * tx + t2 * ty
+    lin = tangent_w
+    ang_a = center_a.cross(tangent_w)
+    ang_b = tangent_w.cross(center_b)
+    for k in range(4):
+        pen_k = imp[k] * live_f[k] * jnp.where(valid, 1.0, 0.0)
+        off_k = Vec3(ps[PS_AX + k], ps[PS_AY + k], ps[PS_AZ + k])
+        off_bk = off_k - off_b
+        lin = lin + n * pen_k
+        ang_a = ang_a + off_k.cross(n) * pen_k
+        ang_b = ang_b + n.cross(off_bk) * pen_k
+    ang_a = ang_a + n * tw
+    ang_b = ang_b - n * tw
+    dva = (lin * ia_im, ia_ii.transform(ang_a))
+    dvb = (-1.0 * lin * ib_im, ib_ii.transform(ang_b))
+    return dva, dvb
+
+
+def _inc_depth_rows(ps, dep, va, vb, h):
+    """Per-substep incremental depth update (component-row port of
+    constraints/contact.py::incremental_depth_update)."""
+    n = Vec3(ps[PS_N], ps[PS_N + 1], ps[PS_N + 2])
+    off_b = Vec3(ps[PS_B], ps[PS_B + 1], ps[PS_B + 2])
+    out = []
+    for k in range(4):
+        off_k = Vec3(ps[PS_AX + k], ps[PS_AY + k], ps[PS_AZ + k])
+        off_bk = off_k - off_b
+        cv_a = va.angular.cross(off_k) + va.linear
+        cv_b = vb.angular.cross(off_bk) + vb.linear
+        out.append(dep[k] - n.dot(cv_a - cv_b) * h)
+    return out
 
 
 def _contact_sweep_kernel(
@@ -302,6 +363,7 @@ def _contact_sweep_kernel(
 
     new_imp, (dva_l, dva_a), (dvb_l, dvb_a) = _solve_contact_rows(
         ps,
+        [ps[PS_DEPTH + k] for k in range(4)],
         imp_rows,
         ia_im,
         ia_ii,
@@ -410,6 +472,345 @@ def contact_sweep(
         tt,
         imp_t,
     )
+
+
+# --------------------------------------------------------------------------------------
+# Whole-solve mega kernel: one pallas_call per step for contact-only scenes.
+
+NGC = 16  # gatherable comps: v6 (8) + [im, world inertia 6, pad] (8)
+SG_ROWS = NGC * L  # 128
+SP_ROWS = 8 * L  # pose: px py pz qx qy qz qw pad
+AUX_ROWS = 8 * L  # im, local inertia 6, mask code
+
+
+def _substeps_kernel(
+    hscal_ref,  # (1, 4) SMEM: h, inv_h, lin_scale, ang_scale
+    hi_lane_ref, lo_lane_ref, hi_sub_ref, scale_ref,  # per-slice routing blocks
+    ps_ref,  # (PS_ROWS, SB) block
+    sg_in_ref,  # (SG_ROWS, NCH)
+    sp_in_ref,  # (SP_ROWS, NCH)
+    aux_ref,  # (AUX_ROWS, NCH)
+    imp_in_ref,  # (IMP_ROWS, B)
+    v_out_ref,  # (SG_ROWS? no: 8*L, NCH) velocity rows out
+    p_out_ref,  # (SP_ROWS, NCH)
+    imp_out_ref,  # (IMP_ROWS, B)
+    SG, SP, IMP, DEP,  # scratch
+    *,
+    n_substeps, n_iters, n_slices, sb, angular_mode, gravity,
+):
+    s = pl.program_id(0)
+    p = pl.program_id(1)
+    sl = pl.program_id(2)
+    PH = 2 + n_iters
+    m2 = 2 * sb
+    nch = SG.shape[1]
+    h = hscal_ref[0, 0]
+    inv_h = hscal_ref[0, 1]
+    lin_scale = hscal_ref[0, 2]
+    ang_scale = hscal_ref[0, 3]
+
+    @pl.when((s == 0) & (p == 0) & (sl == 0))
+    def _():
+        SG[:] = sg_in_ref[:]
+        SP[:] = sp_in_ref[:]
+        IMP[:] = imp_in_ref[:]
+
+    def t_of(ref, c):
+        return ref[c * L : (c + 1) * L, :]
+
+    # ---- substep boundary: pose integration (s>0), gravity, world-inertia refresh.
+    @pl.when((p == 1) & (sl == 0))
+    def _():
+        aux = aux_ref[:]
+        im_row = aux[0:L, :]
+        from ..integrator import (
+            ANGULAR_CONSERVE_MOMENTUM,
+            ANGULAR_CONSERVE_WITH_GYROSCOPIC,
+            integrate_angular_conserve_momentum,
+            integrate_angular_gyroscopic,
+        )
+
+        loc = Sym3(*(aux[(1 + j) * L : (2 + j) * L, :] for j in range(6)))
+        mcode = aux[7 * L : 8 * L, :]
+        gmask = jnp.mod(mcode, 2.0) > 0.5
+        imask = mcode >= 2.0
+
+        @pl.when(s > 0)
+        def _():
+            pos = Vec3(t_of(SP, 0), t_of(SP, 1), t_of(SP, 2))
+            orn = Quat(t_of(SP, 3), t_of(SP, 4), t_of(SP, 5), t_of(SP, 6))
+            vel = Vec3(t_of(SG, 0), t_of(SG, 1), t_of(SG, 2))
+            omg = Vec3(t_of(SG, 3), t_of(SG, 4), t_of(SG, 5))
+            new_pos = (pos + vel * h).where(imask, pos)
+            new_orn_i = integrate_orientation(orn, omg, h)
+            new_orn = new_orn_i.where(imask, orn)
+            SP[0 * L : 1 * L, :] = new_pos.x
+            SP[1 * L : 2 * L, :] = new_pos.y
+            SP[2 * L : 3 * L, :] = new_pos.z
+            SP[3 * L : 4 * L, :] = new_orn.x
+            SP[4 * L : 5 * L, :] = new_orn.y
+            SP[5 * L : 6 * L, :] = new_orn.z
+            SP[6 * L : 7 * L, :] = new_orn.w
+            if angular_mode == ANGULAR_CONSERVE_MOMENTUM:
+                world_new = loc.rotation_sandwich(new_orn.to_matrix())
+                omg_c = integrate_angular_conserve_momentum(orn, loc, world_new, omg)
+                omg_n = omg_c.where(imask & gmask, omg)
+                SG[3 * L : 4 * L, :] = omg_n.x
+                SG[4 * L : 5 * L, :] = omg_n.y
+                SG[5 * L : 6 * L, :] = omg_n.z
+            elif angular_mode == ANGULAR_CONSERVE_WITH_GYROSCOPIC:
+                omg_c = integrate_angular_gyroscopic(new_orn, loc, omg, h)
+                omg_n = omg_c.where(imask & gmask, omg)
+                SG[3 * L : 4 * L, :] = omg_n.x
+                SG[4 * L : 5 * L, :] = omg_n.y
+                SG[5 * L : 6 * L, :] = omg_n.z
+
+        # Gravity + damping (velocity integration; reads re-issued after the pose
+        # block's omega writes).
+        vel = Vec3(t_of(SG, 0), t_of(SG, 1), t_of(SG, 2))
+        omg = Vec3(t_of(SG, 3), t_of(SG, 4), t_of(SG, 5))
+        gx, gy, gz = gravity
+        new_vel = Vec3(
+            (vel.x + gx * h) * lin_scale,
+            (vel.y + gy * h) * lin_scale,
+            (vel.z + gz * h) * lin_scale,
+        ).where(gmask, vel)
+        new_omg = (omg * ang_scale).where(gmask, omg)
+        SG[0 * L : 1 * L, :] = new_vel.x
+        SG[1 * L : 2 * L, :] = new_vel.y
+        SG[2 * L : 3 * L, :] = new_vel.z
+        SG[3 * L : 4 * L, :] = new_omg.x
+        SG[4 * L : 5 * L, :] = new_omg.y
+        SG[5 * L : 6 * L, :] = new_omg.z
+
+        # World inverse inertia from the (possibly updated) orientation.
+        orn = Quat(t_of(SP, 3), t_of(SP, 4), t_of(SP, 5), t_of(SP, 6))
+        w = loc.rotation_sandwich(orn.to_matrix())
+        base = 8 * L
+        SG[base + 0 * L : base + 1 * L, :] = im_row
+        SG[base + 1 * L : base + 2 * L, :] = w.xx
+        SG[base + 2 * L : base + 3 * L, :] = w.yx
+        SG[base + 3 * L : base + 4 * L, :] = w.yy
+        SG[base + 4 * L : base + 5 * L, :] = w.zx
+        SG[base + 5 * L : base + 6 * L, :] = w.zy
+        SG[base + 6 * L : base + 7 * L, :] = w.zz
+
+    # ---- per-slice routing masks
+    hi_lane = hi_lane_ref[0]
+    lo_lane = lo_lane_ref[0]
+    hi_sub = hi_sub_ref[0]
+    scale2 = scale_ref[0, 0]
+    oh_g = (jax.lax.broadcasted_iota(jnp.int32, (nch, m2), 0) == hi_lane).astype(
+        jnp.bfloat16
+    )
+    oh_s = (jax.lax.broadcasted_iota(jnp.int32, (m2, nch), 1) == hi_sub).astype(
+        jnp.bfloat16
+    )
+    oh_lo = (jax.lax.broadcasted_iota(jnp.int32, (L, m2), 0) == lo_lane).astype(
+        jnp.float32
+    )
+    ps = ps_ref[:]
+
+    def gather(rows):
+        W = _mm3(rows, oh_g)
+        W3 = W.reshape(rows.shape[0] // L, L, m2)
+        return jnp.sum(W3 * oh_lo[None, :, :], axis=1)
+
+    def scatter_deltas(dva_l, dva_a, dvb_l, dvb_a):
+        za = jnp.zeros_like(dva_l.x)
+        zb = jnp.zeros_like(dvb_l.x)
+        d_a = jnp.stack([dva_l.x, dva_l.y, dva_l.z, dva_a.x, dva_a.y, dva_a.z, za, za])
+        d_b = jnp.stack([dvb_l.x, dvb_l.y, dvb_l.z, dvb_a.x, dvb_a.y, dvb_a.z, zb, zb])
+        d_rows = jnp.concatenate([d_a, d_b], axis=1) / scale2[None, :]
+        dexp = (d_rows[:, None, :] * oh_lo[None, :, :]).reshape(8 * L, m2)
+        dV = _mm3(dexp, oh_s)
+        SG[0 : 8 * L, :] = SG[0 : 8 * L, :] + dV
+
+    def dep_rows():
+        blk = DEP[:, pl.ds(sl * sb, sb)]
+        return [blk[k] for k in range(4)]
+
+    def sides16():
+        G = gather(SG[:])
+        ga = G[:, :sb]
+        gb = G[:, sb:]
+        sa = scale2[:sb]
+        sb_ = scale2[sb:]
+        va = BodyVel(Vec3(ga[0], ga[1], ga[2]), Vec3(ga[3], ga[4], ga[5]))
+        vb = BodyVel(Vec3(gb[0], gb[1], gb[2]), Vec3(gb[3], gb[4], gb[5]))
+        ia_im = ga[8] * sa
+        ia_ii = Sym3(*(ga[9 + j] * sa for j in range(6)))
+        ib_im = gb[8] * sb_
+        ib_ii = Sym3(*(gb[9 + j] * sb_ for j in range(6)))
+        return va, vb, ia_im, ia_ii, ib_im, ib_ii
+
+    # ---- phase 0: incremental depth update (substeps > 0)
+    @pl.when((p == 0) & (s > 0))
+    def _():
+        Gv = gather(SG[0 : 8 * L, :])
+        va = BodyVel(Vec3(Gv[0, :sb], Gv[1, :sb], Gv[2, :sb]),
+                     Vec3(Gv[3, :sb], Gv[4, :sb], Gv[5, :sb]))
+        vb = BodyVel(Vec3(Gv[0, sb:], Gv[1, sb:], Gv[2, sb:]),
+                     Vec3(Gv[3, sb:], Gv[4, sb:], Gv[5, sb:]))
+        new_dep = _inc_depth_rows(ps, dep_rows(), va, vb, h)
+        DEP[:, pl.ds(sl * sb, sb)] = jnp.stack(new_dep)
+
+    # ---- phase 1 at substep 0: initialize the depth scratch from the prestep rows.
+    @pl.when((p == 1) & (s == 0))
+    def _():
+        DEP[:, pl.ds(sl * sb, sb)] = jnp.stack([ps[PS_DEPTH + k] for k in range(4)])
+
+    # ---- phase 1: warm start
+    @pl.when(p == 1)
+    def _():
+        va, vb, ia_im, ia_ii, ib_im, ib_ii = sides16()
+        imp_blk = IMP[:, pl.ds(sl * sb, sb)]
+        imp_rows = [imp_blk[r] for r in range(IMP_ROWS)]
+        dva, dvb = _warm_start_rows(ps, dep_rows(), imp_rows, ia_im, ia_ii, ib_im, ib_ii)
+        scatter_deltas(dva[0], dva[1], dvb[0], dvb[1])
+
+    # ---- phases 2+: velocity iterations
+    @pl.when(p >= 2)
+    def _():
+        va, vb, ia_im, ia_ii, ib_im, ib_ii = sides16()
+        imp_blk = IMP[:, pl.ds(sl * sb, sb)]
+        imp_rows = [imp_blk[r] for r in range(IMP_ROWS)]
+        new_imp, dva, dvb = _solve_contact_rows(
+            ps, dep_rows(), imp_rows, ia_im, ia_ii, ib_im, ib_ii, va, vb, inv_h
+        )
+        IMP[:, pl.ds(sl * sb, sb)] = jnp.stack(new_imp)
+        scatter_deltas(dva[0], dva[1], dvb[0], dvb[1])
+
+    @pl.when((s == n_substeps - 1) & (p == PH - 1) & (sl == n_slices - 1))
+    def _():
+        v_out_ref[:] = SG[0 : 8 * L, :]
+        p_out_ref[:] = SP[:]
+        imp_out_ref[:] = IMP[:]
+
+
+def solve_substeps_contacts(
+    v6,  # (NB, 6)
+    pos, orn,  # Vec3, Quat of (NB,)
+    inv_mass,  # (NB,)
+    local_inv_inertia,  # Sym3 of (NB,)
+    grav_mask,  # (NB,) bool: dynamic & awake
+    integ_mask,  # (NB,) bool: integrable
+    ps_t,  # (PS_ROWS, B)
+    imp_t,  # (IMP_ROWS, B)
+    idx2,  # (n_slices*2SB,)
+    scale,  # (n_slices*2SB,)
+    h, inv_h, lin_scale, ang_scale,
+    *,
+    nch: int,
+    sb: int,
+    n_substeps: int,
+    n_iters: int,
+    angular_mode: int,
+    gravity: tuple,
+    interpret: bool = False,
+):
+    """Run the ENTIRE substepped contact solve (incremental depth update, pose/velocity
+    integration, warm start, velocity iterations) as one Pallas program. Returns
+    (v6', pos', orn', imp_t')."""
+    B = ps_t.shape[1]
+    n_slices = B // sb
+    m2 = 2 * sb
+    nb = v6.shape[0]
+
+    hi = (idx2 // L).astype(jnp.int32).reshape(n_slices, 1, m2)
+    lo = (idx2 % L).astype(jnp.int32).reshape(n_slices, 1, m2)
+    hi_sub = hi.reshape(n_slices, m2, 1)
+    scale_r = scale.astype(jnp.float32).reshape(n_slices, 1, m2)
+    hscal = jnp.stack(
+        [
+            jnp.asarray(h, jnp.float32),
+            jnp.asarray(inv_h, jnp.float32),
+            jnp.asarray(lin_scale, jnp.float32),
+            jnp.asarray(ang_scale, jnp.float32),
+        ]
+    ).reshape(1, 4)
+
+    sg_in = jnp.zeros((SG_ROWS, nch), jnp.float32)
+    sg_in = sg_in.at[0 : 8 * L, :].set(pack_state_v(v6, nch))
+    pose14 = jnp.stack([pos.x, pos.y, pos.z, orn.x, orn.y, orn.z, orn.w], -1)
+    sp_in = _pack_rows8(pose14, nch)
+    mcode = grav_mask.astype(jnp.float32) + 2.0 * integ_mask.astype(jnp.float32)
+    aux14 = jnp.stack(
+        [
+            inv_mass,
+            local_inv_inertia.xx, local_inv_inertia.yx, local_inv_inertia.yy,
+            local_inv_inertia.zx, local_inv_inertia.zy, local_inv_inertia.zz,
+            mcode,
+        ],
+        -1,
+    )
+    aux_in = _pack_rows8(aux14, nch)
+
+    kernel = functools.partial(
+        _substeps_kernel,
+        n_substeps=n_substeps,
+        n_iters=n_iters,
+        n_slices=n_slices,
+        sb=sb,
+        angular_mode=angular_mode,
+        gravity=gravity,
+    )
+    grid = (n_substeps, 2 + n_iters, n_slices)
+    v_out, p_out, imp_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, m2), lambda s, p, q: (q, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m2), lambda s, p, q: (q, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m2, 1), lambda s, p, q: (q, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m2), lambda s, p, q: (q, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PS_ROWS, sb), lambda s, p, q: (0, q), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SG_ROWS, nch), lambda s, p, q: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SP_ROWS, nch), lambda s, p, q: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((AUX_ROWS, nch), lambda s, p, q: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((IMP_ROWS, B), lambda s, p, q: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8 * L, nch), lambda s, p, q: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SP_ROWS, nch), lambda s, p, q: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((IMP_ROWS, B), lambda s, p, q: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8 * L, nch), jnp.float32),
+            jax.ShapeDtypeStruct((SP_ROWS, nch), jnp.float32),
+            jax.ShapeDtypeStruct((IMP_ROWS, B), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((SG_ROWS, nch), jnp.float32),
+            pltpu.VMEM((SP_ROWS, nch), jnp.float32),
+            pltpu.VMEM((IMP_ROWS, B), jnp.float32),
+            pltpu.VMEM((4, B), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(hscal, hi, lo, hi_sub, scale_r, ps_t, sg_in, sp_in, aux_in, imp_t)
+
+    v6_new = unpack_state_v(v_out, nb)
+    pose_out = _unpack_rows8(p_out, nb)
+    pos_new = Vec3(pose_out[:, 0], pose_out[:, 1], pose_out[:, 2])
+    orn_new = Quat(pose_out[:, 3], pose_out[:, 4], pose_out[:, 5], pose_out[:, 6])
+    return v6_new, pos_new, orn_new, imp_out
+
+
+def _pack_rows8(cols, nch):
+    """(NB, <=8) columns -> (8*L, NCH) transposed rows."""
+    nb = cols.shape[0]
+    c8 = jnp.pad(cols, ((0, nch * L - nb), (0, 8 - cols.shape[1])))
+    return c8.reshape(nch, L, 8).transpose(2, 1, 0).reshape(8 * L, nch)
+
+
+def _unpack_rows8(rows, nb):
+    """(8*L, NCH) -> (NB, 8)."""
+    nch = rows.shape[1]
+    return rows.reshape(8, L, nch).transpose(2, 1, 0).reshape(nch * L, 8)[:nb]
 
 
 # --------------------------------------------------------------------------------------

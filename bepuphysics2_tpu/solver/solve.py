@@ -312,6 +312,15 @@ def solve_all(
     caps = []
     segments = []
     off_running = 0
+    # Pallas slice size — shared by every contact bank so the whole-solve kernel can
+    # treat their concatenated bucket banks as one slice stream.
+    cap_raws = [
+        max(1, -(-int(cfg.color_cap_factor * ps.body_a.shape[0]) // C))
+        for ps, _ in contact_banks
+    ]
+    sb_global = (
+        min(512, _round_up(max(cap_raws + [1]), 128)) if use_pallas else 0
+    )
     bank_sb = []  # pallas slice size per contact bank
     for ci, (ps, _) in enumerate(contact_banks):
         mi = ps.body_a.shape[0]
@@ -319,12 +328,11 @@ def solve_all(
             [ps.body_a, ps.body_b], [dyn_of(ps.body_a), dyn_of(ps.body_b)], mi
         )
         groups.append((f"__contacts{ci}__", c_refs, c_dyn, ps.valid))
-        cap_raw = max(1, -(-int(cfg.color_cap_factor * mi) // C))
+        cap_raw = cap_raws[ci]
         if use_pallas:
-            # Slice size for the Pallas sweep: color capacities must be a multiple of
-            # the streamed block so slices never straddle a color boundary (conflict
-            # freedom holds only within a color).
-            sb_i = min(512, _round_up(cap_raw, 128))
+            # Color capacities must be a multiple of the streamed slice so slices never
+            # straddle a color boundary (conflict freedom holds only within a color).
+            sb_i = sb_global
             cap = min(_round_up(cap_raw, sb_i), _round_up(mi, sb_i))
             bank_sb.append(sb_i)
         else:
@@ -1216,6 +1224,82 @@ def solve_all(
         return state, presteps_l, imps_l, jimps, _ju_unused
 
     # ---- Run the substep loop ----------------------------------------------------------
+    def _finalize(state, imps_final, jimps_final, ju_imp_final):
+        return _solve_finalize_bucketed(
+            state, imps_final, jimps_final, ju_imp_final, buckets, contact_banks,
+            n_cbanks, ju, tb_names, joint_banks, joint_imps, overflow,
+            persist_c, persist_j,
+        )
+
+    # Contact-only scenes on the Pallas backend take the whole-solve mega kernel: ONE
+    # pallas_call covers every substep's incremental depth update, pose/velocity
+    # integration, world-inertia refresh, warm start, and velocity iterations with the
+    # body state VMEM-resident throughout (ops/sweep.py solve_substeps_contacts).
+    mega = (
+        use_pallas
+        and not bank_names
+        and cfg.iteration_schedule is None
+        and integrator_cfg.velocity_callback is None
+        and any(bk.get("p_nsl") for bk in buckets)
+    )
+    if mega:
+        active = [ci for ci in range(n_cbanks) if buckets[ci]["p_nsl"]]
+        ps_t_all = jnp.concatenate(
+            [
+                psweep.pack_contact_prestep(
+                    buckets[ci]["ps"], buckets[ci]["p_spring"]
+                )
+                for ci in active
+            ],
+            axis=1,
+        )
+        imp_t_all = jnp.concatenate(
+            [psweep.pack_contact_impulses(buckets[ci]["imp"]) for ci in active], axis=1
+        )
+        idx2_all = jnp.concatenate([buckets[ci]["p_idx2"] for ci in active])
+        scale_all = jnp.concatenate([buckets[ci]["p_scale"] for ci in active])
+        lin_scale = (
+            (1.0 - integrator_cfg.linear_damping) ** h
+            if integrator_cfg.linear_damping
+            else 1.0
+        )
+        ang_scale = (
+            (1.0 - integrator_cfg.angular_damping) ** h
+            if integrator_cfg.angular_damping
+            else 1.0
+        )
+        gmask = (state.kind == KIND_DYNAMIC) & state.awake
+        v6n, pos_n, orn_n, imp_out = psweep.solve_substeps_contacts(
+            _vel_to6(state), state.pos, state.orn, state.inv_mass, state.inv_inertia,
+            gmask, state.integrable,
+            ps_t_all, imp_t_all, idx2_all, scale_all,
+            h, inv_h, lin_scale, ang_scale,
+            nch=p_nch, sb=sb_global, n_substeps=cfg.substeps,
+            n_iters=cfg.velocity_iterations,
+            angular_mode=integrator_cfg.angular_mode,
+            gravity=integrator_cfg.gravity,
+            interpret=pallas_interpret,
+        )
+        state = _vel_from6(state._replace(pos=pos_n, orn=orn_n), v6n)
+        imps_list = []
+        off_b = 0
+        for ci in range(n_cbanks):
+            bk = buckets[ci]
+            if not bk["p_nsl"]:
+                imps_list.append(bk["imp"])
+                continue
+            Bi = bk["order"].shape[0]
+            imps_list.append(
+                psweep.unpack_contact_impulses(
+                    jax.lax.dynamic_slice_in_dim(imp_out, off_b, Bi, axis=1), bk["imp"]
+                )
+            )
+            off_b += Bi
+        imps_final = tuple(imps_list)
+        jimps_final = {}
+        ju_imp_final = jnp.zeros((0, _U_IMPULSE), jnp.float32)
+        state = integrate_poses(state, integrator_cfg, h)
+        return _finalize(state, imps_final, jimps_final, ju_imp_final)
     substep = substep_bucketed if bucketed else substep_masked
     if bucketed:
         presteps0 = tuple(bk["ps"] for bk in buckets)
@@ -1247,7 +1331,16 @@ def solve_all(
     state = integrate_poses(state, integrator_cfg, h)
 
     if bucketed:
-        # Scatter bucket impulses back to original bank order (warm-start persistence).
+        return _finalize(state, imps_final, jimps_final, ju_imp_final)
+    return state, list(imps_final), jimps_final, overflow, persist_c, persist_j
+
+
+def _solve_finalize_bucketed(
+    state, imps_final, jimps_final, ju_imp_final, buckets, contact_banks, n_cbanks,
+    ju, tb_names, joint_banks, joint_imps, overflow, persist_c, persist_j,
+):
+    """Bucket-order impulses → original bank order (warm-start persistence)."""
+    if True:
         imps_out = []
         for ci in range(n_cbanks):
             bk = buckets[ci]
@@ -1286,7 +1379,6 @@ def solve_all(
             for name in tb_names:
                 joint_imps_out[name] = joint_imps[name]
         return state, imps_out, joint_imps_out, overflow, persist_c, persist_j
-    return state, list(imps_final), jimps_final, overflow, persist_c, persist_j
 
 
 def solve_contacts(state, prestep, imp, integrator_cfg, cfg, dt):

@@ -46,7 +46,7 @@ def main():
         metric = f"steps_per_sec_{N_BODIES}_body_mixed_pile"
 
     sim.config = dataclasses.replace(
-        sim.config, color_cap_factor=1.0, jacobi_cap_factor=0.3
+        sim.config, color_cap_factor=1.0, jacobi_cap_factor=0.3, color_rounds=1
     )
     sim._dirty = True
 
@@ -72,7 +72,10 @@ def main():
     # count; `overflow` in the diagnostics would flag any capacity breach honestly.
     if SCENARIO != "ragdoll_tube" and os.environ.get("BENCH_ADAPTIVE", "1") == "1":
         live_pairs = int(sim.last_diag.pair_count)
-        target = max(6 * live_pairs, N_BODIES, 4096)
+        # 8x the warmup count: the pile keeps developing contacts through the timed
+        # window (measured peak ~8.2x the step-33 count at 4k); 6x saturated the bank
+        # and tripped the overflow diagnostic.
+        target = max(9 * live_pairs, N_BODIES, 4096)
         target = min(target, 4 * N_BODIES)
         if target < sim.config.max_pairs:
             sim.reconfigure(max_pairs=target)
@@ -93,6 +96,10 @@ def main():
                 "value": round(steps_per_sec, 2),
                 "unit": "steps/sec",
                 "vs_baseline": round(steps_per_sec / 10000.0, 4),
+                # Honesty flags: capacity breaches degrade the sim (dropped pairs) and
+                # would invalidate the number.
+                "overflow": bool(sim.last_diag.overflow),
+                "pairs": int(sim.last_diag.pair_count),
             }
         )
     )

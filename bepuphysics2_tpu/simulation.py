@@ -57,6 +57,8 @@ class SimConfig:
     color_cap_factor: float = 1.5
     # Jacobi-slice capacity fraction of the contact bank (solver/solve.py).
     jacobi_cap_factor: float = 0.3
+    # Incremental-coloring conflict-resolution rounds per frame (solver/coloring.py).
+    color_rounds: int = 3
     broadphase: str = "auto"  # 'brute' | 'sweep' | 'grid' | 'grid2' | 'auto'
     joint_capacity: int = 256  # per-type bank capacity
     # Compound/mesh expansion (collision/compound.py):
@@ -97,6 +99,7 @@ class SimConfig:
             num_colors=self.num_colors,
             color_cap_factor=self.color_cap_factor,
             jacobi_cap_factor=self.jacobi_cap_factor,
+            color_rounds=self.color_rounds,
             backend=self.solver_backend,
         )
 

@@ -287,6 +287,9 @@ def solve_all(
         bucketed
         and cfg.backend != "xla"
         and (cfg.backend == "pallas" or jax.default_backend() == "tpu")
+        # One-hot MXU routing costs rows x bodies MACs: a clear win up to ~8k bodies,
+        # a loss beyond (the windowed-state variant lifts this — see ops/sweep.py).
+        and (n_bodies <= 8192 or cfg.backend == "pallas")
     )
     pallas_interpret = jax.default_backend() != "tpu"
     if use_pallas:

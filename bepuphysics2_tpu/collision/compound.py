@@ -56,6 +56,7 @@ class ChildPairs(NamedTuple):
     swapped: jnp.ndarray  # (M,) bool — canonicalization swapped i/j relative to (a,b)
     conv_is_a: jnp.ndarray  # (M,) bool — the convex (non-compound) body is scene body_a
     overflow: jnp.ndarray  # () bool
+    t: jnp.ndarray  # (M,) CCD evaluation time of the record's poses (0 = no CCD)
 
 
 def _sphere_vs_aabb(mn, mx, cx, cy, cz, radius):
@@ -144,10 +145,15 @@ def expand_compound_pairs(
     children_per_pair: int,
     child_window: int,
     flag_both_comp: bool = True,
+    pair_t=None,
+    dt=0.0,
 ) -> ChildPairs:
     """Compact compound/mesh-involved pairs and expand into child convex records.
     ``flag_both_comp``: raise overflow on compound-vs-compound pairs (set False when the
-    caller routes those through expand_compound_compound)."""
+    caller routes those through expand_compound_compound). ``pair_t``: per-pair CCD
+    time-of-impact (narrow_phase t_eval): poses are advanced to it before selection and
+    manifold generation (reference NarrowPhaseCCDContinuations: compound CCD pairs
+    evaluate their child manifolds at the swept pose)."""
     nb = state.pos.x.shape[0]
     sa = jnp.maximum(state.shape[pair_a], 0)
     sb = jnp.maximum(state.shape[pair_b], 0)
@@ -175,11 +181,32 @@ def expand_compound_pairs(
     v_shape = jnp.maximum(state.shape[v_body], 0)
 
     # Select children: bounding test in the compound's local frame, overlapping first.
-    c_pos = state.pos[c_body]
-    c_orn = state.orn[c_body]
-    v_pos = state.pos[v_body]
+    # CCD pairs evaluate at their TOI-advanced poses.
+    from ..utils.vec import integrate_orientation as _int_orn
+
+    t_sel = pair_t[sel] if pair_t is not None else jnp.zeros_like(a_sel, jnp.float32)
+
+    def _adv_pos(bod):
+        return state.pos[bod] + state.vel[bod] * t_sel
+
+    def _adv_orn(bod):
+        return _int_orn(state.orn[bod], state.omega[bod], t_sel)
+
+    c_pos = _adv_pos(c_body)
+    c_orn = _adv_orn(c_body)
+    v_pos = _adv_pos(v_body)
     other_local = c_orn.rotate_inverse(v_pos - c_pos)
-    v_radius = shapes.max_radius[v_shape]
+    # Selection radius carries the speculative band (reference: the child BVH query
+    # uses the velocity-expanded bounds): remaining in-step motion + the resting
+    # margin, so near-touching children (incl. the TOI-advanced CCD pose, where the
+    # gap is ~1e-4 by construction) are never missed.
+    rel_speed = (state.vel[c_body] - state.vel[v_body]).length()
+    slack = (
+        rel_speed * jnp.maximum(jnp.asarray(dt, jnp.float32) - t_sel, 0.0)
+        + 0.5 * (state.spec_margin_min[c_body] + state.spec_margin_min[v_body])
+        + 1e-3
+    )
+    v_radius = shapes.max_radius[v_shape] + slack
 
     from ..shapes.registry import ShapeRegistry
 
@@ -230,15 +257,16 @@ def expand_compound_pairs(
         shapes.child_orn[child_row, 2],
         shapes.child_orn[child_row, 3],
     )
-    cpos_r = state.pos[cb]
-    corn_r = state.orn[cb]
+    t_rec = t_sel[rec_pair]
+    cpos_r = state.pos[cb] + state.vel[cb] * t_rec
+    corn_r = _int_orn(state.orn[cb], state.omega[cb], t_rec)
     child_pos = cpos_r + corn_r.rotate(local_p)
     child_orn = corn_r.mul(local_q)
 
     v_type = shapes.type[v_shape][rec_pair]
     v_params = shapes.params[v_shape][rec_pair]
-    v_pos_r = state.pos[vb]
-    v_orn_r = state.orn[vb]
+    v_pos_r = state.pos[vb] + state.vel[vb] * t_rec
+    v_orn_r = _int_orn(state.orn[vb], state.omega[vb], t_rec)
     v_shape_r = v_shape[rec_pair]
 
     # Canonical order: lower type id = i.
@@ -276,6 +304,7 @@ def expand_compound_pairs(
         swapped=swapped_rel_a,
         conv_is_a=vb == body_a,
         overflow=overflow,
+        t=t_rec,
     )
 
 
@@ -416,4 +445,5 @@ def expand_compound_compound(
         # convention as convex-compound: conv = the j-side owner relative to body_a.
         conv_is_a=jnp.where(swap, oa, ob) == body_a,
         overflow=overflow,
+        t=jnp.zeros_like(body_a, jnp.float32),
     )

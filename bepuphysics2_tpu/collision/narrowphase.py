@@ -349,7 +349,9 @@ def narrow_phase(
     imp, carried_color = _warm_start_from_cache(
         prestep, cache, n_bodies, presorted=pairs_sorted, sleep_bank=sleep_bank
     )
-    return prestep, imp, carried_color
+    # t_eval: per-pair CCD evaluation time (None when CCD is off) — the compound path
+    # reuses it so compound/mesh CCD pairs also evaluate at their TOI.
+    return prestep, imp, carried_color, t_eval
 
 
 def pair_key(body_a, body_b, n_bodies: int):
@@ -411,17 +413,23 @@ def narrow_phase_compound(
     max_cc_pairs: int = 0,
     cc_children_per_side: int = 4,
     sleep_bank: PairCache = None,
+    pair_t=None,
 ):
     """Compound/mesh pair path: expand into child convex records and build a second
     contact bank (see collision/compound.py). Cache keys combine (pair key, child slot).
     ``max_cc_pairs > 0`` additionally expands compound-vs-compound/mesh pairs into
-    child×child records (reference CompoundPairCollisionTask). Returns
-    (prestep, impulses, cache_keys, overflow)."""
+    child×child records (reference CompoundPairCollisionTask). ``pair_t``: per-pair CCD
+    TOI from the convex path — compound CCD pairs evaluate children at the advanced
+    poses and warp depths back (reference NarrowPhaseCCDContinuations +
+    SweepTasks/ConvexCompoundSweepTask). Returns (prestep, impulses, cache_keys,
+    overflow)."""
     n_bodies = state.pos.x.shape[0]
     cp = expand_compound_pairs(
         state, shapes, pairs.a, pairs.b, pairs.valid,
         max_compound_pairs, children_per_pair, child_window,
         flag_both_comp=max_cc_pairs == 0,
+        pair_t=pair_t,
+        dt=dt,
     )
     # Per-record cache subslot within a pair; cc records use an offset slot space so the
     # composite keys never collide with convex-compound records of the same pair.
@@ -445,9 +453,11 @@ def narrow_phase_compound(
         cp.valid, present_types, include_triangles=True,
     )
 
-    # Rebase offsets from the i-side pose to scene body_a's center; flip the normal when
-    # the i-side belongs to scene body_b.
-    rebase = cp.pos_i - state.pos[cp.body_a]
+    # Rebase offsets from the i-side pose to scene body_a's center (advanced to the
+    # record's CCD evaluation time, like the poses the manifold was built from); flip
+    # the normal when the i-side belongs to scene body_b.
+    body_a_pos = state.pos[cp.body_a] + state.vel[cp.body_a] * cp.t
+    rebase = cp.pos_i - body_a_pos
     manifold = manifold._replace(
         offset_a=Vec3(
             manifold.offset_a.x + rebase.x[:, None],
@@ -487,6 +497,9 @@ def narrow_phase_compound(
     )
 
     a, b = cp.body_a, cp.body_b
+    # CCD warp-back (see narrow_phase): depth(0) = depth(t) + n·(v_a − v_b)·t.
+    vn_ccd = manifold.normal.dot(state.vel[a] - state.vel[b])
+    manifold = manifold._replace(depth=manifold.depth + (vn_ccd * cp.t)[:, None])
     rel_speed = (state.vel[a] - state.vel[b]).length()
     # Per-collidable margin bounds (Collidable.cs:131,139) — see narrow_phase.
     pair_min = 0.5 * (state.spec_margin_min[a] + state.spec_margin_min[b])

@@ -193,15 +193,38 @@ def sweep_shape_all(
     )
 
 
-def pair_toi(state: BodyState, shapes: ShapeData, a, b, live, max_t, iters: int = 12):
+def pair_toi(
+    state: BodyState, shapes: ShapeData, a, b, live, max_t, iters: int = 12,
+    max_children: int = 8,
+):
     """Conservative-advancement time-of-impact for body pairs (a[i], b[i]) — the CCD
     sweep of the reference's NarrowPhaseCCDContinuations/ConvexSweepTaskCommon, as one
     fixed-iteration masked kernel over the compacted CCD pair set. Returns t_hit in
-    [0, max_t] (max_t when no impact within the step)."""
+    [0, max_t] (max_t when no impact within the step).
+
+    Pairs with a compound/mesh endpoint sweep against that endpoint's CHILDREN
+    (reference SweepTasks/ConvexCompoundSweepTask: the sweep recurses into the compound;
+    previously such endpoints were treated at body level, so a fast small shape could
+    tunnel through one thin panel of a compound). Child candidates come from the same
+    clustered selection the narrow phase uses, queried with the sweep-inflated bounding
+    sphere; composite-composite pairs keep the body-level bound."""
+    from ..shapes.registry import BIG_COMPOUND, COMPOUND, MESH, TRIANGLE
+    from .compound import _select_children_clustered
+
+    def _is_comp(t):
+        return (t == COMPOUND) | (t == MESH) | (t == BIG_COMPOUND)
+
+    type_a_raw = jnp.where(state.shape[a] >= 0, shapes.type[jnp.maximum(state.shape[a], 0)], -1)
+    type_b_raw = jnp.where(state.shape[b] >= 0, shapes.type[jnp.maximum(state.shape[b], 0)], -1)
+    # Canonicalize: if A is the (only) composite, swap so the composite sits on B.
+    swap = _is_comp(type_a_raw) & ~_is_comp(type_b_raw)
+    a, b = jnp.where(swap, b, a), jnp.where(swap, a, b)
+
     sa = jnp.maximum(state.shape[a], 0)
     sb = jnp.maximum(state.shape[b], 0)
     type_a = jnp.where(state.shape[a] >= 0, shapes.type[sa], -1)
     type_b = jnp.where(state.shape[b] >= 0, shapes.type[sb], -1)
+    comp_pair = _is_comp(type_b) & ~_is_comp(type_a)
     ra = shapes.max_radius[sa]
     rb = shapes.max_radius[sb]
     pos_a0, pos_b0 = state.pos[a], state.pos[b]
@@ -232,20 +255,101 @@ def pair_toi(state: BodyState, shapes: ShapeData, a, b, live, max_t, iters: int 
         (vel_a - vel_b).length() + om_a.length() * ra + om_b.length() * rb + 1e-6
     )
 
-    def body_fn(_, carry):
-        t, done, hit_t = carry
-        dist, _, _, margin = gjk_closest(ctx_at(t))
-        dist = dist - margin
-        impact = dist < 1e-4
-        new_hit_t = jnp.where(impact & ~done, t, hit_t)
-        advance = jnp.maximum(dist, 0.0) / speed_bound
-        new_t = t + jnp.maximum(advance, 1e-5)
-        new_done = done | impact | (new_t > max_t)
-        return (jnp.where(new_done, t, new_t), new_done, new_hit_t)
+    def _advance(ctx_at_fn, bound, live0, m):
+        def body_fn(_, carry):
+            t, done, hit_t = carry
+            dist, _, _, margin = gjk_closest(ctx_at_fn(t))
+            dist = dist - margin
+            impact = dist < 1e-4
+            new_hit_t = jnp.where(impact & ~done, t, hit_t)
+            advance = jnp.maximum(dist, 0.0) / bound
+            new_t = t + jnp.maximum(advance, 1e-5)
+            new_done = done | impact | (new_t > max_t)
+            return (jnp.where(new_done, t, new_t), new_done, new_hit_t)
+
+        t0 = jnp.zeros((m,), jnp.float32)
+        hit0 = jnp.full((m,), jnp.asarray(max_t, jnp.float32))
+        _, _, hit_t = jax.lax.fori_loop(0, iters, body_fn, (t0, ~live0, hit0))
+        return hit_t
 
     n = a.shape[0]
-    t0 = jnp.zeros((n,), jnp.float32)
-    done0 = ~live
-    hit0 = jnp.full((n,), jnp.asarray(max_t, jnp.float32))
-    _, _, hit_t = jax.lax.fori_loop(0, iters, body_fn, (t0, done0, hit0))
-    return jnp.where(live, jnp.minimum(hit_t, max_t), jnp.asarray(max_t, jnp.float32))
+    hit_body = _advance(ctx_at, speed_bound, live & ~comp_pair, n)
+
+    if max_children > 0:
+        # ---- child-level sweeps for convex-vs-compound/mesh pairs ----------------------
+        from ..shapes.registry import ShapeRegistry
+
+        n_pick = max(1, -(-max_children // ShapeRegistry.CLUSTER_SIZE))
+        rel_pos_local = orn_b0.rotate_inverse(pos_a0 - pos_b0)
+        qrad = ra + (vel_a - vel_b).length() * max_t + (om_a.length() + om_b.length()) * (ra + rb) * max_t
+        rows, cand_ok, _ovf = _select_children_clustered(
+            shapes, sb, rel_pos_local, qrad, n_pick
+        )
+        K = rows.shape[1]
+        cr = jnp.maximum(rows, 0)
+        cshape = shapes.child_shape[cr]
+        is_tri = cshape < 0
+        cs_c = jnp.maximum(cshape, 0)
+        ctype = jnp.where(is_tri, TRIANGLE, shapes.type[cs_c])
+        tri12 = jnp.concatenate(
+            [shapes.child_tri[cr], jnp.zeros(cr.shape + (3,), jnp.float32)], axis=-1
+        )
+        cparams = jnp.where(is_tri[..., None], tri12, shapes.params[cs_c])
+        lp = Vec3(shapes.child_pos[cr, 0], shapes.child_pos[cr, 1], shapes.child_pos[cr, 2])
+        lq = Quat(
+            shapes.child_orn[cr, 0], shapes.child_orn[cr, 1],
+            shapes.child_orn[cr, 2], shapes.child_orn[cr, 3],
+        )
+        live_child = (
+            comp_pair[:, None] & live[:, None] & cand_ok & (rows >= 0)
+        ).reshape(-1)
+
+        def flat(x):
+            return jnp.broadcast_to(x[:, None], (n, K)).reshape(-1)
+
+        def flatv(v):
+            return Vec3(flat(v.x), flat(v.y), flat(v.z))
+
+        def flatq(q):
+            return Quat(flat(q.x), flat(q.y), flat(q.z), flat(q.w))
+
+        fa_pos, fa_vel = flatv(pos_a0), flatv(vel_a)
+        fb_pos, fb_vel = flatv(pos_b0), flatv(vel_b)
+        fa_orn, fb_orn = flatq(orn_a0), flatq(orn_b0)
+        fa_om, fb_om = flatv(om_a), flatv(om_b)
+        lp_f = Vec3(lp.x.reshape(-1), lp.y.reshape(-1), lp.z.reshape(-1))
+        lq_f = Quat(
+            lq.x.reshape(-1), lq.y.reshape(-1), lq.z.reshape(-1), lq.w.reshape(-1)
+        )
+
+        def ctx_child(t):
+            pa = fa_pos + fa_vel * t
+            qa = integrate_orientation(fa_orn, fa_om, t)
+            ow = fb_pos + fb_vel * t
+            qo = integrate_orientation(fb_orn, fb_om, t)
+            pb = ow + qo.rotate(lp_f)
+            qb = qo.mul(lq_f)
+            return SupportCtx(
+                type_a=flat(type_a),
+                params_a=shapes.params[flat(sa)],
+                type_b=ctype.reshape(-1),
+                params_b=cparams.reshape(-1, cparams.shape[-1]),
+                orn_ab=qa.conjugate().mul(qb),
+                pos_ab=qa.rotate_inverse(pb - pa),
+                hull_points=Vec3(shapes.hull_x, shapes.hull_y, shapes.hull_z),
+                hull_start_a=shapes.hull_start[flat(sa)],
+                hull_count_a=shapes.hull_count[flat(sa)],
+                hull_start_b=jnp.where(
+                    is_tri.reshape(-1), 0, shapes.hull_start[cs_c.reshape(-1)]
+                ),
+                hull_count_b=jnp.where(
+                    is_tri.reshape(-1), 0, shapes.hull_count[cs_c.reshape(-1)]
+                ),
+            )
+
+        bound_child = flat(speed_bound)
+        hit_c = _advance(ctx_child, bound_child, live_child, n * K)
+        hit_child = jnp.min(hit_c.reshape(n, K), axis=1)
+        hit_body = jnp.where(comp_pair, hit_child, hit_body)
+
+    return jnp.where(live, jnp.minimum(hit_body, max_t), jnp.asarray(max_t, jnp.float32))

@@ -123,7 +123,7 @@ def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str
             aabb_min, aabb_max, bodies.kind, bodies.awake, bodies.collision_group,
             dev * rows_per_dev, rows_per_dev, local_pairs,
         )
-        prestep, imp, pcolor = narrow_phase(
+        prestep, imp, pcolor, _t_eval = narrow_phase(
             bodies, shapes, pairs, state.cache, dt, present_types=present_types
         )
         banks = {

@@ -212,7 +212,7 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
     # --- Narrow phase (manifolds + constraint records + warm-start carry). The brute
     # broad phase emits pairs in ascending b-major key order, so the warm-start cache is
     # sorted by construction and the match skips its argsort.
-    prestep, imp, pcolor = narrow_phase(
+    prestep, imp, pcolor, t_eval = narrow_phase(
         bodies, shapes, pairs, state.cache, dt, present_types=present_types,
         max_ccd=config.max_ccd_pairs, pairs_sorted=(method == "brute"),
         sleep_bank=state.sleep_cache if config.enable_sleep else None,
@@ -230,6 +230,7 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
             max_cc_pairs=config.max_cc_pairs,
             cc_children_per_side=config.cc_children_per_side,
             sleep_bank=state.sleep_ccache if config.enable_sleep else None,
+            pair_t=t_eval,
         )
 
     # --- Wake sleeping bodies touched by awake dynamics (whole stored islands).

@@ -59,3 +59,41 @@ def test_ccd_sweep_toi_accuracy():
         jnp.array([a]), jnp.array([b]), jnp.array([True]), jnp.float32(1.0), iters=32,
     )
     assert abs(float(t[0]) - 0.38) < 0.02, f"TOI wrong: {float(t[0])} vs 0.38"
+
+
+def test_ccd_bullet_stopped_by_compound_panel():
+    """Compound-aware CCD (reference SweepTasks/ConvexCompoundSweepTask): a fast small
+    sphere must NOT tunnel through ONE thin panel of a compound — the sweep recurses
+    into the compound's children rather than treating the body as a point/box."""
+    from bepuphysics2_tpu import Compound
+
+    sim = Simulation(
+        SimConfig(
+            body_capacity=16, max_pairs=32, substeps=4, num_colors=2,
+            max_ccd_pairs=8, enable_sleep=False,
+            max_compound_pairs=16, children_per_pair=8,
+        )
+    )
+    # Panel half-thickness 0.25 vs 2.2 m/step displacement: a genuine tunneling
+    # configuration (body-level compound treatment never forms a child contact at all,
+    # at any thickness). The known residual: the CCD stop overshoots by up to one
+    # substep of clamped approach (~0.2 here, same for the convex path), so the panel
+    # is sized so the overshoot cannot straddle its center plane.
+    panel = sim.add_shape(Box(0.25, 4.0, 4.0))
+    # Compound of two separated thin panels; the bullet aims at the first.
+    comp = sim.add_shape(
+        Compound([(panel, (0.0, 0.0, 0.0), (0, 0, 0, 1)),
+                  (panel, (3.0, 0.0, 0.0), (0, 0, 0, 1))])
+    )
+    sim.add_static(StaticDescription(position=(5.0, 0.0, 0.0), shape=comp))
+    s = Sphere(0.1)
+    ss = sim.add_shape(s)
+    bullet = sim.add_body(
+        BodyDescription.dynamic(
+            (0.0, 0.0, 0.0), ss, 0.1, s, velocity=(130.0, 0, 0), continuity=1,
+        )
+    )
+    for _ in range(30):
+        sim.timestep(1 / 60.0)
+    pos, _, vel, _ = sim.get_body(bullet)
+    assert pos[0] < 5.0, f"bullet tunneled through the compound panel: {pos}"

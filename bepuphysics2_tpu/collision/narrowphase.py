@@ -585,6 +585,9 @@ def _warm_start_from_cache_keyed(
     matched = (sorted_keys[pos_c] == key) & prestep.valid & hit["valid"]
 
     if sleep_bank is not None:
+      # The bank join (a second sorted join over the full pair bank) only matters when
+      # the bank holds rows at all — fully-awake scenes skip it behind a runtime cond.
+      def _with_sleep_bank(_):
         spos = jnp.searchsorted(sleep_bank.key, key, method="sort")
         spos_c = jnp.minimum(spos, sleep_bank.key.shape[0] - 1)
         shit = gather_rows(
@@ -603,13 +606,17 @@ def _warm_start_from_cache_keyed(
         smatched = (
             (sleep_bank.key[spos_c] == key) & prestep.valid & shit["valid"] & ~matched
         )
-        hit = jax.tree_util.tree_map(
+        new_hit = jax.tree_util.tree_map(
             lambda h, s: jnp.where(
                 smatched.reshape((-1,) + (1,) * (h.ndim - 1)), s, h
             ),
             hit, shit,
         )
-        matched = matched | smatched
+        return new_hit, matched | smatched
+
+      hit, matched = jax.lax.cond(
+          jnp.any(sleep_bank.valid), _with_sleep_bank, lambda _: (hit, matched), None
+      )
 
     eq = (prestep.feature[:, :, None] == hit["feature"][:, None, :]) & prestep.contact_mask[:, :, None]
     pen = jnp.sum(jnp.where(eq, hit["penetration"][:, None, :], 0.0), axis=-1)

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bodies import BodyBuffer, BodyDescription, BodyState, StaticDescription
+from .bodies import BodyBuffer, BodyDescription, BodyState, StaticDescription, KIND_DYNAMIC
 from .collision import broadphase as bp
 from .collision.narrowphase import (
     PairCache,
@@ -283,17 +283,37 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
     if config.enable_sleep:
         from .collision.narrowphase import retain_sleeping
 
-        sleep_cache, sovfl = retain_sleeping(
-            state.sleep_cache, cache, bodies.kind, bodies.awake, config.body_capacity
+        # The bank merge (sort + join over the cache) only matters when something is
+        # actually asleep or the bank holds rows — fully-awake scenes skip it behind a
+        # runtime cond (reference PairCache_Activity only runs on sleep/wake events).
+        sleep_active = jnp.any((bodies.kind == KIND_DYNAMIC) & ~bodies.awake) | jnp.any(
+            state.sleep_cache.valid
+        )
+        sleep_cache, sovfl = jax.lax.cond(
+            sleep_active,
+            lambda _: retain_sleeping(
+                state.sleep_cache, cache, bodies.kind, bodies.awake,
+                config.body_capacity,
+            ),
+            lambda _: (state.sleep_cache, jnp.bool_(False)),
+            None,
         )
         overflow = overflow | sovfl
         if has_compounds:
             sub_cap = config.children_per_pair + (
                 config.cc_children_per_side ** 2 if config.max_cc_pairs > 0 else 0
             )
-            sleep_ccache, scovfl = retain_sleeping(
-                state.sleep_ccache, ccache, bodies.kind, bodies.awake,
-                config.body_capacity, sub_cap=sub_cap,
+            csleep_active = jnp.any((bodies.kind == KIND_DYNAMIC) & ~bodies.awake) | jnp.any(
+                state.sleep_ccache.valid
+            )
+            sleep_ccache, scovfl = jax.lax.cond(
+                csleep_active,
+                lambda _: retain_sleeping(
+                    state.sleep_ccache, ccache, bodies.kind, bodies.awake,
+                    config.body_capacity, sub_cap=sub_cap,
+                ),
+                lambda _: (state.sleep_ccache, jnp.bool_(False)),
+                None,
             )
             overflow = overflow | scovfl
 

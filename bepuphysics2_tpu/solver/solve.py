@@ -484,7 +484,8 @@ def solve_all(
             )
             cbank_in_jacobi.append(kept_j)
             buckets.append(
-                dict(order=order, present=present, ps=ps_b, imp=imp_b, cap=cap, m=mi)
+                dict(order=order, present=present, ps=ps_b, imp=imp_b, cap=cap, m=mi,
+                     pos=pos)
             )
     else:
         for ci, (ps, _) in enumerate(contact_banks):
@@ -554,7 +555,7 @@ def solve_all(
         ju = dict(
             order=order_u, present=present_u, live=live_u, a=g["a"], b=g["b"],
             tag=g["tag"], ps=g["ps"], imp0=imp_bu, cap=cap_u, ncap=ncap_u, m=mu_total,
-            type_ids=type_ids,
+            type_ids=type_ids, pos=pos_u,
         )
         ju_in_jacobi = kept_ju
 
@@ -1342,34 +1343,33 @@ def _solve_finalize_bucketed(
     state, imps_final, jimps_final, ju_imp_final, buckets, contact_banks, n_cbanks,
     ju, tb_names, joint_banks, joint_imps, overflow, persist_c, persist_j,
 ):
-    """Bucket-order impulses → original bank order (warm-start persistence)."""
+    """Bucket-order impulses → original bank order (warm-start persistence).
+
+    Each bank's ``pos`` (original row → bucket position, sentinel B = dropped) is already
+    known from bucket construction, so the unbucketing is ONE row gather per bank — the
+    previous sort-based inverse cost two 16k-element sorts per step (~0.9 ms at 4k)."""
     if True:
         imps_out = []
         for ci in range(n_cbanks):
             bk = buckets[ci]
-            tgt = jnp.where(bk["present"], bk["order"], bk["m"])
-            t_s, t_p = jax.lax.sort(
-                (tgt, jnp.arange(tgt.shape[0], dtype=jnp.int32)), num_keys=1
-            )
+            B = bk["order"].shape[0]
+            pos = bk["pos"]
+            in_bucket = pos < B
+            pos_c = jnp.minimum(pos, B - 1)
             imps_out.append(
                 jax.tree_util.tree_map(
-                    lambda orig_leaf, b_leaf: orig_leaf.at[t_s].set(
-                        b_leaf[t_p], mode="drop", indices_are_sorted=True
+                    lambda orig_leaf, b_leaf: jnp.where(
+                        _bcast(in_bucket, orig_leaf), b_leaf[pos_c], orig_leaf
                     ),
                     contact_banks[ci][1], imps_final[ci],
                 )
             )
         joint_imps_out = dict(jimps_final)  # multibody types
         if ju is not None:
-            tgt = jnp.where(ju["present"], ju["order"], ju["m"])
-            t_s, t_p = jax.lax.sort(
-                (tgt, jnp.arange(tgt.shape[0], dtype=jnp.int32)), num_keys=1
-            )
-            u_imp_out = (
-                jnp.zeros((ju["m"], _U_IMPULSE), jnp.float32)
-                .at[t_s]
-                .set(ju_imp_final[t_p], mode="drop", indices_are_sorted=True)
-            )
+            BU = ju["order"].shape[0]
+            in_b = ju["pos"] < BU
+            pos_c = jnp.minimum(ju["pos"], BU - 1)
+            u_imp_out = jnp.where(in_b[:, None], ju_imp_final[pos_c], 0.0)
             off_u = 0
             for name in tb_names:
                 m_n = joint_banks[name]["bodies"].shape[0]

@@ -37,7 +37,9 @@ GJK_ITERS = 24
 MPR_ITERS = 24
 
 
-def support_core(stype, params, hull_points, hull_start, hull_count, d: Vec3) -> tuple:
+def support_core(
+    stype, params, hull_points, hull_start, hull_count, d: Vec3, n_win: int = 1
+) -> tuple:
     """Support point of the shape's CORE (margin removed) in its local frame, for
     direction d (need not be unit). Returns (point: Vec3, margin: radius-like float).
 
@@ -82,22 +84,35 @@ def support_core(stype, params, hull_points, hull_start, hull_count, d: Vec3) ->
     da_, db_, dc_ = d.dot(va), d.dot(vb), d.dot(vc)
     tri_pt = va.where((da_ >= db_) & (da_ >= dc_), vb.where(db_ >= dc_, vc))
 
-    # Convex hull: masked argmax over pooled points (windowed gather).
+    # Convex hull: masked argmax over pooled points — ``n_win`` 64-point windowed
+    # gathers per record (n_win is a trace-time constant from the registry's max hull
+    # vertex count, ShapeData.hull_win; one window for ≤64-vert scenes). Hull size is
+    # otherwise unbounded, matching reference ConvexHull (ConvexHullHelper.cs:87).
     if hull_points is not None:
         MAXH = hull_points.x.shape[0]  # flat pool; per-record start/count
-        # For vectorization we evaluate over a fixed window of max hull size per record.
-        W = 64  # max supported hull vertex count per shape (round 1)
-        offs = jnp.arange(W)
-        idx = jnp.minimum(hull_start[..., None] + offs, MAXH - 1)
-        live = offs[None, :] < hull_count[..., None]
-        px = hull_points.x[idx]
-        py = hull_points.y[idx]
-        pz = hull_points.z[idx]
-        dots = d.x[..., None] * px + d.y[..., None] * py + d.z[..., None] * pz
-        dots = jnp.where(live, dots, -3.0e38)
-        best = jnp.argmax(dots, axis=-1)
-        take = lambda arr: select_col(arr, best)
-        hull_pt = Vec3(take(px), take(py), take(pz))
+        W = 64
+        best_dot = jnp.full(d.x.shape, -3.0e38, jnp.float32)
+        hx = zero
+        hy = zero
+        hz = zero
+        for k in range(n_win):
+            offs = k * W + jnp.arange(W)
+            idx = jnp.minimum(hull_start[..., None] + offs, MAXH - 1)
+            live = offs[None, :] < hull_count[..., None]
+            px = hull_points.x[idx]
+            py = hull_points.y[idx]
+            pz = hull_points.z[idx]
+            dots = d.x[..., None] * px + d.y[..., None] * py + d.z[..., None] * pz
+            dots = jnp.where(live, dots, -3.0e38)
+            best = jnp.argmax(dots, axis=-1)
+            take = lambda arr: select_col(arr, best)
+            wd = jnp.take_along_axis(dots, best[..., None], axis=-1)[..., 0]
+            better = wd > best_dot
+            best_dot = jnp.where(better, wd, best_dot)
+            hx = jnp.where(better, take(px), hx)
+            hy = jnp.where(better, take(py), hy)
+            hz = jnp.where(better, take(pz), hz)
+        hull_pt = Vec3(hx, hy, hz)
     else:
         hull_pt = Vec3(zero, zero, zero)
 
@@ -135,17 +150,22 @@ class SupportCtx(NamedTuple):
     hull_count_a: jnp.ndarray
     hull_start_b: jnp.ndarray
     hull_count_b: jnp.ndarray
+    # Trace-time window count for the hull support scan (ShapeData.hull_win.shape[0];
+    # python int — never traced).
+    hull_windows: int = 1
 
 
 def minkowski_support(ctx: SupportCtx, d: Vec3):
     """Support of (A − B) in direction d (A frame). Returns (w, pa, margin_sum) where
     w = core support difference, pa = support point on A's core."""
     sa, ma = support_core(
-        ctx.type_a, ctx.params_a, ctx.hull_points, ctx.hull_start_a, ctx.hull_count_a, d
+        ctx.type_a, ctx.params_a, ctx.hull_points, ctx.hull_start_a, ctx.hull_count_a, d,
+        n_win=ctx.hull_windows,
     )
     d_b = ctx.orn_ab.rotate_inverse(-1.0 * d)
     sb_local, mb = support_core(
-        ctx.type_b, ctx.params_b, ctx.hull_points, ctx.hull_start_b, ctx.hull_count_b, d_b
+        ctx.type_b, ctx.params_b, ctx.hull_points, ctx.hull_start_b, ctx.hull_count_b,
+        d_b, n_win=ctx.hull_windows,
     )
     sb = ctx.orn_ab.rotate(sb_local) + ctx.pos_ab
     return sa - sb, sa, ma + mb
@@ -300,8 +320,21 @@ def gjk_closest(ctx: SupportCtx):
             return (n_f.dot(-1.0 * a)) * (n_f.dot(d - a)) >= 0.0
 
         all4 = mask.all(-1)
+        # Degeneracy gate: a PLANAR Minkowski difference (sphere/capsule core vs a raw
+        # triangle) can pick up a duplicate 4th support when the progress threshold
+        # rounds the wrong way; the resulting zero-volume tetrahedron passes every
+        # same_side test (all products ~±0) and falsely reports containment. Require
+        # real volume relative to the edge scale.
+        e1, e2, e3 = pts[1] - pts[0], pts[2] - pts[0], pts[3] - pts[0]
+        vol = e1.cross(e2).dot(e3)
+        m2 = jnp.maximum(
+            e1.length_squared(),
+            jnp.maximum(e2.length_squared(), e3.length_squared()),
+        )
+        nondegenerate = jnp.abs(vol) > 1e-6 * m2 * jnp.sqrt(jnp.maximum(m2, 1e-30))
         contained = (
             all4
+            & nondegenerate
             & same_side(pts[0], pts[1], pts[2], pts[3])
             & same_side(pts[0], pts[1], pts[3], pts[2])
             & same_side(pts[0], pts[2], pts[3], pts[1])
@@ -451,11 +484,11 @@ def generic_convex_manifold(ctx: SupportCtx, orn_a: Quat) -> Manifold:
     # merely stalled on a genuinely penetrating pair, the gap is ≤ 0 and MPR still wins.
     sa_cert_l, _ = support_core(
         ctx.type_a, ctx.params_a, ctx.hull_points, ctx.hull_start_a, ctx.hull_count_a,
-        -1.0 * n_gjk,
+        -1.0 * n_gjk, n_win=ctx.hull_windows,
     )
     sb_cert_l, _ = support_core(
         ctx.type_b, ctx.params_b, ctx.hull_points, ctx.hull_start_b, ctx.hull_count_b,
-        ctx.orn_ab.rotate_inverse(n_gjk),
+        ctx.orn_ab.rotate_inverse(n_gjk), n_win=ctx.hull_windows,
     )
     gap_gjk = sa_cert_l.dot(n_gjk) - (ctx.orn_ab.rotate(sb_cert_l) + ctx.pos_ab).dot(n_gjk)
     certified_separated = gap_gjk > 1e-6
@@ -486,12 +519,13 @@ def generic_convex_manifold(ctx: SupportCtx, orn_a: Quat) -> Manifold:
     # Support planes along the shared normal: A's toward B along −n, B's toward A along n.
     d_bn = ctx.orn_ab.rotate_inverse(normal_local)
     sb_plane_l, _ = support_core(
-        ctx.type_b, ctx.params_b, ctx.hull_points, ctx.hull_start_b, ctx.hull_count_b, d_bn
+        ctx.type_b, ctx.params_b, ctx.hull_points, ctx.hull_start_b, ctx.hull_count_b,
+        d_bn, n_win=ctx.hull_windows,
     )
     sb_plane = (ctx.orn_ab.rotate(sb_plane_l) + ctx.pos_ab).dot(normal_local)
     sa_plane_l, _ = support_core(
         ctx.type_a, ctx.params_a, ctx.hull_points, ctx.hull_start_a, ctx.hull_count_a,
-        -1.0 * normal_local,
+        -1.0 * normal_local, n_win=ctx.hull_windows,
     )
     sa_plane = sa_plane_l.dot(normal_local)
 
@@ -504,7 +538,8 @@ def generic_convex_manifold(ctx: SupportCtx, orn_a: Quat) -> Manifold:
         # Sample on A: direction −(n + tilt) (A's surface toward B).
         da = -1.0 * (normal_local + tv)
         sa_k, _ = support_core(
-            ctx.type_a, ctx.params_a, ctx.hull_points, ctx.hull_start_a, ctx.hull_count_a, da
+            ctx.type_a, ctx.params_a, ctx.hull_points, ctx.hull_start_a,
+            ctx.hull_count_a, da, n_win=ctx.hull_windows,
         )
         d_a = (sb_plane - sa_k.dot(normal_local)) + margin
         cand_pts.append(sa_k - normal_local * (0.5 * margin))
@@ -514,7 +549,8 @@ def generic_convex_manifold(ctx: SupportCtx, orn_a: Quat) -> Manifold:
         # Sample on B: direction (n + tilt) in B's frame.
         db = ctx.orn_ab.rotate_inverse(normal_local + tv)
         sb_k_l, _ = support_core(
-            ctx.type_b, ctx.params_b, ctx.hull_points, ctx.hull_start_b, ctx.hull_count_b, db
+            ctx.type_b, ctx.params_b, ctx.hull_points, ctx.hull_start_b,
+            ctx.hull_count_b, db, n_win=ctx.hull_windows,
         )
         sb_k = ctx.orn_ab.rotate(sb_k_l) + ctx.pos_ab
         d_b = (sb_k.dot(normal_local) - sa_plane) + margin

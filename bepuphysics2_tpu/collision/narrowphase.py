@@ -47,6 +47,10 @@ class PairCache(NamedTuple):
     # recoloring incremental; see solver/coloring.py color_constraints_incremental).
     # -1 = unassigned / Jacobi.
     color: jnp.ndarray  # (MP,) int32
+    # Body slots of the record (for cross-bank color-claim accounting; the persistent
+    # store must see these claims when admitting new pairs — collision/pairstore.py).
+    body_a: jnp.ndarray  # (MP,) int32
+    body_b: jnp.ndarray  # (MP,) int32
 
     @staticmethod
     def empty(capacity: int) -> "PairCache":
@@ -58,6 +62,8 @@ class PairCache(NamedTuple):
             twist=jnp.zeros(capacity, jnp.float32),
             valid=jnp.zeros(capacity, bool),
             color=jnp.full(capacity, -1, jnp.int32),
+            body_a=jnp.zeros(capacity, jnp.int32),
+            body_b=jnp.zeros(capacity, jnp.int32),
         )
 
     def resized(self, capacity: int) -> "PairCache":
@@ -106,13 +112,28 @@ def _capsule_box(pos_ab, orn_a, orn_b, pa, pb):
     return testers.capsule_box(pos_ab, orn_a, orn_b, pa, pb)
 
 
+def _sphere_triangle(pos_ab, orn_a, orn_b, pa, pb):
+    return testers.sphere_triangle(pos_ab, orn_b, pa, pb)
+
+
+def _capsule_triangle(pos_ab, orn_a, orn_b, pa, pb):
+    return testers.capsule_triangle(pos_ab, orn_a, orn_b, pa, pb)
+
+
+def _box_triangle(pos_ab, orn_a, orn_b, pa, pb):
+    return testers.box_triangle(pos_ab, orn_a, orn_b, pa, pb)
+
+
 TESTER_REGISTRY = [
     (SPHERE, SPHERE, _sphere_sphere),
     (SPHERE, CAPSULE, _sphere_capsule),
     (SPHERE, BOX, _sphere_box),
+    (SPHERE, TRIANGLE, _sphere_triangle),
     (CAPSULE, CAPSULE, _capsule_capsule),
     (CAPSULE, BOX, _capsule_box),
+    (CAPSULE, TRIANGLE, _capsule_triangle),
     (BOX, BOX, _box_box),
+    (BOX, TRIANGLE, _box_triangle),
 ]
 
 
@@ -181,6 +202,7 @@ def run_convex_testers(
             hull_count_a=shapes.hull_count[si],
             hull_start_b=shapes.hull_start[sj],
             hull_count_b=shapes.hull_count[sj],
+            hull_windows=shapes.hull_win.shape[0],
         )
         gm = generic_convex_manifold(ctx, orn_i)
         def convex_mask(t):
@@ -195,19 +217,18 @@ def run_convex_testers(
     return manifold
 
 
-def narrow_phase(
+def convex_pair_records(
     state: BodyState,
     shapes: ShapeData,
-    pairs: PairList,
-    cache: PairCache,
+    a, b, valid,
     dt,
     spec_margin_max: float = 1.0e30,
     present_types: tuple = None,
     max_ccd: int = 0,
-    pairs_sorted: bool = False,
-    sleep_bank: PairCache = None,
 ):
-    """Run all testers and build contact constraint records (+warm-started impulses).
+    """Tester dispatch core: convex manifolds + contact prestep records for an explicit
+    (a, b, valid) pair set — shared by the per-frame candidate path (``narrow_phase``)
+    and the persistent-store path (``narrow_phase_store``).
 
     ``max_ccd > 0`` enables continuous collision detection (reference
     ContinuousDetectionMode.Continuous, NarrowPhaseCCDContinuations + SweepTasks): pairs
@@ -215,9 +236,7 @@ def narrow_phase(
     swept to time-of-impact (collision/sweeps.py pair_toi); their manifolds are evaluated
     at the TOI-advanced poses and the depths warped back to t=0 as speculative contacts,
     so the solver stops motion exactly at impact."""
-    n_bodies = state.pos.x.shape[0]
-    mp = pairs.a.shape[0]
-    a, b = pairs.a, pairs.b
+    mp = a.shape[0]
 
     # Packed per-body feature rows: ONE row gather per pair side instead of ~14 scalar
     # gathers (utils/packing.py rationale; the canonical i/j sides then come from
@@ -272,7 +291,7 @@ def narrow_phase(
         rel_disp = (vel_a - vel_b).length() * dt
         # Tunneling risk: displacement this step exceeds half the smaller shape's size.
         risk = (
-            pairs.valid
+            valid
             & ((cont[a] > 0) | (cont[b] > 0))
             & (rel_disp > 0.5 * jnp.minimum(ra, rb))
         )
@@ -294,7 +313,7 @@ def narrow_phase(
 
     manifold = run_convex_testers(
         shapes, ti, tj, params_i, params_j, pos_i, pos_j, orn_i, orn_j,
-        shape_i, shape_j, pairs.valid, present_types,
+        shape_i, shape_j, valid, present_types,
     )
 
     # Un-flip manifolds of swapped pairs so offsets are relative to scene body `a` and the
@@ -323,7 +342,7 @@ def narrow_phase(
     pair_max = jnp.minimum(jnp.minimum(fa[:, 15], fb[:, 15]), spec_margin_max)
     margin = jnp.clip(rel_speed * dt + pair_min, 0.0, jnp.maximum(pair_min, pair_max))
     contact_ok = manifold.contact_mask & (manifold.depth > -margin[:, None])
-    record_valid = pairs.valid & jnp.any(contact_ok, axis=-1)
+    record_valid = valid & jnp.any(contact_ok, axis=-1)
 
     # Pair material (geometric-mean friction; conservative min spring/recovery).
     friction = jnp.sqrt(fa[:, 10] * fb[:, 10])
@@ -346,12 +365,100 @@ def narrow_phase(
         feature=manifold.feature,
     )
 
+    # t_eval: per-pair CCD evaluation time (None when CCD is off) — the compound path
+    # reuses it so compound/mesh CCD pairs also evaluate at their TOI.
+    return prestep, t_eval
+
+
+def narrow_phase(
+    state: BodyState,
+    shapes: ShapeData,
+    pairs: PairList,
+    cache: PairCache,
+    dt,
+    spec_margin_max: float = 1.0e30,
+    present_types: tuple = None,
+    max_ccd: int = 0,
+    pairs_sorted: bool = False,
+    sleep_bank: PairCache = None,
+):
+    """Per-frame candidate path: tester core + sorted-join warm-start carry against the
+    previous frame's PairCache (kept for the sharded backend and legacy configs; the
+    single-chip default is the persistent-store path, narrow_phase_store)."""
+    n_bodies = state.pos.x.shape[0]
+    prestep, t_eval = convex_pair_records(
+        state, shapes, pairs.a, pairs.b, pairs.valid, dt,
+        spec_margin_max=spec_margin_max, present_types=present_types, max_ccd=max_ccd,
+    )
     imp, carried_color = _warm_start_from_cache(
         prestep, cache, n_bodies, presorted=pairs_sorted, sleep_bank=sleep_bank
     )
-    # t_eval: per-pair CCD evaluation time (None when CCD is off) — the compound path
-    # reuses it so compound/mesh CCD pairs also evaluate at their TOI.
     return prestep, imp, carried_color, t_eval
+
+
+def ccd_eval_times(state, shapes, a, b, valid, dt, max_ccd: int):
+    """Standalone CCD TOI pass over an explicit pair set (same risk gate + conservative
+    advancement as the convex core). Used by the store path to supply the compound
+    expansion with CANDIDATE-aligned evaluation times (its pair list is the broad-phase
+    candidates, not store slots)."""
+    from .sweeps import pair_toi
+    from ..utils.packing import compact_true as _ct
+
+    mp = a.shape[0]
+    sa = jnp.maximum(state.shape[a], 0)
+    sb = jnp.maximum(state.shape[b], 0)
+    ra = shapes.max_radius[sa]
+    rb = shapes.max_radius[sb]
+    rel_disp = (state.vel[a] - state.vel[b]).length() * dt
+    cont = state.continuity
+    risk = valid & ((cont[a] > 0) | (cont[b] > 0)) & (
+        rel_disp > 0.5 * jnp.minimum(ra, rb)
+    )
+    sel, _ = _ct(risk, max_ccd)
+    live = jnp.arange(max_ccd) < jnp.sum(risk)
+    t_hit = pair_toi(state, shapes, a[sel], b[sel], live, dt)
+    return (
+        jnp.zeros(mp, jnp.float32)
+        .at[jnp.where(live, sel, mp)]
+        .set(t_hit, mode="drop")
+    )
+
+
+def narrow_phase_store(
+    state: BodyState,
+    shapes: ShapeData,
+    store,
+    active,
+    dt,
+    spec_margin_max: float = 1.0e30,
+    present_types: tuple = None,
+    max_ccd: int = 0,
+):
+    """Persistent-store path: manifolds for every store slot, with ROW-LOCAL warm-start
+    carry — the pair's previous features/impulses live in the same slot, so the
+    reference's feature-id impulse redistribution (PairCache.cs:78) is an elementwise
+    compare instead of a cross-frame join. Returns (prestep, imp, t_eval)."""
+    prestep, t_eval = convex_pair_records(
+        state, shapes, store.body_a, store.body_b, active, dt,
+        spec_margin_max=spec_margin_max, present_types=present_types, max_ccd=max_ccd,
+    )
+    eq = (
+        (prestep.feature[:, :, None] == store.feature[:, None, :])
+        & prestep.contact_mask[:, :, None]
+        & (store.feature[:, None, :] >= 0)
+    )
+    matched = store.active_prev & prestep.valid
+    pen = jnp.sum(jnp.where(eq, store.imp_pen[:, None, :], 0.0), axis=-1)
+    pen = jnp.where(matched[:, None], pen, 0.0)
+    imp = ContactImpulses(
+        penetration=pen,
+        tangent=Vec2(
+            jnp.where(matched, store.imp_tx, 0.0),
+            jnp.where(matched, store.imp_ty, 0.0),
+        ),
+        twist=jnp.where(matched, store.imp_tw, 0.0),
+    )
+    return prestep, imp, t_eval
 
 
 def pair_key(body_a, body_b, n_bodies: int):
@@ -398,6 +505,8 @@ def update_cache(
         twist=imp.twist,
         valid=prestep.valid,
         color=color,
+        body_a=prestep.body_a,
+        body_b=prestep.body_b,
     )
 
 def narrow_phase_compound(
@@ -639,6 +748,8 @@ def update_cache_keyed(prestep: ContactPrestep, imp: ContactImpulses, key, color
         twist=imp.twist,
         valid=prestep.valid,
         color=color,
+        body_a=prestep.body_a,
+        body_b=prestep.body_b,
     )
 
 

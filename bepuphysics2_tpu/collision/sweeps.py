@@ -154,6 +154,7 @@ def sweep_shape_all(
             ),
             hull_start_b=tg_hull_start,
             hull_count_b=tg_hull_count,
+            hull_windows=shapes.hull_win.shape[0],
         )
 
     # Approach-speed upper bound per target (child lever arm folded into tg_radius).
@@ -249,6 +250,7 @@ def pair_toi(
             hull_count_a=shapes.hull_count[sa],
             hull_start_b=shapes.hull_start[sb],
             hull_count_b=shapes.hull_count[sb],
+            hull_windows=shapes.hull_win.shape[0],
         )
 
     speed_bound = (
@@ -345,6 +347,7 @@ def pair_toi(
                 hull_count_b=jnp.where(
                     is_tri.reshape(-1), 0, shapes.hull_count[cs_c.reshape(-1)]
                 ),
+                hull_windows=shapes.hull_win.shape[0],
             )
 
         bound_child = flat(speed_bound)

@@ -792,3 +792,503 @@ def box_box(pos_ab: Vec3, orn_a: Quat, orn_b: Quat, params_a, params_b) -> Manif
         feature=out_feat,
         contact_mask=out_mask,
     )
+
+# --------------------------------------------------------------------------------------
+# Triangle-family analytic testers (reference capability:
+# CollisionTasks/SphereTriangleTester.cs, CapsuleTriangleTester.cs, BoxTriangleTester.cs
+# — own derivations; the mesh/terrain hot path that previously funneled through the
+# generic GJK/MPR kernel). Triangles are always the B side (type id ordering), verts in
+# B's local frame; one-sidedness/boundary smoothing is applied downstream by the
+# compound/mesh narrow phase.
+
+
+def _closest_on_triangle(p: Vec3, a: Vec3, b: Vec3, c: Vec3):
+    """Closest point on triangle (a, b, c) to point p, fully masked (Ericson 5.1.5).
+    Returns (point, region) with region ∈ {0:A, 1:B, 2:C, 3:AB, 4:AC, 5:BC, 6:face}."""
+    ab = b - a
+    ac = c - a
+    ap = p - a
+    d1 = ab.dot(ap)
+    d2 = ac.dot(ap)
+    bp = p - b
+    d3 = ab.dot(bp)
+    d4 = ac.dot(bp)
+    cp = p - c
+    d5 = ab.dot(cp)
+    d6 = ac.dot(cp)
+    vc = d1 * d4 - d3 * d2
+    vb = d5 * d2 - d1 * d6
+    va = d3 * d6 - d5 * d4
+
+    safe = lambda x: jnp.where(jnp.abs(x) > 1e-30, x, 1e-30)
+    in_a = (d1 <= 0.0) & (d2 <= 0.0)
+    in_b = (d3 >= 0.0) & (d4 <= d3)
+    in_c = (d6 >= 0.0) & (d5 <= d6)
+    on_ab = (vc <= 0.0) & (d1 >= 0.0) & (d3 <= 0.0)
+    on_ac = (vb <= 0.0) & (d2 >= 0.0) & (d6 <= 0.0)
+    on_bc = (va <= 0.0) & (d4 - d3 >= 0.0) & (d5 - d6 >= 0.0)
+
+    t_ab = d1 / safe(d1 - d3)
+    t_ac = d2 / safe(d2 - d6)
+    t_bc = (d4 - d3) / safe((d4 - d3) + (d5 - d6))
+    inv_face = 1.0 / safe(va + vb + vc)
+    v_f = vb * inv_face
+    w_f = vc * inv_face
+
+    # Priority select (first hit wins; face is the fallback region).
+    pt = a + ab * v_f + ac * w_f
+    region = jnp.full(p.x.shape, 6, jnp.int32)
+
+    def put(cond, point, rid, pt, region):
+        return pt.where(~cond, point), jnp.where(cond, rid, region)
+
+    pt, region = put(on_bc, b + (c - b) * t_bc, 5, pt, region)
+    pt, region = put(on_ac, a + ac * t_ac, 4, pt, region)
+    pt, region = put(on_ab, a + ab * t_ab, 3, pt, region)
+    pt, region = put(in_c, c, 2, pt, region)
+    pt, region = put(in_b, b, 1, pt, region)
+    pt, region = put(in_a, a, 0, pt, region)
+    return pt, region
+
+
+def _tri_verts_local(params_b):
+    return (
+        Vec3(params_b[:, 0], params_b[:, 1], params_b[:, 2]),
+        Vec3(params_b[:, 3], params_b[:, 4], params_b[:, 5]),
+        Vec3(params_b[:, 6], params_b[:, 7], params_b[:, 8]),
+    )
+
+
+def sphere_triangle(pos_ab: Vec3, orn_b: Quat, params_a, params_b) -> Manifold:
+    """Sphere A vs triangle B (reference capability:
+    CollisionTasks/SphereTriangleTester.cs — own derivation). Closest point on the
+    triangle to the sphere center; the normal is geometric (side-sensitive), so
+    behind-the-face manifolds are back-facing and the downstream one-sided cull
+    removes them (a sphere approaching a mesh from behind passes through)."""
+    r = params_a[:, 0]
+    va, vb, vc = _tri_verts_local(params_b)
+    lc = orn_b.rotate_inverse(-1.0 * pos_ab)  # sphere center in B frame
+    cp, region = _closest_on_triangle(lc, va, vb, vc)
+    diff = lc - cp
+    dist2 = diff.length_squared()
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
+    fn = (vb - va).cross(vc - va).normalize()  # winding (front) normal, B local
+    n_local = (diff * (1.0 / dist)).where(dist2 > 1e-20, fn)
+    depth = r - dist
+    normal = orn_b.rotate(n_local)  # B→A
+    contact = normal * -(r - 0.5 * depth)  # sphere surface toward triangle, rel A
+    return _single_contact(contact, depth, normal, feature=0)._replace(
+        feature=jnp.zeros((r.shape[0], 4), jnp.int32).at[:, 0].set(region)
+    )
+
+
+def _seg_seg_closest(pa: Vec3, da: Vec3, hla, pb: Vec3, db_u: Vec3, hlb):
+    """Closest points between segments {pa + t·da, |t|≤hla} and {pb + s·db_u, |s|≤hlb}
+    (da, db_u unit). Returns (t, s). Standard clamped quadratic with mutual
+    re-projection (same scheme as capsule_capsule)."""
+    r = pb - pa
+    a_dot_b = da.dot(db_u)
+    da_r = da.dot(r)
+    db_r = db_u.dot(r)
+    denom = 1.0 - a_dot_b * a_dot_b
+    t = jnp.where(
+        denom > 1e-7,
+        jnp.clip((da_r - a_dot_b * db_r) / jnp.maximum(denom, 1e-7), -hla, hla),
+        0.0,
+    )
+    s = jnp.clip(db_u.dot(pa + da * t - pb), -hlb, hlb)
+    t = jnp.clip(da.dot(pb + db_u * s - pa), -hla, hla)
+    return t, s
+
+
+def capsule_triangle(pos_ab: Vec3, orn_a: Quat, orn_b: Quat, params_a, params_b) -> Manifold:
+    """Capsule A vs triangle B (reference capability:
+    CollisionTasks/CapsuleTriangleTester.cs — own derivation). Candidates: the prism
+    clip of the capsule axis against the triangle's edge planes (face contact, signed
+    depth — handles penetration), plus 3 edge-segment and 2 endpoint-vertex-region
+    closest pairs. Near-parallel face contact emits 2 contacts at the clip interval
+    ends with independent depths."""
+    r, hl = params_a[:, 0], params_a[:, 1]
+    N = r.shape[0]
+    la, lb, lc_ = _tri_verts_local(params_b)
+    v0 = pos_ab + orn_b.rotate(la)  # rel A center, world orientation
+    v1 = pos_ab + orn_b.rotate(lb)
+    v2 = pos_ab + orn_b.rotate(lc_)
+    d = orn_a.rotate(Vec3.full((N,), 0.0, 1.0, 0.0))  # capsule axis (unit)
+
+    fn = (v1 - v0).cross(v2 - v0)
+    fn = fn.normalize()  # winding/front normal
+
+    # ---- face candidate: clip the axis segment to the triangle's edge-plane prism.
+    big = 3.0e38
+    t_lo = jnp.full((N,), -big, jnp.float32)
+    t_hi = jnp.full((N,), big, jnp.float32)
+    for (ea, eb) in ((v0, v1), (v1, v2), (v2, v0)):
+        en = fn.cross(eb - ea)  # inward edge-plane normal (perp to fn)
+        c0 = en.dot(-1.0 * ea)  # plane value at segment center (origin = A center)
+        slope = en.dot(d)
+        # points with c0 + slope·t >= 0 are inside this plane.
+        t_cross = -c0 / jnp.where(jnp.abs(slope) > 1e-12, slope, 1e-12)
+        par = jnp.abs(slope) <= 1e-12
+        lo_k = jnp.where(par, jnp.where(c0 >= 0, -big, big), jnp.where(slope > 0, t_cross, -big))
+        hi_k = jnp.where(par, jnp.where(c0 >= 0, big, -big), jnp.where(slope > 0, big, t_cross))
+        t_lo = jnp.maximum(t_lo, lo_k)
+        t_hi = jnp.minimum(t_hi, hi_k)
+    t_lo_c = jnp.clip(t_lo, -hl, hl)
+    t_hi_c = jnp.clip(t_hi, -hl, hl)
+    face_valid = (t_hi >= t_lo) & (t_hi_c >= t_lo_c)
+    # Geometric face normal: the winding normal signed by the capsule center's side of
+    # the plane — behind-the-face manifolds stay back-facing so the downstream
+    # one-sided cull removes them (no front-face expulsion for behind approaches).
+    plane_off = fn.dot(v0)
+    fside = jnp.where(plane_off <= 0.0, 1.0, -1.0)  # center at origin: sign(−plane_off)
+    nf = fn * fside
+    # Signed separation above the (signed) face plane at the clip ends.
+    sep_lo = nf.dot(d) * t_lo_c - nf.dot(v0)
+    sep_hi = nf.dot(d) * t_hi_c - nf.dot(v0)
+    # Deepest end defines the face candidate's depth.
+    sep_face = jnp.minimum(sep_lo, sep_hi)
+    depth_face = jnp.where(face_valid, r - sep_face, -big)
+
+    # ---- edge / endpoint candidates (unsigned closest pairs).
+    def edge_candidate(ea, eb):
+        mid = (ea + eb) * 0.5
+        ed = eb - ea
+        el = ed.length()
+        eu = ed * (1.0 / jnp.maximum(el, 1e-12))
+        t, s = _seg_seg_closest(Vec3.zeros((N,)), d, hl, mid, eu, el * 0.5)
+        pa_ = d * t
+        pb_ = mid + eu * s
+        dv = pa_ - pb_
+        dist = dv.length()
+        n_ = dv * (1.0 / jnp.maximum(dist, 1e-12))
+        # Degenerate (axis intersects edge): push out along fn.
+        n_ = n_.where(dist > 1e-9, fn)
+        return r - dist, n_, pb_, t
+
+    de0, ne0, pe0, te0 = edge_candidate(v0, v1)
+    de1, ne1, pe1, te1 = edge_candidate(v1, v2)
+    de2, ne2, pe2, te2 = edge_candidate(v2, v0)
+
+    # Pick the best candidate: face if valid (it dominates when the axis overlaps the
+    # prism), else the deepest edge pair.
+    depth = de0
+    n = ne0
+    ppt = pe0
+    tpar = te0
+    fid = jnp.full((N,), 4, jnp.int32)
+
+    def pick(dc, nc, pc, tc, idc, depth, n, ppt, tpar, fid):
+        better = dc > depth
+        return (
+            jnp.where(better, dc, depth),
+            nc.where(better, n),
+            pc.where(better, ppt),
+            jnp.where(better, tc, tpar),
+            jnp.where(better, idc, fid),
+        )
+
+    depth, n, ppt, tpar, fid = pick(de1, ne1, pe1, te1, jnp.full((N,), 5, jnp.int32), depth, n, ppt, tpar, fid)
+    depth, n, ppt, tpar, fid = pick(de2, ne2, pe2, te2, jnp.full((N,), 6, jnp.int32), depth, n, ppt, tpar, fid)
+    use_face = face_valid & (depth_face >= depth)
+    depth = jnp.where(use_face, depth_face, depth)
+    n = nf.where(use_face, n)
+    fid = jnp.where(use_face, 0, fid)
+    t_deep = jnp.where(sep_lo <= sep_hi, t_lo_c, t_hi_c)
+    tpar = jnp.where(use_face, t_deep, tpar)
+
+    # ---- contacts. Two when the face contact is near-parallel (axis ⊥ n).
+    axis_dot_n = d.dot(n)
+    two = use_face & (jnp.abs(axis_dot_n) < 0.3) & (t_hi_c - t_lo_c > 1e-6 * jnp.maximum(hl, 1.0))
+    dep0 = jnp.where(two, r - sep_lo, depth)
+    dep1 = r - sep_hi
+    t0 = jnp.where(two, t_lo_c, tpar)
+    p0 = d * t0 + n * -(r - 0.5 * dep0)
+    p1 = d * t_hi_c + n * -(r - 0.5 * dep1)
+
+    z4 = jnp.zeros((N, 4), jnp.float32)
+    return Manifold(
+        normal=n,
+        offset_a=Vec3(
+            z4.at[:, 0].set(p0.x).at[:, 1].set(p1.x),
+            z4.at[:, 0].set(p0.y).at[:, 1].set(p1.y),
+            z4.at[:, 0].set(p0.z).at[:, 1].set(p1.z),
+        ),
+        depth=z4.at[:, 0].set(dep0).at[:, 1].set(dep1),
+        feature=jnp.zeros((N, 4), jnp.int32).at[:, 0].set(jnp.where(two, 0, fid)).at[:, 1].set(1),
+        contact_mask=jnp.zeros((N, 4), bool).at[:, 0].set(True).at[:, 1].set(two),
+    )
+
+
+def box_triangle(pos_ab: Vec3, orn_a: Quat, orn_b: Quat, params_a, params_b) -> Manifold:
+    """Box A vs triangle B (reference capability: CollisionTasks/BoxTriangleTester.cs —
+    own derivation). SAT over 3 box faces + triangle face + 9 edge crosses; face
+    manifolds from masked candidates in the box contact face's 2D frame (triangle verts
+    inside the rectangle, triangle edges × rectangle slabs, rectangle corners inside the
+    triangle lifted onto the triangle plane), reduced to ≤4 by the deepest/extremal
+    rule; edge winners emit the single closest-point contact."""
+    N = params_a.shape[0]
+    ha = Vec3(params_a[:, 0], params_a[:, 1], params_a[:, 2])
+    # Triangle verts in the box (A) frame.
+    q_ab = orn_a.conjugate().mul(orn_b)
+    t_off = orn_a.rotate_inverse(pos_ab)
+    la, lb, lc_ = _tri_verts_local(params_b)
+    t0 = t_off + q_ab.rotate(la)
+    t1 = t_off + q_ab.rotate(lb)
+    t2 = t_off + q_ab.rotate(lc_)
+    centroid = (t0 + t1 + t2) * (1.0 / 3.0)
+
+    fn_raw = (t1 - t0).cross(t2 - t0)
+    fn_len = fn_raw.length()
+    fn = fn_raw * (1.0 / jnp.maximum(fn_len, 1e-12))  # winding normal, A frame
+
+    ones = jnp.ones((N,), jnp.float32)
+    zeros = jnp.zeros((N,), jnp.float32)
+    a_axes = [Vec3(ones, zeros, zeros), Vec3(zeros, ones, zeros), Vec3(zeros, zeros, ones)]
+    ha_arr = [ha.x, ha.y, ha.z]
+
+    def tri_max(axis: Vec3):
+        return jnp.maximum(axis.dot(t0), jnp.maximum(axis.dot(t1), axis.dot(t2)))
+
+    def box_ext(axis: Vec3):
+        return jnp.abs(axis.x) * ha.x + jnp.abs(axis.y) * ha.y + jnp.abs(axis.z) * ha.z
+
+    big = jnp.full((N,), 3.0e38, jnp.float32)
+    min_ext = jnp.minimum(jnp.minimum(ha.x, ha.y), ha.z)
+    best_depth = big
+    best_axis = Vec3.full((N,), 0.0, 1.0, 0.0)
+    best_id = jnp.zeros((N,), jnp.int32)
+
+    def consider(depth, axis, axis_id, best_depth, best_axis, best_id, bias=1.0):
+        # Calibrate B→A: away from the triangle centroid (centroid is B-side in A frame).
+        flip = axis.dot(centroid) > 0.0
+        axis = axis.where(~flip, -1.0 * axis)
+        penalty = (bias - 1.0) * (0.05 * min_ext + jnp.abs(depth))
+        better = depth + penalty < best_depth
+        return (
+            jnp.where(better, depth, best_depth),
+            axis.where(better, best_axis),
+            jnp.where(better, axis_id, best_id),
+        )
+
+    # Triangle face first (id 0, preferred on ties: flat mesh ground stability —
+    # downstream boundary smoothing assumes face-aligned normals).
+    # depth along unit n (B→A) = max_B(n·p) − min_A(n·p) = max_k n·t_k + Σ|n_i|h_i.
+    n_tri = fn.where(fn.dot(centroid) < 0.0, -1.0 * fn)
+    depth_tri = tri_max(n_tri) + box_ext(n_tri)
+    best_depth, best_axis, best_id = consider(depth_tri, n_tri, 0, best_depth, best_axis, best_id)
+    FACE_BOX_BIAS = 1.0 + 1e-3
+    EDGE_BIAS = 1.05
+    for i in range(3):  # box face axes (ids 1-3)
+        axis = a_axes[i]
+        depth = tri_max(axis.where(axis.dot(centroid) <= 0, -1.0 * axis))
+        # tri_max already uses the calibrated sign; add the box extent.
+        depth = depth + ha_arr[i]
+        best_depth, best_axis, best_id = consider(
+            depth, axis, 1 + i, best_depth, best_axis, best_id, bias=FACE_BOX_BIAS
+        )
+    edges = [(t0, t1), (t1, t2), (t2, t0)]
+    for i in range(3):  # edge crosses (ids 4-12)
+        for j, (ea, eb) in enumerate(edges):
+            raw = a_axes[i].cross(eb - ea)
+            ln = raw.length()
+            ok = ln > 1e-7
+            axis = raw * jnp.where(ok, 1.0 / jnp.maximum(ln, 1e-7), 0.0)
+            cal = axis.where(axis.dot(centroid) <= 0, -1.0 * axis)
+            depth = jnp.where(ok, tri_max(cal) + box_ext(cal), big)
+            best_depth, best_axis, best_id = consider(
+                depth, cal, 4 + i * 3 + j, best_depth, best_axis, best_id, bias=EDGE_BIAS
+            )
+
+    n_local = best_axis  # B→A, A frame
+    face_contact = best_id < 4
+
+    # ---- face manifold in the box contact face's (u, v) frame. The contact face is the
+    # box face most aligned with −n (outward normal toward the triangle).
+    andot = jnp.stack([jnp.abs(n_local.x), jnp.abs(n_local.y), jnp.abs(n_local.z)], -1)
+    rdim = jnp.argmax(andot, -1)
+
+    def pick(vecs, k):
+        return Vec3(
+            jnp.where(k == 0, vecs[0].x, jnp.where(k == 1, vecs[1].x, vecs[2].x)),
+            jnp.where(k == 0, vecs[0].y, jnp.where(k == 1, vecs[1].y, vecs[2].y)),
+            jnp.where(k == 0, vecs[0].z, jnp.where(k == 1, vecs[1].z, vecs[2].z)),
+        )
+
+    def pick_h(k):
+        return jnp.where(k == 0, ha.x, jnp.where(k == 1, ha.y, ha.z))
+
+    u_ax = pick(a_axes, (rdim + 1) % 3)
+    v_ax = pick(a_axes, (rdim + 2) % 3)
+    h_u = pick_h((rdim + 1) % 3)
+    h_v = pick_h((rdim + 2) % 3)
+
+    tri_pts = [t0, t1, t2]
+    vu = [u_ax.dot(p) for p in tri_pts]
+    vv = [v_ax.dot(p) for p in tri_pts]
+
+    eps = 1e-6
+    cand_pts = []
+    cand_mask = []
+    cand_feat = []
+    # (a) triangle verts inside the rectangle.
+    for m in range(3):
+        inside = (jnp.abs(vu[m]) <= h_u + eps) & (jnp.abs(vv[m]) <= h_v + eps)
+        cand_pts.append(tri_pts[m])
+        cand_mask.append(inside)
+        cand_feat.append(jnp.full((N,), m, jnp.int32))
+    # (b) triangle edge × rectangle slab intersections (3 × 4).
+    for m in range(3):
+        p0 = tri_pts[m]
+        p1 = tri_pts[(m + 1) % 3]
+        u0, u1 = vu[m], vu[(m + 1) % 3]
+        v0_, v1_ = vv[m], vv[(m + 1) % 3]
+        for p_idx in range(4):
+            if p_idx == 0:
+                c0, c1, lim, o0, o1, olim = u0, u1, h_u, v0_, v1_, h_v
+            elif p_idx == 1:
+                c0, c1, lim, o0, o1, olim = u0, u1, -h_u, v0_, v1_, h_v
+            elif p_idx == 2:
+                c0, c1, lim, o0, o1, olim = v0_, v1_, h_v, u0, u1, h_u
+            else:
+                c0, c1, lim, o0, o1, olim = v0_, v1_, -h_v, u0, u1, h_u
+            denom = c1 - c0
+            frac = (lim - c0) / jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9)
+            valid = (jnp.abs(denom) > 1e-9) & (frac >= 0.0) & (frac <= 1.0)
+            other = o0 + (o1 - o0) * frac
+            valid = valid & (jnp.abs(other) <= olim + eps)
+            cand_pts.append(p0 + (p1 - p0) * frac)
+            cand_mask.append(valid)
+            cand_feat.append(jnp.full((N,), 8 + m * 4 + p_idx, jnp.int32))
+    # (c) rectangle corners inside the triangle (2D), lifted onto the triangle plane.
+    n_dim = pick(a_axes, rdim)
+    plane_d = fn.dot(t0)
+    denom_w = fn.dot(n_dim)
+    # 2D winding of the triangle in (u, v).
+    area2 = (vu[1] - vu[0]) * (vv[2] - vv[0]) - (vu[2] - vu[0]) * (vv[1] - vv[0])
+    winding = jnp.sign(jnp.where(area2 == 0, 1.0, area2))
+    for ci, (su, sv) in enumerate([(-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0)]):
+        cu = su * h_u
+        cv = sv * h_v
+        inside = jnp.ones((N,), bool)
+        for m in range(3):
+            eu = vu[(m + 1) % 3] - vu[m]
+            ev = vv[(m + 1) % 3] - vv[m]
+            cross = eu * (cv - vv[m]) - ev * (cu - vu[m])
+            inside = inside & (cross * winding >= -eps)
+        base = u_ax * cu + v_ax * cv
+        w = (plane_d - fn.dot(base)) / jnp.where(jnp.abs(denom_w) > 1e-9, denom_w, 1e-9)
+        cand_pts.append(base + n_dim * w)
+        cand_mask.append(inside & (jnp.abs(denom_w) > 1e-9))
+        cand_feat.append(jnp.full((N,), 24 + ci, jnp.int32))
+
+    pts = Vec3(
+        jnp.stack([p.x for p in cand_pts], -1),
+        jnp.stack([p.y for p in cand_pts], -1),
+        jnp.stack([p.z for p in cand_pts], -1),
+    )
+    cmask = jnp.stack(cand_mask, -1)
+    cfeat = jnp.stack(cand_feat, -1)
+
+    # Depth per candidate (candidates lie on the triangle): depth = Σ|n_i|h_i + n·p.
+    s_a = box_ext(n_local)
+    np_dot = (
+        n_local.x[:, None] * pts.x + n_local.y[:, None] * pts.y + n_local.z[:, None] * pts.z
+    )
+    depth_pts = s_a[:, None] + np_dot
+    neg_big = -3.0e38
+    depth_masked = jnp.where(cmask, depth_pts, neg_big)
+
+    K = depth_masked.shape[1]
+    kk = jnp.arange(K)[None, :]
+
+    def pick_max(scores, taken):
+        return jnp.argmax(jnp.where(taken, neg_big, scores), -1)
+
+    g = lambda arr, i: select_col(arr, i)
+    taken = ~cmask
+    i0 = pick_max(depth_masked, taken)
+    p0 = Vec3(g(pts.x, i0), g(pts.y, i0), g(pts.z, i0))
+    taken = taken | (kk == i0[:, None])
+    d0 = Vec3(pts.x - p0.x[:, None], pts.y - p0.y[:, None], pts.z - p0.z[:, None])
+    i1 = pick_max(d0.length_squared(), taken)
+    p1 = Vec3(g(pts.x, i1), g(pts.y, i1), g(pts.z, i1))
+    taken = taken | (kk == i1[:, None])
+    edge_v = p1 - p0
+    cr = Vec3(
+        edge_v.y[:, None] * d0.z - edge_v.z[:, None] * d0.y,
+        edge_v.z[:, None] * d0.x - edge_v.x[:, None] * d0.z,
+        edge_v.x[:, None] * d0.y - edge_v.y[:, None] * d0.x,
+    )
+    side = cr.x * n_local.x[:, None] + cr.y * n_local.y[:, None] + cr.z * n_local.z[:, None]
+    i2 = pick_max(side, taken)
+    taken = taken | (kk == i2[:, None])
+    i3 = pick_max(-side, taken)
+
+    sel = jnp.stack([i0, i1, i2, i3], -1)
+    valid_sel = select_cols(cmask, sel)
+    for a_i in range(1, 4):
+        dup = jnp.zeros(N, bool)
+        for b_i in range(a_i):
+            dup = dup | (sel[:, a_i] == sel[:, b_i])
+        valid_sel = valid_sel.at[:, a_i].set(valid_sel[:, a_i] & ~dup)
+
+    c_pts = Vec3(select_cols(pts.x, sel), select_cols(pts.y, sel), select_cols(pts.z, sel))
+    c_depth = select_cols(jnp.where(cmask, depth_pts, 0.0), sel)
+    c_feat = select_cols(cfeat, sel)
+
+    # ---- edge-edge winner: single closest-point contact.
+    ei = (best_id - 4) // 3
+    ej = (best_id - 4) % 3
+    a_dir = pick(a_axes, jnp.maximum(ei, 0))
+    to_b = -1.0 * n_local
+    corner_a = Vec3(
+        jnp.where(ei == 0, 0.0, jnp.sign(to_b.x) * ha.x),
+        jnp.where(ei == 1, 0.0, jnp.sign(to_b.y) * ha.y),
+        jnp.where(ei == 2, 0.0, jnp.sign(to_b.z) * ha.z),
+    )
+    e_sel = jnp.clip(ej, 0, 2)
+    ea = Vec3(
+        jnp.where(e_sel == 0, t0.x, jnp.where(e_sel == 1, t1.x, t2.x)),
+        jnp.where(e_sel == 0, t0.y, jnp.where(e_sel == 1, t1.y, t2.y)),
+        jnp.where(e_sel == 0, t0.z, jnp.where(e_sel == 1, t1.z, t2.z)),
+    )
+    eb = Vec3(
+        jnp.where(e_sel == 0, t1.x, jnp.where(e_sel == 1, t2.x, t0.x)),
+        jnp.where(e_sel == 0, t1.y, jnp.where(e_sel == 1, t2.y, t0.y)),
+        jnp.where(e_sel == 0, t1.z, jnp.where(e_sel == 1, t2.z, t0.z)),
+    )
+    emid = (ea + eb) * 0.5
+    ed = eb - ea
+    el = ed.length()
+    eu_ = ed * (1.0 / jnp.maximum(el, 1e-12))
+    # Box edge has length 2·h[ei]; clamp via the shared segment-segment helper.
+    h_edge = jnp.where(ei == 0, ha.x, jnp.where(ei == 1, ha.y, ha.z))
+    t_par, s_par = _seg_seg_closest(corner_a, a_dir, h_edge, emid, eu_, el * 0.5)
+    edge_pt = corner_a + a_dir * t_par
+
+    fm = face_contact[:, None]
+    z4 = jnp.zeros((N, 4), jnp.float32)
+    out_pts = Vec3(
+        jnp.where(fm, c_pts.x, z4.at[:, 0].set(edge_pt.x)),
+        jnp.where(fm, c_pts.y, z4.at[:, 0].set(edge_pt.y)),
+        jnp.where(fm, c_pts.z, z4.at[:, 0].set(edge_pt.z)),
+    )
+    out_depth = jnp.where(fm, c_depth, z4.at[:, 0].set(best_depth))
+    out_feat = jnp.where(fm, c_feat, jnp.full((N, 4), 64, jnp.int32) + best_id[:, None])
+    out_mask = jnp.where(fm, valid_sel, jnp.zeros((N, 4), bool).at[:, 0].set(True))
+
+    ma = orn_a.to_matrix()
+    world_pts = Vec3(
+        ma.rx.x[:, None] * out_pts.x + ma.ry.x[:, None] * out_pts.y + ma.rz.x[:, None] * out_pts.z,
+        ma.rx.y[:, None] * out_pts.x + ma.ry.y[:, None] * out_pts.y + ma.rz.y[:, None] * out_pts.z,
+        ma.rx.z[:, None] * out_pts.x + ma.ry.z[:, None] * out_pts.y + ma.rz.z[:, None] * out_pts.z,
+    )
+    world_normal = orn_a.rotate(n_local)
+    return Manifold(
+        normal=world_normal,
+        offset_a=world_pts,
+        depth=out_depth,
+        feature=out_feat,
+        contact_mask=out_mask,
+    )

@@ -147,9 +147,12 @@ def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str
             overflow=jax.lax.psum(pairs.overflow.astype(jnp.int32), axis) > 0,
         )
         # Sharded path requires enable_sleep=False; the sleep banks pass through.
+        # (And use_pair_store=False: the sharded pipeline keeps the per-frame cache
+        # join — the store's churn scatters don't shard; SURVEY §5.8 islands-as-shards
+        # is the designed follow-up.)
         return SimState(
             new_bodies, cache, state.ccache, joint_imps, jcolors,
-            state.sleep_cache, state.sleep_ccache,
+            state.sleep_cache, state.sleep_ccache, None,
         ), diag
 
     rep = P()
@@ -164,6 +167,7 @@ def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str
             joint_colors=jax.tree_util.tree_map(lambda _: shard0, state.joint_colors),
             sleep_cache=jax.tree_util.tree_map(lambda _: rep, state.sleep_cache),
             sleep_ccache=jax.tree_util.tree_map(lambda _: rep, state.sleep_ccache),
+            store=jax.tree_util.tree_map(lambda _: rep, state.store),
         )
 
     def make(state: SimState, shapes, joint_banks):
@@ -217,4 +221,5 @@ def shard_state(state: SimState, mesh: Mesh, axis: str = "world") -> SimState:
         sleep_ccache=jax.tree_util.tree_map(
             lambda x: jax.device_put(x, rep), state.sleep_ccache
         ),
+        store=jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state.store),
     )

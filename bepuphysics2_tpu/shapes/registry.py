@@ -435,6 +435,11 @@ class ShapeData(NamedTuple):
     cl_first: jnp.ndarray  # (NCOMP, CW) int32 first child-pool row
     cl_count: jnp.ndarray  # (NCOMP, CW) int32 children in cluster (0 = dead)
     shape_cluster_row: jnp.ndarray  # (MS,) int32 row into cl_* (-1 = not compound/mesh)
+    # Static hull support-window count, encoded in the SHAPE (same trick as cl_*): the
+    # support kernel scans ceil(max registered hull verts / 64) 64-point windows, so
+    # hulls of ANY size register faithfully (reference ConvexHull is unbounded,
+    # ConvexHullHelper.cs:87) while ≤64-vert scenes pay exactly the old single window.
+    hull_win: jnp.ndarray  # (n_win,) int32 dummy content
 
 
 def _morton_order(centroids: np.ndarray) -> np.ndarray:
@@ -496,8 +501,8 @@ def _quat_abs_rot(q) -> np.ndarray:
 class ShapeRegistry:
     """Host-side shape storage with recycled rows (analogue of reference Shapes registry)."""
 
-    HULL_POOL = 4096  # total hull vertices across all hull shapes
-    MAX_HULL_VERTS = 64  # per-shape cap (support kernel window size)
+    HULL_POOL = 4096  # total hull vertices across all hull shapes (the only hull limit;
+    # per-shape vertex counts are unbounded — the support kernel scans 64-point windows)
     CHILD_POOL = 8192  # total compound children / mesh triangles across all shapes
     CLUSTER_SIZE = 16  # children per acceleration cluster (see ShapeData.cl_*)
 
@@ -538,8 +543,6 @@ class ShapeRegistry:
         self.max_radius[idx] = shape.maximum_radius()
         if type_id == CONVEX_HULL:
             pts = np.asarray(shape.points, np.float32)
-            if len(pts) > self.MAX_HULL_VERTS:
-                raise ValueError(f"hull has {len(pts)} verts; cap is {self.MAX_HULL_VERTS}")
             if self._hull_used + len(pts) > self.HULL_POOL:
                 raise RuntimeError("hull vertex pool full")
             self.hull_start[idx] = self._hull_used
@@ -670,6 +673,9 @@ class ShapeRegistry:
                 jnp.asarray(cl_first),
                 jnp.asarray(cl_count),
                 jnp.asarray(shape_cluster_row),
+                jnp.zeros(
+                    max(1, -(-int(self.hull_count.max(initial=0)) // 64)), jnp.int32
+                ),
             )
             self._dirty = False
         return self._device

@@ -91,6 +91,35 @@ class SimConfig:
     # Solver velocity-iteration backend (solver/solve.py SolveConfig.backend):
     # "auto" = Pallas sweep kernel on TPU, XLA elsewhere; "xla"/"pallas" force.
     solver_backend: str = "auto"
+    # Persistent slot-stable pair store (collision/pairstore.py): pairs keep one slot,
+    # color, and warm-start record for their whole life; per-frame cost is churn-bounded.
+    # The reference's incremental PairCache/ConstraintBatch model (PairCache.cs:102,
+    # Solver.cs:984). Off → the legacy per-frame join/recolor/pack pipeline.
+    use_pair_store: bool = True
+    # Rows per store page (one solver slice). 0 = auto: 512 when the pair capacity is
+    # TPU-scale, small for tiny test scenes. Must divide the store capacity.
+    store_page: int = 0
+    # Churn caps (0 = auto): new-pair admissions, retirements, and Jacobi color retries
+    # processed per frame; spill defers to the next frame (admission spill raises the
+    # overflow diagnostic).
+    store_churn: int = 0
+    store_dead: int = 0
+    store_repair: int = 0
+
+    def store_layout(self):
+        """(capacity, page) for the pair store — capacity = max_pairs rounded to pages."""
+        page = self.store_page
+        if page == 0:
+            page = 512 if self.max_pairs >= 8192 else (128 if self.max_pairs >= 1024 else 32)
+        cap = -(-self.max_pairs // page) * page
+        return cap, page
+
+    def store_caps(self):
+        cap, _ = self.store_layout()
+        churn = self.store_churn or max(128, cap // 8)
+        dead = self.store_dead or max(128, cap // 8)
+        repair = self.store_repair or max(64, cap // 16)
+        return churn, dead, repair
 
     def solve_config(self) -> SolveConfig:
         return SolveConfig(
@@ -118,6 +147,9 @@ class SimState(NamedTuple):
     # their contact records, so wakes warm-start instead of re-settling).
     sleep_cache: PairCache
     sleep_ccache: PairCache
+    # Persistent slot-stable pair store (collision/pairstore.py) — the convex contact
+    # world when config.use_pair_store. None only in legacy configs.
+    store: object = None
 
 
 class StepDiagnostics(NamedTuple):
@@ -209,14 +241,77 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
             config.max_pairs, config.sweep_window,
         )
 
-    # --- Narrow phase (manifolds + constraint records + warm-start carry). The brute
-    # broad phase emits pairs in ascending b-major key order, so the warm-start cache is
-    # sorted by construction and the match skips its argsort.
-    prestep, imp, pcolor, t_eval = narrow_phase(
-        bodies, shapes, pairs, state.cache, dt, present_types=present_types,
-        max_ccd=config.max_ccd_pairs, pairs_sorted=(method == "brute"),
-        sleep_bank=state.sleep_cache if config.enable_sleep else None,
-    )
+    # --- Narrow phase. Default: persistent slot-stable pair store (incremental
+    # membership + in-place manifolds + row-local warm-start carry — the reference's
+    # PairCache/TypeBatch incrementality, collision/pairstore.py). Legacy path: per-frame
+    # candidate records with a sorted-join carry against last frame's cache.
+    use_store = config.use_pair_store
+    store = state.store
+    sovfl = jnp.bool_(False)
+    if use_store:
+        from .collision import pairstore
+        from .collision.narrowphase import narrow_phase_store
+        from .shapes.registry import CONVEX_HULL as _HULL
+        from .shapes.custom import CUSTOM_SUPPORTS as _CUSTOM
+
+        # Candidate insertability: only convex-capable pairs live in the store;
+        # compound/mesh-endpoint pairs flow to the child-expansion path below.
+        sa_ = jnp.maximum(bodies.shape[pairs.a], 0)
+        sb_ = jnp.maximum(bodies.shape[pairs.b], 0)
+        ta_ = jnp.where(bodies.shape[pairs.a] >= 0, shapes.type[sa_], -1)
+        tb_ = jnp.where(bodies.shape[pairs.b] >= 0, shapes.type[sb_], -1)
+
+        def _convex_t(t):
+            m = (t >= 0) & (t <= _HULL)
+            for tid in _CUSTOM:
+                m = m | (t == tid)
+            return m
+
+        insertable = _convex_t(ta_) & _convex_t(tb_)
+
+        # Color claims held by the other banks (joints + compound child records): the
+        # store must not admit a pair into a (body, color) slot one of them holds.
+        nb_cap = config.body_capacity
+        ext_used = jnp.zeros(nb_cap + 1, jnp.int32)
+        for name in joint_banks:
+            bank = joint_banks[name]
+            ext_used = ext_used | pairstore.store_claims(
+                bank["bodies"], state.joint_colors[name], bank["valid"],
+                nb_cap, config.num_colors,
+            )
+        ext_used = ext_used | pairstore.store_claims(
+            jnp.stack([state.ccache.body_a, state.ccache.body_b], -1),
+            state.ccache.color, state.ccache.valid, nb_cap, config.num_colors,
+        )
+
+        churn_cap, dead_cap, repair_cap = config.store_caps()
+        store, sovfl = pairstore.update(
+            store, bodies.kind, bodies.awake, bodies.collision_group,
+            aabb_min, aabb_max, pairs.a, pairs.b, pairs.valid, insertable,
+            config.num_colors, ext_used, churn_cap, dead_cap, repair_cap,
+        )
+        awake_dyn = (bodies.kind == KIND_DYNAMIC) & bodies.awake
+        active = store.live & (awake_dyn[store.body_a] | awake_dyn[store.body_b])
+        prestep, imp, t_eval = narrow_phase_store(
+            bodies, shapes, store, active, dt, present_types=present_types,
+            max_ccd=config.max_ccd_pairs,
+        )
+        # t_eval above is STORE-SLOT aligned; the compound expansion consumes the
+        # broad-phase candidate list, so its CCD times come from a candidate pass.
+        if config.max_ccd_pairs > 0:
+            from .collision.narrowphase import ccd_eval_times
+
+            t_eval = ccd_eval_times(
+                bodies, shapes, pairs.a, pairs.b, pairs.valid, dt,
+                config.max_ccd_pairs,
+            )
+        pcolor = None
+    else:
+        prestep, imp, pcolor, t_eval = narrow_phase(
+            bodies, shapes, pairs, state.cache, dt, present_types=present_types,
+            max_ccd=config.max_ccd_pairs, pairs_sorted=(method == "brute"),
+            sleep_bank=state.sleep_cache if config.enable_sleep else None,
+        )
     from .shapes.registry import COMPOUND as _COMPOUND, MESH as _MESH
 
     has_compounds = present_types is None or (
@@ -248,13 +343,75 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
         )
         for name in joint_banks
     }
-    contact_banks = [(prestep, imp, pcolor)]
+    if use_store:
+        from .collision import pairstore
+
+        Bcap, page = config.store_layout()
+        P = Bcap // page
+        # Page-execution packing: pages sorted by color (Jacobi last). The permutation
+        # is PAGE-granular, so these gathers move whole page blocks at bandwidth —
+        # this replaces the per-row bucket packing of the legacy path.
+        perm, is_jac_pages, inv_perm = pairstore.exec_order(store, config.num_colors)
+
+        def _pg(x):
+            return x.reshape((P, page) + x.shape[1:])[perm].reshape(
+                (Bcap,) + x.shape[1:]
+            )
+
+        ps_exec = jax.tree_util.tree_map(_pg, prestep)
+        imp_exec = jax.tree_util.tree_map(_pg, imp)
+        jac_row = jnp.repeat(is_jac_pages, page)
+        jac_counts = pairstore.jacobi_counts(
+            store.body_a, store.body_b,
+            active & (store.color == config.num_colors),
+            config.body_capacity, max(128, Bcap // 8),
+        )
+        store_bank = dict(
+            ps=ps_exec, imp=imp_exec, page=page, jacobi=jac_row,
+            jac_counts=jac_counts,
+        )
+        base_used = store.used
+        contact_banks = []
+    else:
+        store_bank = None
+        base_used = None
+        contact_banks = [(prestep, imp, pcolor)]
     if has_compounds:
         contact_banks.append((cprestep, cimp, cpcolor))
     bodies, imps, joint_imps, solver_overflow, ccolors, jcolors = solve_all(
-        bodies, contact_banks, banks, config.integrator, config.solve_config(), dt
+        bodies, contact_banks, banks, config.integrator, config.solve_config(), dt,
+        store_bank=store_bank, base_used=base_used,
     )
-    imp = imps[0]
+    if use_store:
+        # Impulses come back in page-exec order → one inverse page gather to slot
+        # order, then persist in place (next frame's warm start is row-local).
+        def _ipg(x):
+            return x.reshape((P, page) + x.shape[1:])[inv_perm].reshape(
+                (Bcap,) + x.shape[1:]
+            )
+
+        imp_slot = jax.tree_util.tree_map(_ipg, imps[0])
+        sleeping_row = store.live & ~active
+        # Solver output persists only for rows that SOLVED this frame; sleeping rows
+        # keep their banked impulses in place (they solved as invalid → zeros).
+        store = store._replace(
+            imp_pen=jnp.where(active[:, None], imp_slot.penetration, store.imp_pen),
+            imp_tx=jnp.where(active, imp_slot.tangent.x, store.imp_tx),
+            imp_ty=jnp.where(active, imp_slot.tangent.y, store.imp_ty),
+            imp_tw=jnp.where(active, imp_slot.twist, store.imp_tw),
+            # Features persist for active rows with contacts; sleeping rows keep their
+            # pre-sleep features (wake warm start); contact-less rows reset (no carry
+            # across a contact gap — matches the legacy join semantics).
+            feature=jnp.where(
+                prestep.valid[:, None],
+                prestep.feature,
+                jnp.where(sleeping_row[:, None], store.feature, -1),
+            ),
+            active_prev=jnp.where(active, prestep.valid, store.active_prev),
+        )
+        imp = imp_slot
+    else:
+        imp = imps[0]
 
     # --- Island sleeping (velocity/timer candidacy + whole-island decision).
     if config.enable_sleep:
@@ -262,13 +419,18 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
         bodies = update_sleep(bodies, sleep_presteps, banks, dt, config.sleep_time)
 
     # --- Persist warm-start data (impulses + solver colors).
-    cache = update_cache(
-        prestep, imp, config.body_capacity, ccolors[0], slot_live=pairs.valid
-    )
-    overflow = pairs.overflow | solver_overflow
+    if use_store:
+        cache = state.cache  # unused by the store path
+        overflow = pairs.overflow | solver_overflow | sovfl
+    else:
+        cache = update_cache(
+            prestep, imp, config.body_capacity, ccolors[0], slot_live=pairs.valid
+        )
+        overflow = pairs.overflow | solver_overflow
     contact_count = jnp.sum(prestep.contact_mask & prestep.valid[:, None])
     if has_compounds:
-        ccache = update_cache_keyed(cprestep, imps[1], ckey, ccolors[1])
+        cidx = 1 if not use_store else len(imps) - 1
+        ccache = update_cache_keyed(cprestep, imps[cidx], ckey, ccolors[0 if use_store else 1])
         overflow = overflow | covfl
         contact_count = contact_count + jnp.sum(
             cprestep.contact_mask & cprestep.valid[:, None]
@@ -289,16 +451,17 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
         sleep_active = jnp.any((bodies.kind == KIND_DYNAMIC) & ~bodies.awake) | jnp.any(
             state.sleep_cache.valid
         )
-        sleep_cache, sovfl = jax.lax.cond(
-            sleep_active,
-            lambda _: retain_sleeping(
-                state.sleep_cache, cache, bodies.kind, bodies.awake,
-                config.body_capacity,
-            ),
-            lambda _: (state.sleep_cache, jnp.bool_(False)),
-            None,
-        )
-        overflow = overflow | sovfl
+        if not use_store:  # the store retains sleeping pairs in place
+            sleep_cache, rovfl = jax.lax.cond(
+                sleep_active,
+                lambda _: retain_sleeping(
+                    state.sleep_cache, cache, bodies.kind, bodies.awake,
+                    config.body_capacity,
+                ),
+                lambda _: (state.sleep_cache, jnp.bool_(False)),
+                None,
+            )
+            overflow = overflow | rovfl
         if has_compounds:
             sub_cap = config.children_per_pair + (
                 config.cc_children_per_side ** 2 if config.max_cc_pairs > 0 else 0
@@ -318,12 +481,15 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
             overflow = overflow | scovfl
 
     diag = StepDiagnostics(
-        pair_count=jnp.sum(pairs.valid),
+        pair_count=jnp.sum(store.live) if use_store else jnp.sum(pairs.valid),
         contact_count=contact_count,
         overflow=overflow,
     )
     return (
-        SimState(bodies, cache, ccache, joint_imps, jcolors, sleep_cache, sleep_ccache),
+        SimState(
+            bodies, cache, ccache, joint_imps, jcolors, sleep_cache, sleep_ccache,
+            store,
+        ),
         diag,
     )
 
@@ -390,11 +556,28 @@ class Simulation:
             + cfg.max_cc_pairs * cfg.cc_children_per_side ** 2
         )
         if self._state is not None:
+            new_store = self._state.store
+            if cfg.use_pair_store:
+                from .collision.pairstore import PairStore
+
+                store_cap, store_page = cfg.store_layout()
+                if (
+                    new_store is None
+                    or new_store.capacity != store_cap
+                    or new_store.page != store_page
+                ):
+                    # Capacity change rebuilds the store empty: live pairs re-enter over
+                    # the next frames from broad-phase candidates (one-time warm-start
+                    # loss; the reference's Resize also moves/compacts its caches).
+                    new_store = PairStore.empty(
+                        store_cap, cfg.body_capacity, store_page
+                    )
             self._state = self._state._replace(
                 cache=self._state.cache.resized(cfg.max_pairs),
                 sleep_cache=self._state.sleep_cache.resized(cfg.max_pairs),
                 ccache=self._state.ccache.resized(cc_cap),
                 sleep_ccache=self._state.sleep_ccache.resized(cc_cap),
+                store=new_store,
             )
         self._dirty = True
 
@@ -516,13 +699,25 @@ class Simulation:
             for name, store in self.joints.items()
             if store.count > 0
         }
+        from .collision.pairstore import PairStore
+
+        store_cap, store_page = self.config.store_layout()
+        pstore = self._state.store if self._state is not None else None
+        if pstore is None and self.config.use_pair_store:
+            pstore = PairStore.empty(store_cap, self.config.body_capacity, store_page)
         stale = self._colors_stale
         if stale:
             # A body's dynamic/kinematic kind changed (or a slot was recycled): the
             # carried-color conflict structure is invalid — forget all persisted colors;
             # constraints re-propose over the next frames (Jacobi-solved meanwhile).
+            # The pair store resets wholesale: its colors, claims, and hash all key off
+            # body slots (one settle-frame of warm-start loss; correctness preserved).
             cache = cache._replace(color=jnp.full_like(cache.color, -1))
             ccache = ccache._replace(color=jnp.full_like(ccache.color, -1))
+            if self.config.use_pair_store:
+                pstore = PairStore.empty(
+                    store_cap, self.config.body_capacity, store_page
+                )
             for store in self.joints.values():
                 store.color[:] = -1
             self._colors_stale = False
@@ -545,7 +740,7 @@ class Simulation:
         )
         self._state = SimState(
             self._host.device(), cache, ccache, joint_imps, joint_colors,
-            sleep_cache, sleep_ccache,
+            sleep_cache, sleep_ccache, pstore,
         )
         self._dirty = False
 
@@ -736,20 +931,31 @@ class Simulation:
         if self._state is None:
             return []
         out = []
-        for cache_ps in [self._state.cache]:
-            valid = _np.asarray(cache_ps.valid)
-            keys = _np.asarray(cache_ps.key)
-            pen = _np.asarray(cache_ps.penetration)
-            nb = self.config.body_capacity
+        if self.config.use_pair_store and self._state.store is not None:
+            st = self._state.store
+            valid = _np.asarray(st.live & st.active_prev)
+            a = _np.asarray(st.body_a)
+            b = _np.asarray(st.body_b)
+            pen = _np.asarray(st.imp_pen)
             for i in _np.nonzero(valid)[0]:
-                # b-major keys (collision/narrowphase.py pair_key): key = b * nb + a.
                 out.append(
-                    dict(
-                        body_a=int(keys[i]) % nb,
-                        body_b=int(keys[i]) // nb,
-                        impulses=pen[i].tolist(),
-                    )
+                    dict(body_a=int(a[i]), body_b=int(b[i]), impulses=pen[i].tolist())
                 )
+        else:
+            for cache_ps in [self._state.cache]:
+                valid = _np.asarray(cache_ps.valid)
+                keys = _np.asarray(cache_ps.key)
+                pen = _np.asarray(cache_ps.penetration)
+                nb = self.config.body_capacity
+                for i in _np.nonzero(valid)[0]:
+                    # b-major keys (collision/narrowphase.py pair_key): key = b*nb + a.
+                    out.append(
+                        dict(
+                            body_a=int(keys[i]) % nb,
+                            body_b=int(keys[i]) // nb,
+                            impulses=pen[i].tolist(),
+                        )
+                    )
         return out
 
     def live_contact_pairs(self) -> set:
@@ -760,11 +966,19 @@ class Simulation:
         if self._state is None:
             return cur
         nb = self.config.body_capacity
-        # b-major keys (collision/narrowphase.py pair_key): key = b * nb + a.
-        valid = _np.asarray(self._state.cache.valid)
-        keys = _np.asarray(self._state.cache.key)
-        for k in keys[valid]:
-            cur.add((int(k) % nb, int(k) // nb))
+        if self.config.use_pair_store and self._state.store is not None:
+            st = self._state.store
+            valid = _np.asarray(st.live & st.active_prev)
+            aa = _np.asarray(st.body_a)
+            bb = _np.asarray(st.body_b)
+            for i in _np.nonzero(valid)[0]:
+                cur.add((int(aa[i]), int(bb[i])))
+        else:
+            # b-major keys (collision/narrowphase.py pair_key): key = b * nb + a.
+            valid = _np.asarray(self._state.cache.valid)
+            keys = _np.asarray(self._state.cache.key)
+            for k in keys[valid]:
+                cur.add((int(k) % nb, int(k) // nb))
         cvalid = _np.asarray(self._state.ccache.valid)
         ckeys = _np.asarray(self._state.ccache.key)
         sub_cap = self.config.children_per_pair + (

@@ -115,6 +115,7 @@ def color_constraints_incremental(
     segments=None,
     rounds: int = 3,
     churn_cap: int = None,
+    base_used=None,
 ):
     """Incremental coloring with cross-frame color persistence — the TPU analogue of the
     reference's *persistent* batch membership (constraints keep their ConstraintBatch
@@ -173,6 +174,10 @@ def color_constraints_incremental(
         .at[fr_s]
         .add(cbit_flat[fr_p], indices_are_sorted=True)
     )
+    if base_used is not None:
+        # Claims held by OTHER banks (the persistent pair store) — same (body, color)
+        # uniqueness invariant, so proposals here stay globally conflict-free.
+        used = used | base_used
 
     # Compact the churn set.
     from ..utils.packing import compact_true
@@ -298,7 +303,9 @@ def jacobi_valence(body_a, body_b, dynamic_a, dynamic_b, in_jacobi, n_bodies: in
     return jacobi_valence_kary(refs, dyn, in_jacobi, n_bodies)
 
 
-def jacobi_valence_kary(refs, dyn, in_jacobi, n_bodies: int):
+def jacobi_valence_kary(refs, dyn, in_jacobi, n_bodies: int, extra_counts=None):
+    """``extra_counts``: optional (n_bodies+1,) f32 Jacobi-row counts from banks outside
+    this table (the persistent pair store) — merged before the max-with-1."""
     import jax
 
     m, k = refs.shape
@@ -311,4 +318,6 @@ def jacobi_valence_kary(refs, dyn, in_jacobi, n_bodies: int):
         .at[jnp.minimum(fr_s, n_bodies)]
         .add(vals[fr_p], indices_are_sorted=True)
     )[:n_bodies]
+    if extra_counts is not None:
+        val = val + extra_counts[:n_bodies]
     return jnp.maximum(val, 1.0)

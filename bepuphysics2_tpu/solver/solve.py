@@ -236,6 +236,8 @@ def solve_all(
     cfg: SolveConfig,
     dt,
     axis_name: str = None,
+    store_bank: dict = None,
+    base_used=None,
 ):
     """Run the full substepped solve over contact banks + joint banks.
     ``contact_banks``: list of (ContactPrestep, ContactImpulses[, prev_color]) — e.g. the
@@ -259,6 +261,16 @@ def solve_all(
     h = dt / cfg.substeps
     inv_h = cfg.substeps / dt
     n_bodies = state.pos.x.shape[0]
+    # ``store_bank``: persistent-pair-store bank (collision/pairstore.py), already in
+    # page-execution order (pages sorted by color; Jacobi pages last). It arrives
+    # pre-colored and pre-placed, so it skips the coloring table and bucket packing
+    # below entirely — the per-frame cost that used to dominate the step. Fields:
+    # ps (ContactPrestep, exec order), imp (ContactImpulses), page (rows per page),
+    # jacobi ((B,) bool rows in Jacobi pages), jac_counts ((NB+1,) f32 per-body Jacobi
+    # row counts for mass splitting). ``base_used``: the store's (NB+1,) color-claim
+    # bitmask — joint/compound coloring must avoid those (body, color) slots.
+    if store_bank is not None and axis_name is not None:
+        raise ValueError("store banks are single-chip; use the masked sharded path")
     # Two-body (incl. one-body) joint types first so their groups form ONE contiguous
     # range of the global coloring table (the unified bank's capacity segment);
     # multi-body types follow, uncapped.
@@ -290,6 +302,7 @@ def solve_all(
         # One-hot MXU routing costs rows x bodies MACs: a clear win up to ~8k bodies,
         # a loss beyond (the windowed-state variant lifts this — see ops/sweep.py).
         and (n_bodies <= 8192 or cfg.backend == "pallas")
+        and (store_bank is None or store_bank["page"] % 128 == 0)
     )
     pallas_interpret = jax.default_backend() != "tpu"
     if use_pallas:
@@ -321,9 +334,12 @@ def solve_all(
         max(1, -(-int(cfg.color_cap_factor * ps.body_a.shape[0]) // C))
         for ps, _ in contact_banks
     ]
-    sb_global = (
-        min(512, _round_up(max(cap_raws + [1]), 128)) if use_pallas else 0
-    )
+    if use_pallas and store_bank is not None:
+        sb_global = store_bank["page"]
+    else:
+        sb_global = (
+            min(512, _round_up(max(cap_raws + [1]), 128)) if use_pallas else 0
+        )
     bank_sb = []  # pallas slice size per contact bank
     for ci, (ps, _) in enumerate(contact_banks):
         mi = ps.body_a.shape[0]
@@ -392,17 +408,23 @@ def solve_all(
         if name not in ONE_BODY_NAMES:
             max_arity = max(max_arity, getattr(JOINT_TYPES[name], "N_BODIES", 2))
     g_refs = [gather_global(g[1][:, :max_arity]) for g in groups]
-    all_refs = jnp.concatenate(g_refs, axis=0)
-    all_dyn = jnp.concatenate(
-        [gather_global(g[2][:, :max_arity]) for g in groups], axis=0
-    )
-    all_valid = jnp.concatenate([gather_global(g[3]) for g in groups], axis=0)
-    all_prev = jnp.concatenate([gather_global(pc) for pc in prev_list], axis=0)
-    all_color, all_rank = color_constraints_incremental(
-        all_refs, all_dyn, all_valid, all_prev, n_bodies, C,
-        segments=segments or None, rounds=cfg.color_rounds,
-        churn_cap=cfg.color_churn_cap,
-    )
+    if groups:
+        all_refs = jnp.concatenate(g_refs, axis=0)
+        all_dyn = jnp.concatenate(
+            [gather_global(g[2][:, :max_arity]) for g in groups], axis=0
+        )
+        all_valid = jnp.concatenate([gather_global(g[3]) for g in groups], axis=0)
+        all_prev = jnp.concatenate([gather_global(pc) for pc in prev_list], axis=0)
+        all_color, all_rank = color_constraints_incremental(
+            all_refs, all_dyn, all_valid, all_prev, n_bodies, C,
+            segments=segments or None, rounds=cfg.color_rounds,
+            churn_cap=cfg.color_churn_cap, base_used=base_used,
+        )
+    else:  # store-only scene: every constraint is pre-colored in the store
+        all_refs = jnp.zeros((0, max_arity), jnp.int32)
+        all_dyn = jnp.zeros((0, max_arity), bool)
+        all_color = jnp.zeros(0, jnp.int32)
+        all_rank = jnp.zeros(0, jnp.int32)
 
     dev = jax.lax.axis_index(axis_name) if axis_name else 0
     colors = {}
@@ -485,7 +507,7 @@ def solve_all(
             cbank_in_jacobi.append(kept_j)
             buckets.append(
                 dict(order=order, present=present, ps=ps_b, imp=imp_b, cap=cap, m=mi,
-                     pos=pos)
+                     pos=pos, sb_slice=bank_sb[ci])
             )
     else:
         for ci, (ps, _) in enumerate(contact_banks):
@@ -569,13 +591,42 @@ def solve_all(
     else:
         for name in bank_names:
             jacobi_groups.append(bank_valid[name] & (colors[name] == C))
-    in_jacobi_all = jnp.concatenate([gather_global(f) for f in jacobi_groups])
-    valence = jacobi_valence_kary(all_refs, all_dyn, in_jacobi_all, n_bodies)
+    store_jac_counts = store_bank["jac_counts"] if store_bank is not None else None
+    if groups:
+        in_jacobi_all = jnp.concatenate([gather_global(f) for f in jacobi_groups])
+        valence = jacobi_valence_kary(
+            all_refs, all_dyn, in_jacobi_all, n_bodies, extra_counts=store_jac_counts
+        )
+    elif store_jac_counts is not None:
+        valence = jnp.maximum(store_jac_counts[:n_bodies], 1.0)
+    else:
+        valence = jnp.ones(n_bodies, jnp.float32)
+
+    # ---- Persistent-store bucket: arrives packed (exec order), pre-colored ----------
+    if store_bank is not None and bucketed:
+        sps = store_bank["ps"]
+        jrow = store_bank["jacobi"]
+        a_s = sps.body_a
+        b_s = sps.body_b
+        sa_s = jnp.where(jrow, valence[a_s], 1.0)
+        sb_s = jnp.where(jrow, valence[b_s], 1.0)
+        # Stale impulses of non-live slots must not warm start.
+        simp = jax.tree_util.tree_map(
+            lambda x: jnp.where(_bcast(sps.valid, x), x, 0.0), store_bank["imp"]
+        )
+        sbk = dict(
+            pages=True, page=store_bank["page"], ps=sps, imp=simp,
+            idx2=jnp.concatenate([a_s, b_s]),
+            sa=sa_s, sb=sb_s, s2=jnp.concatenate([sa_s, sb_s]),
+        )
+        buckets.insert(0, sbk)
 
     if bucketed:
         # Per-side Jacobi inertia/impulse scaling, baked per bucket row (1 outside the
         # Jacobi slice). reference SequentialFallbackBatch.cs:37 mass splitting.
         for bk in buckets:
+            if bk.get("pages"):
+                continue  # store bucket: sa/sb/s2/idx2 prebuilt; page sweep owns layout
             ba = bk["ps"].body_a
             bb = bk["ps"].body_b
             cap = bk["cap"]
@@ -637,9 +688,9 @@ def solve_all(
             from ..utils.spring import compute_springiness as _springiness
 
             p_nch = max(128, _round_up(-(-n_bodies // psweep.L), 128))
-            for ci, bk in enumerate(buckets):
-                sb_i = bank_sb[ci]
-                B = bk["order"].shape[0]
+            for bk in buckets:
+                sb_i = bk["page"] if bk.get("pages") else bk["sb_slice"]
+                B = bk["idx2"].shape[0] // 2
                 if B == 0 or sb_i == 0:
                     bk["p_nsl"] = 0
                     continue
@@ -969,6 +1020,53 @@ def solve_all(
         )
         return v6, imp_flat
 
+    def store_page_sweep(ci, table14, v6, imp_flat, ps_full):
+        """XLA fallback sweep for the persistent-store bank: lax.scan over PAGES in the
+        store's execution order. Pages of one color are mutually conflict-free (the
+        store's claim invariant), so immediate per-page scatter-adds are exact; Jacobi
+        pages carry per-row mass-split scales (inertia scaled up, deltas divided)."""
+        bk = buckets[ci]
+        page = bk["page"]
+        B = bk["idx2"].shape[0] // 2
+        nsl = B // page
+        ps_rs = jax.tree_util.tree_map(
+            lambda x: x.reshape((nsl, page) + x.shape[1:]), ps_full
+        )
+        a_rs = bk["ps"].body_a.reshape(nsl, page)
+        b_rs = bk["ps"].body_b.reshape(nsl, page)
+        sa_rs = bk["sa"].reshape(nsl, page)
+        sb_rs = bk["sb"].reshape(nsl, page)
+
+        def body(carry, xs):
+            v6, imp_flat, s = carry
+            ps_c, a_c, b_c, sa_c, sb_c = xs
+            imp_c = jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_slice_in_dim(x, s * page, page), imp_flat
+            )
+            idx2_c = jnp.concatenate([a_c, b_c])
+            rows = table14[idx2_c]
+            _, _, ia = _split14(rows[:page], sa_c)
+            _, _, ib = _split14(rows[page:], sb_c)
+            va, vb = _vel_pair_from12(v6[idx2_c])
+            kern = contact_mod.prepare(ps_c, ia, ib, h, inv_h)
+            new_imp, nva, nvb = contact_mod.apply_iteration(
+                kern, imp_c, va, vb, ps_c.valid
+            )
+            p2 = jnp.concatenate([_pack_dv(_delta(nva, va)), _pack_dv(_delta(nvb, vb))])
+            v6 = v6.at[idx2_c].add(p2 / jnp.concatenate([sa_c, sb_c])[:, None])
+            imp_flat = jax.tree_util.tree_map(
+                lambda full, new: jax.lax.dynamic_update_slice_in_dim(
+                    full, new, s * page, 0
+                ),
+                imp_flat, new_imp,
+            )
+            return (v6, imp_flat, s + 1), None
+
+        (v6, imp_flat, _), _ = jax.lax.scan(
+            body, (v6, imp_flat, jnp.int32(0)), (ps_rs, a_rs, b_rs, sa_rs, sb_rs)
+        )
+        return v6, imp_flat
+
     def ju_color_sweep(table14, v6, imp_flat):
         """One Gauss-Seidel sweep over the unified joint bank (all two-body types)."""
         cap = ju["cap"]
@@ -1017,7 +1115,7 @@ def solve_all(
         if not first:
             v6 = _vel_to6(state)
             new_ps = []
-            for ci in range(n_cbanks):
+            for ci in range(len(buckets)):
                 # ONE (2B, 6) gather for both sides — per-gather fixed cost halves.
                 va, vb = _vel_pair_from12(v6[buckets[ci]["idx2"]])
                 new_ps.append(
@@ -1036,11 +1134,9 @@ def solve_all(
         # velocity-independent, so ONE fused elementwise pass over each full bucket bank
         # computes them (warm_start with zero velocities returns the deltas directly).
         dv = jnp.zeros_like(v6)
-        for ci in range(n_cbanks):
+        for ci in range(len(buckets)):
             bk = buckets[ci]
-            cap = bk["cap"]
-            ncap = C * cap
-            B = bk["order"].shape[0]
+            B = bk["idx2"].shape[0] // 2
             rows = table14[bk["idx2"]]
             g2 = rows[:, 7:14] * bk["s2"][:, None]
             ia = GatheredInertia(g2[:B, 0], Sym3(*(g2[:B, k] for k in range(1, 7))))
@@ -1048,7 +1144,15 @@ def solve_all(
             zb = _zero_vel(B)
             dva, dvb = contact_mod.warm_start(presteps_b[ci], imps_b[ci], ia, ib, zb, zb)
             p2 = jnp.concatenate([_pack_dv(dva), _pack_dv(dvb)]) / bk["s2"][:, None]
-            if bk["use_ga"]:
+            if bk.get("pages"):
+                # Store bank (exec page layout, no padding aliases): one scatter-add.
+                # Invalid rows contribute exactly zero (impulses pre-zeroed + kernel
+                # gating), so duplicate body targets only occur across pages where the
+                # adds are genuinely independent.
+                dv = dv.at[bk["idx2"]].add(p2)
+            elif bk["use_ga"]:
+                cap = bk["cap"]
+                ncap = C * cap
                 # Color rows via the per-color inverse maps: one batched row gather
                 # (C, NB, 6) summed over colors replaces the 2B-row scatter-add.
                 pa = p2[:ncap].reshape(C, cap, 6)
@@ -1086,7 +1190,7 @@ def solve_all(
             # per iteration to preserve the Gauss-Seidel order.
             tt = psweep.pack_state_t(table14, p_nch)
             ps_ts = {}
-            for ci in range(n_cbanks):
+            for ci in range(len(buckets)):
                 if buckets[ci]["p_nsl"]:
                     ps_ts[ci] = psweep.pack_contact_prestep(
                         presteps_b[ci], buckets[ci]["p_spring"]
@@ -1095,21 +1199,23 @@ def solve_all(
             def run_banks(v6, imps_b, n_it):
                 vt = psweep.pack_state_v(v6, p_nch)
                 new_imps = list(imps_b)
-                for ci in range(n_cbanks):
+                for ci in range(len(buckets)):
                     bk = buckets[ci]
                     if not bk["p_nsl"]:
                         continue
                     imp_t = psweep.pack_contact_impulses(imps_b[ci])
                     vt, imp_t = psweep.contact_sweep(
                         vt, tt, ps_ts[ci], imp_t, bk["p_idx2"], bk["p_scale"],
-                        h, inv_h, sb=bank_sb[ci], n_iters=n_it,
+                        h, inv_h,
+                        sb=bk["page"] if bk.get("pages") else bk["sb_slice"],
+                        n_iters=n_it,
                         interpret=pallas_interpret,
                     )
                     new_imps[ci] = psweep.unpack_contact_impulses(imp_t, imps_b[ci])
                 return psweep.unpack_state_v(vt, n_bodies), tuple(new_imps)
 
             only_contacts = (ju is None) and not mb_names
-            if only_contacts and n_cbanks == 1:
+            if only_contacts and len(buckets) == 1:
                 v6, imps_b = run_banks(v6, imps_b, n_iters)
             else:
                 for _ in range(n_iters):
@@ -1121,8 +1227,13 @@ def solve_all(
             def iteration(_, sc):
                 v6, imps_b, jimps, ju_imp = sc
                 new_imps = list(imps_b)
-                for ci in range(n_cbanks):
-                    v6, new_imps[ci] = contact_bucket_sweep(
+                for ci in range(len(buckets)):
+                    sweep = (
+                        store_page_sweep
+                        if buckets[ci].get("pages")
+                        else contact_bucket_sweep
+                    )
+                    v6, new_imps[ci] = sweep(
                         ci, table14, v6, imps_b[ci], presteps_b[ci]
                     )
                 if ju is not None:
@@ -1247,7 +1358,7 @@ def solve_all(
         and any(bk.get("p_nsl") for bk in buckets)
     )
     if mega:
-        active = [ci for ci in range(n_cbanks) if buckets[ci]["p_nsl"]]
+        active = [ci for ci in range(len(buckets)) if buckets[ci]["p_nsl"]]
         ps_t_all = jnp.concatenate(
             [
                 psweep.pack_contact_prestep(
@@ -1287,12 +1398,12 @@ def solve_all(
         state = _vel_from6(state._replace(pos=pos_n, orn=orn_n), v6n)
         imps_list = []
         off_b = 0
-        for ci in range(n_cbanks):
+        for ci in range(len(buckets)):
             bk = buckets[ci]
             if not bk["p_nsl"]:
                 imps_list.append(bk["imp"])
                 continue
-            Bi = bk["order"].shape[0]
+            Bi = bk["idx2"].shape[0] // 2
             imps_list.append(
                 psweep.unpack_contact_impulses(
                     jax.lax.dynamic_slice_in_dim(imp_out, off_b, Bi, axis=1), bk["imp"]
@@ -1350,8 +1461,14 @@ def _solve_finalize_bucketed(
     previous sort-based inverse cost two 16k-element sorts per step (~0.9 ms at 4k)."""
     if True:
         imps_out = []
-        for ci in range(n_cbanks):
+        n_store = sum(1 for bk in buckets if bk.get("pages"))
+        for ci in range(len(buckets)):
             bk = buckets[ci]
+            if bk.get("pages"):
+                # Store bank: stays in page-exec order; the caller maps it back to slot
+                # order with one page-granular inverse-permutation gather.
+                imps_out.append(imps_final[ci])
+                continue
             B = bk["order"].shape[0]
             pos = bk["pos"]
             in_bucket = pos < B
@@ -1361,7 +1478,7 @@ def _solve_finalize_bucketed(
                     lambda orig_leaf, b_leaf: jnp.where(
                         _bcast(in_bucket, orig_leaf), b_leaf[pos_c], orig_leaf
                     ),
-                    contact_banks[ci][1], imps_final[ci],
+                    contact_banks[ci - n_store][1], imps_final[ci],
                 )
             )
         joint_imps_out = dict(jimps_final)  # multibody types

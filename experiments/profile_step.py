@@ -26,7 +26,7 @@ def main():
         num_colors=8,
         n_bodies=N_BODIES,
     )
-    sim.config = dataclasses.replace(sim.config, color_cap_factor=1.0, jacobi_cap_factor=0.3)
+    sim.config = dataclasses.replace(sim.config, color_cap_factor=1.0, jacobi_cap_factor=0.3, color_rounds=1)
     sim._dirty = True
     dt = 1.0 / 60.0
 
@@ -59,16 +59,31 @@ def main():
     print("tracks:", {p: n for p, n in pid_names.items()})
     agg = defaultdict(float)
     cnt = defaultdict(int)
+    # Stage attribution: group leaf device slices by the deepest function name in the
+    # op_name metadata path (jit(_step_impl)/jit(main)/<fn>/<fn>/op...).
+    stage = defaultdict(float)
     total = 0.0
     for e in events:
         if e.get("ph") == "X" and e.get("pid") in dev_pids:
             name = e.get("name", "?")
+            if name.startswith("jit_") or name.startswith("_step_impl"):
+                continue  # parent span: children carry the time
             dur = e.get("dur", 0) / 1e3  # us -> ms
             agg[name] += dur
             cnt[name] += 1
             total += dur
-    print(f"total device slice time: {total:.1f} ms over 8 steps")
-    top = sorted(agg.items(), key=lambda kv: -kv[1])[:45]
+            op = (e.get("args") or {}).get("long_name") or (e.get("args") or {}).get(
+                "name"
+            ) or ""
+            parts = [p for p in op.split("/") if p and not p.startswith("jit(")]
+            key = "/".join(parts[:2]) if parts else name.split(".")[0]
+            stage[key] += dur
+    print(f"total leaf device time: {total:.1f} ms over 8 steps")
+    print("---- by stage (op_name prefix) ----")
+    for k, ms in sorted(stage.items(), key=lambda kv: -kv[1])[:40]:
+        print(f"{ms/8:9.3f} ms/step  {k[:110]}")
+    print("---- by op ----")
+    top = sorted(agg.items(), key=lambda kv: -kv[1])[:30]
     for name, ms in top:
         print(f"{ms:9.3f} ms  x{cnt[name]:5d}  {name[:120]}")
 

@@ -65,3 +65,65 @@ def test_convexhull_class_native_scipy_equivalence():
             atol=1e-9,
         )
         assert np.allclose(r_native[2], r_scipy[2], rtol=1e-6, atol=1e-9)
+
+
+def test_large_hull_support_and_simulation():
+    """Hulls above 64 vertices register and collide faithfully (reference ConvexHull is
+    unbounded, ConvexHullHelper.cs:87): the windowed support scan must pick the true
+    argmax across windows, and a 128-vert hull must rest on the ground without
+    penetration drift."""
+    import jax
+    import jax.numpy as jnp
+
+    from bepuphysics2_tpu import (
+        BodyDescription, Box, SimConfig, Simulation, StaticDescription,
+    )
+    from bepuphysics2_tpu.collision.convex import SupportCtx, support_core
+    from bepuphysics2_tpu.shapes.registry import CONVEX_HULL
+    from bepuphysics2_tpu.utils.vec import Vec3
+
+    # 128 points on a unit sphere (Fibonacci lattice): every point is a hull vertex.
+    n = 128
+    k = np.arange(n) + 0.5
+    phi = np.arccos(1 - 2 * k / n)
+    theta = np.pi * (1 + 5**0.5) * k
+    pts = np.stack(
+        [np.sin(phi) * np.cos(theta), np.sin(phi) * np.sin(theta), np.cos(phi)], -1
+    )
+    hull = ConvexHull.from_points(pts)
+    assert len(hull.points) > 64, "test needs a >64-vert hull"
+
+    sim = Simulation(SimConfig(body_capacity=16, max_pairs=64, substeps=4, num_colors=4))
+    ground = sim.add_shape(Box(20.0, 0.5, 20.0))
+    sim.add_static(StaticDescription(position=(0, -0.5, 0), shape=ground))
+    hid = sim.add_shape(hull)
+    body = sim.add_body(BodyDescription.dynamic((0, 1.5, 0), hid, 1.0, hull))
+    shapes = sim.shapes.device()
+    assert int(shapes.hull_count[hid]) == len(hull.points)
+    assert shapes.hull_win.shape[0] == 2  # 128 verts -> 2 windows
+
+    # Support oracle: dense argmax over the actual vertices, 64 random directions.
+    rng = np.random.default_rng(5)
+    dirs = rng.normal(size=(64, 3)).astype(np.float32)
+    verts = np.asarray(hull.points, np.float32)
+    row = np.full(64, hid, np.int32)
+    pt, _ = support_core(
+        jnp.full(64, CONVEX_HULL, jnp.int32),
+        jnp.asarray(shapes.params)[row],
+        Vec3(shapes.hull_x, shapes.hull_y, shapes.hull_z),
+        shapes.hull_start[row],
+        shapes.hull_count[row],
+        Vec3(*(jnp.asarray(dirs[:, i]) for i in range(3))),
+        n_win=shapes.hull_win.shape[0],
+    )
+    got = np.stack([np.asarray(pt.x), np.asarray(pt.y), np.asarray(pt.z)], -1)
+    want = verts[np.argmax(dirs @ verts.T, axis=1)]
+    assert np.allclose(
+        np.sum(got * dirs, -1), np.sum(want * dirs, -1), atol=1e-5
+    ), "windowed hull support must equal the dense argmax"
+
+    # Settle on the ground: rests near its bounding radius with small penetration.
+    sim.run(120, 1 / 60.0)
+    sim._sync_from_device()
+    y = float(sim._host.py[body])
+    assert 0.9 < y < 1.05, f"128-vert hull failed to rest on the ground: y={y}"

@@ -94,9 +94,23 @@ def compute_metrics(state, shapes, config) -> SimMetrics:
         jnp.sum(jnp.where(lv[:, None], (c.feature >= 0) & (c.penetration != 0.0), False).astype(jnp.int32))
         for c, lv in zip(caches, live)
     )
-    util = sum(jnp.sum(lv.astype(jnp.int32)) for lv in live) / float(
-        sum(lv.shape[0] for lv in live)
-    )
+    util_live = sum(jnp.sum(lv.astype(jnp.int32)) for lv in live)
+    util_cap = sum(lv.shape[0] for lv in live)
+    # Persistent pair store (simulation.py use_pair_store): convex records + impulses
+    # live in slot-stable store rows, not the per-frame caches.
+    if getattr(state, "store", None) is not None:
+        st = state.store
+        imp_total = imp_total + jnp.sum(
+            jnp.where(st.live[:, None], st.imp_pen, 0.0)
+        )
+        n_contacts = n_contacts + jnp.sum(
+            jnp.where(
+                st.live[:, None], (st.feature >= 0) & (st.imp_pen != 0.0), False
+            ).astype(jnp.int32)
+        )
+        util_live = util_live + jnp.sum(st.live.astype(jnp.int32))
+        util_cap = util_cap + st.live.shape[0]
+    util = util_live / float(util_cap)
     dyn_all = bodies.kind == KIND_DYNAMIC
     return SimMetrics(
         kinetic_energy=ke,

@@ -880,3 +880,241 @@ def unpack_contact_impulses(imp_t, imp_like):
         tangent=imp_like.tangent._replace(x=imp_t[4], y=imp_t[5]),
         twist=imp_t[6],
     )
+
+
+# --------------------------------------------------------------------------------------
+# Windowed-state color sweep: the >8k-body variant of contact_sweep. The full-width
+# kernel's one-hot routing costs rows × bodies MACs (every slice routes against every
+# chunk column), which dies above ~8k bodies. Here each slice routes only against a
+# WINDOW of the velocity state: a fixed appendix of replicated non-dynamic bodies
+# (cols [0, gcols)) plus a contiguous spatial range [ws, ws+wcols) of the
+# Morton-permuted dynamic layout — constant per-slice cost at any body count. Two
+# further changes vs the full-width kernel:
+#   - only VELOCITIES are routed through the MXU; the per-row inertia context is
+#     constant within a substep, so it streams from HBM per slice (pre-scaled by the
+#     Jacobi mass split) like the prestep block — 3× fewer routing MACs;
+#   - slices whose window start is negative are DEAD (group padding) and skip all work.
+# Replicating non-dynamic state is sound: the solver never writes it (zero inverse
+# mass/inertia ⇒ zero deltas) and reads are constant within the substep. Reference
+# identity: the solve loop has no size cliff (Solver_Solve.cs:297-654).
+
+IT_ROWS = 16  # A: im ixx iyx iyy izx izy izz pad | B: same — jacobi-prescaled
+
+
+def _contact_sweep_win_kernel(
+    hscal_ref,  # (1, 2) SMEM: h, inv_h
+    wstart_ref,  # (n_slices,) SMEM int32: spatial window start COLUMN; -1 = dead slice
+    hi_lane_ref,  # (1, 2SB) int32 block — WINDOW-relative chunk column per row side
+    lo_lane_ref,  # (1, 2SB) int32 block
+    hi_sub_ref,  # (2SB, 1) int32 block
+    scale_ref,  # (1, 2SB) f32 block
+    ps_ref,  # (PS_ROWS, SB) f32 block
+    it_ref,  # (IT_ROWS, SB) f32 block — per-row streamed inertia context
+    v_in_ref,  # (NVC*L, NCH) f32 full
+    imp_in_ref,  # (IMP_ROWS, B) f32 full
+    v_out_ref,  # (NVC*L, NCH) f32 full
+    imp_out_ref,  # (IMP_ROWS, B) f32 full
+    v_scratch,  # (NVC*L, NCH) f32
+    imp_scratch,  # (IMP_ROWS, B) f32
+    *,
+    n_slices,
+    n_iters,
+    sb,
+    gcols,
+    wcols,
+):
+    it = pl.program_id(0)
+    s = pl.program_id(1)
+    first = (it == 0) & (s == 0)
+    last = (it == n_iters - 1) & (s == n_slices - 1)
+
+    @pl.when(first)
+    def _():
+        v_scratch[:] = v_in_ref[:]
+        imp_scratch[:] = imp_in_ref[:]
+
+    ws_raw = wstart_ref[s]
+
+    @pl.when(ws_raw >= 0)
+    def _():
+        m2 = 2 * sb
+        nwin = gcols + wcols
+        inv_h = hscal_ref[0, 1]
+        # Lane-dimension dynamic slices need a static alignment proof for Mosaic.
+        ws = pl.multiple_of(ws_raw, 128)
+
+        hi_lane = hi_lane_ref[0]  # (1, 2SB) window-relative
+        lo_lane = lo_lane_ref[0]
+        hi_sub = hi_sub_ref[0]  # (2SB, 1)
+        scale2 = scale_ref[0, 0]  # (2SB,)
+
+        oh_g = (
+            jax.lax.broadcasted_iota(jnp.int32, (nwin, m2), 0) == hi_lane
+        ).astype(jnp.bfloat16)
+        oh_s = (
+            jax.lax.broadcasted_iota(jnp.int32, (m2, nwin), 1) == hi_sub
+        ).astype(jnp.bfloat16)
+        oh_lo = (
+            jax.lax.broadcasted_iota(jnp.int32, (L, m2), 0) == lo_lane
+        ).astype(jnp.float32)
+
+        # Window view (lane concat at a 128 tile boundary; ws is 128-aligned and
+        # >= gcols by construction on the XLA side).
+        win = jnp.concatenate(
+            [v_scratch[:, 0:gcols], v_scratch[:, pl.ds(ws, wcols)]], axis=1
+        )  # (NVC*L, nwin)
+
+        W = _mm3(win, oh_g)  # (NVC*L, 2SB)
+        W3 = W.reshape(NVC, L, m2)
+        G = jnp.sum(W3 * oh_lo[None, :, :], axis=1)  # (NVC, 2SB)
+
+        ga = G[:, :sb]
+        gb = G[:, sb:]
+        va = BodyVel(Vec3(ga[0], ga[1], ga[2]), Vec3(ga[3], ga[4], ga[5]))
+        vb = BodyVel(Vec3(gb[0], gb[1], gb[2]), Vec3(gb[3], gb[4], gb[5]))
+
+        itb = it_ref[:]  # (IT_ROWS, SB) — already jacobi-prescaled
+        ia_im = itb[0]
+        ia_ii = Sym3(*(itb[1 + j] for j in range(6)))
+        ib_im = itb[8]
+        ib_ii = Sym3(*(itb[9 + j] for j in range(6)))
+
+        ps = ps_ref[:]
+        imp_blk = imp_scratch[:, pl.ds(s * sb, sb)]
+        imp_rows = [imp_blk[r] for r in range(IMP_ROWS)]
+
+        new_imp, (dva_l, dva_a), (dvb_l, dvb_a) = _solve_contact_rows(
+            ps,
+            [ps[PS_DEPTH + k] for k in range(4)],
+            imp_rows,
+            ia_im,
+            ia_ii,
+            ib_im,
+            ib_ii,
+            va,
+            vb,
+            inv_h,
+        )
+
+        imp_scratch[:, pl.ds(s * sb, sb)] = jnp.stack(new_imp)
+
+        za = jnp.zeros_like(dva_l.x)
+        zb = jnp.zeros_like(dvb_l.x)
+        d_a = jnp.stack([dva_l.x, dva_l.y, dva_l.z, dva_a.x, dva_a.y, dva_a.z, za, za])
+        d_b = jnp.stack([dvb_l.x, dvb_l.y, dvb_l.z, dvb_a.x, dvb_a.y, dvb_a.z, zb, zb])
+        d_rows = jnp.concatenate([d_a, d_b], axis=1)  # (8, 2SB)
+        d_rows = d_rows / scale2[None, :]
+        dexp = (d_rows[:, None, :] * oh_lo[None, :, :]).reshape(NVC * L, m2)
+        dV = _mm3(dexp, oh_s)  # (NVC*L, nwin)
+        # Appendix deltas are identically zero (non-dynamic: zero inverse inertia), but
+        # adding keeps the routing exact and costs one tile add.
+        v_scratch[:, 0:gcols] = v_scratch[:, 0:gcols] + dV[:, :gcols]
+        cur = v_scratch[:, pl.ds(ws, wcols)]
+        v_scratch[:, pl.ds(ws, wcols)] = cur + dV[:, gcols:]
+
+    @pl.when(last)
+    def _():
+        v_out_ref[:] = v_scratch[:]
+        imp_out_ref[:] = imp_scratch[:]
+
+
+def contact_sweep_win(
+    vt,  # (NVC*L, NCH) f32 transposed PERMUTED velocities (appendix + morton layout)
+    it_t,  # (IT_ROWS, B) f32 jacobi-prescaled per-row inertia, windowed-exec order
+    ps_t,  # (PS_ROWS, B) f32 prestep in windowed-exec row order (B = n_slices*SB)
+    imp_t,  # (IMP_ROWS, B) f32 impulses, same order
+    whi2,  # (B2,) int32 WINDOW-relative chunk column per row side (slice-major, A|B)
+    lo2,  # (B2,) int32 lane-in-chunk per row side
+    scale,  # (B2,) f32 jacobi scale per row side
+    wstart,  # (n_slices,) int32 spatial window start column (128-aligned); -1 = dead
+    h,
+    inv_h,
+    *,
+    sb: int,
+    gcols: int,
+    wcols: int,
+    n_iters: int,
+    interpret: bool = False,
+):
+    """Windowed Gauss-Seidel sweeps: grid (n_iters, n_slices), velocities VMEM-resident
+    across all slices/iterations, per-slice routing limited to gcols+wcols columns."""
+    nch = vt.shape[1]
+    B = ps_t.shape[1]
+    n_slices = B // sb
+    m2 = 2 * sb
+
+    hi = whi2.astype(jnp.int32).reshape(n_slices, 1, m2)
+    lo = lo2.astype(jnp.int32).reshape(n_slices, 1, m2)
+    hi_sub = hi.reshape(n_slices, m2, 1)
+    scale_r = scale.astype(jnp.float32).reshape(n_slices, 1, m2)
+    hscal = jnp.asarray([h, inv_h], jnp.float32).reshape(1, 2)
+
+    kernel = functools.partial(
+        _contact_sweep_win_kernel,
+        n_slices=n_slices,
+        n_iters=n_iters,
+        sb=sb,
+        gcols=gcols,
+        wcols=wcols,
+    )
+
+    grid = (n_iters, n_slices)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, m2), lambda it, s: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m2), lambda it, s: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m2, 1), lambda it, s: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m2), lambda it, s: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (PS_ROWS, sb), lambda it, s: (0, s), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (IT_ROWS, sb), lambda it, s: (0, s), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((NVC * L, nch), lambda it, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((IMP_ROWS, B), lambda it, s: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((NVC * L, nch), lambda it, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((IMP_ROWS, B), lambda it, s: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NVC * L, nch), jnp.float32),
+            jax.ShapeDtypeStruct((IMP_ROWS, B), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NVC * L, nch), jnp.float32),
+            pltpu.VMEM((IMP_ROWS, B), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        hscal,
+        wstart.astype(jnp.int32),
+        hi,
+        lo,
+        hi_sub,
+        scale_r,
+        ps_t,
+        it_t,
+        vt,
+        imp_t,
+    )
+
+
+def pack_inertia_rows(g2a, g2b):
+    """Jacobi-prescaled inertia halves (B, 7) [im + world inv inertia 6] ->
+    (IT_ROWS, B) streamed inertia block."""
+    z = jnp.zeros_like(g2a[:, 0])
+    return jnp.stack(
+        [g2a[:, 0], g2a[:, 1], g2a[:, 2], g2a[:, 3], g2a[:, 4], g2a[:, 5], g2a[:, 6],
+         z,
+         g2b[:, 0], g2b[:, 1], g2b[:, 2], g2b[:, 3], g2b[:, 4], g2b[:, 5], g2b[:, 6],
+         z]
+    )

@@ -152,7 +152,7 @@ def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str
         # is the designed follow-up.)
         return SimState(
             new_bodies, cache, state.ccache, joint_imps, jcolors,
-            state.sleep_cache, state.sleep_ccache, None,
+            state.sleep_cache, state.sleep_ccache, state.store,
         ), diag
 
     rep = P()

@@ -368,7 +368,7 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
         )
         store_bank = dict(
             ps=ps_exec, imp=imp_exec, page=page, jacobi=jac_row,
-            jac_counts=jac_counts,
+            jac_counts=jac_counts, color=_pg(store.color),
         )
         base_used = store.used
         contact_banks = []

@@ -295,15 +295,26 @@ def solve_all(
     n_cbanks = len(contact_banks)
     bucketed = axis_name is None
     C = cfg.num_colors
-    use_pallas = (
+    _pallas_capable = (
         bucketed
         and cfg.backend != "xla"
-        and (cfg.backend == "pallas" or jax.default_backend() == "tpu")
-        # One-hot MXU routing costs rows x bodies MACs: a clear win up to ~8k bodies,
-        # a loss beyond (the windowed-state variant lifts this — see ops/sweep.py).
-        and (n_bodies <= 8192 or cfg.backend == "pallas")
-        and (store_bank is None or store_bank["page"] % 128 == 0)
+        and (
+            cfg.backend in ("pallas", "pallas_win")
+            or jax.default_backend() == "tpu"
+        )
     )
+    # Above ~8k bodies the full-width one-hot routing (rows x bodies MACs) loses; the
+    # store bank switches to the WINDOWED kernel there (ops/sweep.py contact_sweep_win):
+    # constant per-slice routing cost at any body count. "pallas_win" forces it at any
+    # size (tests).
+    use_win = (
+        _pallas_capable
+        and store_bank is not None
+        and (n_bodies > 8192 or cfg.backend == "pallas_win")
+    )
+    use_pallas = _pallas_capable and (
+        n_bodies <= 8192 or cfg.backend == "pallas" or use_win
+    ) and (store_bank is None or use_win or store_bank["page"] % 128 == 0)
     pallas_interpret = jax.default_backend() != "tpu"
     if use_pallas:
         from ..ops import sweep as psweep
@@ -603,6 +614,10 @@ def solve_all(
         valence = jnp.ones(n_bodies, jnp.float32)
 
     # ---- Persistent-store bucket: arrives packed (exec order), pre-colored ----------
+    # Above the full-width kernel's economic range, re-lay the bank out in windowed
+    # (color, Morton-block) order and solve it with the windowed Pallas sweep
+    # (ops/sweep.py contact_sweep_win + solver/windowing.py) — the reference solve loop
+    # has no size cliff (Solver_Solve.cs:297-654) and neither does this path.
     if store_bank is not None and bucketed:
         sps = store_bank["ps"]
         jrow = store_bank["jacobi"]
@@ -614,19 +629,66 @@ def solve_all(
         simp = jax.tree_util.tree_map(
             lambda x: jnp.where(_bcast(sps.valid, x), x, 0.0), store_bank["imp"]
         )
-        sbk = dict(
-            pages=True, page=store_bank["page"], ps=sps, imp=simp,
-            idx2=jnp.concatenate([a_s, b_s]),
-            sa=sa_s, sb=sb_s, s2=jnp.concatenate([sa_s, sb_s]),
-        )
+        if use_win:
+            from . import windowing
+
+            sb_w = 256  # windowed slice rows
+            Bs = a_s.shape[0]
+            wide_cap = max(sb_w, _round_up(Bs // 8, sb_w))
+            lay = windowing.body_layout(state.pos, state.kind)
+            rw = windowing.row_windows(
+                lay, a_s, b_s, sps.valid, store_bank["color"], C, sb_w, wide_cap
+            )
+            dest = rw["dest"]
+            bp = rw["bp"]
+            # Padded-layout bank: scatter rows to their (color, block) slot; padding
+            # rows are invalid (zero mask/impulse) and contribute exactly zero.
+            ps_w = jax.tree_util.tree_map(
+                lambda x: windowing.scatter_rows(dest, bp, x), sps
+            )
+            imp_w = jax.tree_util.tree_map(
+                lambda x: windowing.scatter_rows(dest, bp, x), simp
+            )
+            aw = windowing.scatter_rows(dest, bp, a_s)
+            bw = windowing.scatter_rows(dest, bp, b_s)
+            saw = windowing.scatter_rows(dest, bp, sa_s, fill=1)
+            sbw = windowing.scatter_rows(dest, bp, sb_s, fill=1)
+            # Window-relative body index per side (narrow region only; the wide tail
+            # routes full-width with absolute layout positions).
+            rel_a = windowing.scatter_rows(dest, bp, rw["rel_a"])
+            rel_b = windowing.scatter_rows(dest, bp, rw["rel_b"])
+            abs_a = windowing.scatter_rows(dest, bp, lay["slot_pos"][a_s])
+            abs_b = windowing.scatter_rows(dest, bp, lay["slot_pos"][b_s])
+            sbk = dict(
+                win=dict(
+                    lay=lay, sb=sb_w, b_r=rw["b_r"], wide_cap=wide_cap,
+                    n_slices=rw["n_slices"], wstart=rw["wstart"],
+                    rel_a=rel_a, rel_b=rel_b, abs_a=abs_a, abs_b=abs_b,
+                    dest=dest, orig_valid=sps.valid,
+                ),
+                page=sb_w, ps=ps_w, imp=imp_w, imp_orig=simp,
+                idx2=jnp.concatenate([aw, bw]),
+                sa=saw, sb=sbw, s2=jnp.concatenate([saw, sbw]),
+            )
+            solver_overflow_extra = rw["wide_overflow"]
+        else:
+            sbk = dict(
+                pages=True, page=store_bank["page"], ps=sps, imp=simp,
+                idx2=jnp.concatenate([a_s, b_s]),
+                sa=sa_s, sb=sb_s, s2=jnp.concatenate([sa_s, sb_s]),
+            )
+            solver_overflow_extra = jnp.bool_(False)
         buckets.insert(0, sbk)
+    else:
+        solver_overflow_extra = jnp.bool_(False)
+    overflow = overflow | solver_overflow_extra
 
     if bucketed:
         # Per-side Jacobi inertia/impulse scaling, baked per bucket row (1 outside the
         # Jacobi slice). reference SequentialFallbackBatch.cs:37 mass splitting.
         for bk in buckets:
-            if bk.get("pages"):
-                continue  # store bucket: sa/sb/s2/idx2 prebuilt; page sweep owns layout
+            if bk.get("pages") or bk.get("win"):
+                continue  # store bucket: sa/sb/s2/idx2 prebuilt; page/window owns layout
             ba = bk["ps"].body_a
             bb = bk["ps"].body_b
             cap = bk["cap"]
@@ -687,21 +749,64 @@ def solve_all(
             # kernel streams plain f32 rows (ops/sweep.py layout).
             from ..utils.spring import compute_springiness as _springiness
 
-            p_nch = max(128, _round_up(-(-n_bodies // psweep.L), 128))
+            if use_win:
+                # All pallas banks share the PERMUTED (appendix + Morton) velocity
+                # layout; non-store banks route full-width against it, so their body
+                # indices remap to layout positions.
+                win0 = next(bk["win"] for bk in buckets if bk.get("win"))
+                p_nch = win0["lay"]["nch"]
+            else:
+                p_nch = max(128, _round_up(-(-n_bodies // psweep.L), 128))
             for bk in buckets:
-                sb_i = bk["page"] if bk.get("pages") else bk["sb_slice"]
+                sb_i = (
+                    bk["page"] if (bk.get("pages") or bk.get("win"))
+                    else bk["sb_slice"]
+                )
                 B = bk["idx2"].shape[0] // 2
                 if B == 0 or sb_i == 0:
                     bk["p_nsl"] = 0
                     continue
                 nsl = B // sb_i
                 bk["p_nsl"] = nsl
-                ba_s = bk["ps"].body_a.reshape(nsl, sb_i)
-                bb_s = bk["ps"].body_b.reshape(nsl, sb_i)
-                bk["p_idx2"] = jnp.concatenate([ba_s, bb_s], axis=1).reshape(-1)
-                sa_s = bk["sa"].reshape(nsl, sb_i)
-                sb_s = bk["sb"].reshape(nsl, sb_i)
-                bk["p_scale"] = jnp.concatenate([sa_s, sb_s], axis=1).reshape(-1)
+                if bk.get("win"):
+                    w = bk["win"]
+                    b_r = w["b_r"]
+                    nsn = w["n_slices"]
+
+                    def _slice_major(xa, xb, lo, hi, ns_):
+                        return jnp.concatenate(
+                            [xa[lo:hi].reshape(ns_, sb_i), xb[lo:hi].reshape(ns_, sb_i)],
+                            axis=1,
+                        ).reshape(-1)
+
+                    # Narrow region: window-relative chunk/lane per side.
+                    bk["p_whi2"] = _slice_major(
+                        w["rel_a"] // psweep.L, w["rel_b"] // psweep.L, 0, b_r, nsn
+                    )
+                    bk["p_wlo2"] = _slice_major(
+                        w["rel_a"] % psweep.L, w["rel_b"] % psweep.L, 0, b_r, nsn
+                    )
+                    bk["p_wscale"] = _slice_major(bk["sa"], bk["sb"], 0, b_r, nsn)
+                    # Wide tail: absolute layout positions, full-width routing.
+                    nsw = w["wide_cap"] // sb_i
+                    bk["p_widx2"] = _slice_major(
+                        w["abs_a"], w["abs_b"], b_r, b_r + w["wide_cap"], nsw
+                    )
+                    bk["p_wwscale"] = _slice_major(
+                        bk["sa"], bk["sb"], b_r, b_r + w["wide_cap"], nsw
+                    )
+                else:
+                    ba_s = bk["ps"].body_a.reshape(nsl, sb_i)
+                    bb_s = bk["ps"].body_b.reshape(nsl, sb_i)
+                    if use_win:
+                        # Remap slot ids to permuted layout positions.
+                        sp = win0["lay"]["slot_pos"]
+                        ba_s = sp[ba_s]
+                        bb_s = sp[bb_s]
+                    bk["p_idx2"] = jnp.concatenate([ba_s, bb_s], axis=1).reshape(-1)
+                    sa_s = bk["sa"].reshape(nsl, sb_i)
+                    sb_s = bk["sb"].reshape(nsl, sb_i)
+                    bk["p_scale"] = jnp.concatenate([sa_s, sb_s], axis=1).reshape(-1)
                 bk["p_spring"] = _springiness(bk["ps"].spring, h)
 
         if ju is not None:
@@ -1134,17 +1239,20 @@ def solve_all(
         # velocity-independent, so ONE fused elementwise pass over each full bucket bank
         # computes them (warm_start with zero velocities returns the deltas directly).
         dv = jnp.zeros_like(v6)
+        g2_cache = {}
         for ci in range(len(buckets)):
             bk = buckets[ci]
             B = bk["idx2"].shape[0] // 2
             rows = table14[bk["idx2"]]
             g2 = rows[:, 7:14] * bk["s2"][:, None]
+            if bk.get("win"):
+                g2_cache[ci] = g2  # jacobi-prescaled: streamed into the windowed kernel
             ia = GatheredInertia(g2[:B, 0], Sym3(*(g2[:B, k] for k in range(1, 7))))
             ib = GatheredInertia(g2[B:, 0], Sym3(*(g2[B:, k] for k in range(1, 7))))
             zb = _zero_vel(B)
             dva, dvb = contact_mod.warm_start(presteps_b[ci], imps_b[ci], ia, ib, zb, zb)
             p2 = jnp.concatenate([_pack_dv(dva), _pack_dv(dvb)]) / bk["s2"][:, None]
-            if bk.get("pages"):
+            if bk.get("pages") or bk.get("win"):
                 # Store bank (exec page layout, no padding aliases): one scatter-add.
                 # Invalid rows contribute exactly zero (impulses pre-zeroed + kernel
                 # gating), so duplicate body targets only occur across pages where the
@@ -1188,34 +1296,76 @@ def solve_all(
             # inside ONE kernel with VMEM-resident velocities (ops/sweep.py). Joint
             # sweeps (rare in contact-heavy scenes) stay on the XLA path, interleaved
             # per iteration to preserve the Gauss-Seidel order.
-            tt = psweep.pack_state_t(table14, p_nch)
+            if use_win:
+                from . import windowing as _winm
+
+                _lay = next(bk["win"] for bk in buckets if bk.get("win"))["lay"]
+                tt = psweep.pack_state_t(
+                    _winm.permute_rows(table14, _lay["pos_slot"]), p_nch
+                )
+            else:
+                tt = psweep.pack_state_t(table14, p_nch)
             ps_ts = {}
+            it_ts = {}
             for ci in range(len(buckets)):
-                if buckets[ci]["p_nsl"]:
+                bk = buckets[ci]
+                if bk["p_nsl"]:
                     ps_ts[ci] = psweep.pack_contact_prestep(
-                        presteps_b[ci], buckets[ci]["p_spring"]
+                        presteps_b[ci], bk["p_spring"]
                     )
+                    if bk.get("win"):
+                        g2 = g2_cache[ci]
+                        BP = g2.shape[0] // 2
+                        it_ts[ci] = psweep.pack_inertia_rows(g2[:BP], g2[BP:])
 
             def run_banks(v6, imps_b, n_it):
-                vt = psweep.pack_state_v(v6, p_nch)
+                if use_win:
+                    v6p = _winm.permute_rows(v6, _lay["pos_slot"])
+                    vt = psweep.pack_state_v(v6p, p_nch)
+                else:
+                    vt = psweep.pack_state_v(v6, p_nch)
                 new_imps = list(imps_b)
                 for ci in range(len(buckets)):
                     bk = buckets[ci]
                     if not bk["p_nsl"]:
                         continue
                     imp_t = psweep.pack_contact_impulses(imps_b[ci])
-                    vt, imp_t = psweep.contact_sweep(
-                        vt, tt, ps_ts[ci], imp_t, bk["p_idx2"], bk["p_scale"],
-                        h, inv_h,
-                        sb=bk["page"] if bk.get("pages") else bk["sb_slice"],
-                        n_iters=n_it,
-                        interpret=pallas_interpret,
-                    )
+                    if bk.get("win"):
+                        w = bk["win"]
+                        b_r = w["b_r"]
+                        vt, imp_n = psweep.contact_sweep_win(
+                            vt, it_ts[ci][:, :b_r], ps_ts[ci][:, :b_r],
+                            imp_t[:, :b_r],
+                            bk["p_whi2"], bk["p_wlo2"], bk["p_wscale"], w["wstart"],
+                            h, inv_h,
+                            sb=w["sb"], gcols=_winm.GCOLS, wcols=_winm.WCOLS,
+                            n_iters=n_it, interpret=pallas_interpret,
+                        )
+                        # Wide tail (Morton-seam rows): full-width routing over the
+                        # same permuted state — tiny row count, any span.
+                        vt, imp_w = psweep.contact_sweep(
+                            vt, tt, ps_ts[ci][:, b_r:], imp_t[:, b_r:],
+                            bk["p_widx2"], bk["p_wwscale"], h, inv_h,
+                            sb=w["sb"], n_iters=n_it, interpret=pallas_interpret,
+                        )
+                        imp_t = jnp.concatenate([imp_n, imp_w], axis=1)
+                    else:
+                        vt, imp_t = psweep.contact_sweep(
+                            vt, tt, ps_ts[ci], imp_t, bk["p_idx2"], bk["p_scale"],
+                            h, inv_h,
+                            sb=bk["page"] if bk.get("pages") else bk["sb_slice"],
+                            n_iters=n_it,
+                            interpret=pallas_interpret,
+                        )
                     new_imps[ci] = psweep.unpack_contact_impulses(imp_t, imps_b[ci])
+                if use_win:
+                    NP = p_nch * psweep.L
+                    v6p_out = psweep.unpack_state_v(vt, NP)
+                    return v6p_out[_lay["slot_pos"]], tuple(new_imps)
                 return psweep.unpack_state_v(vt, n_bodies), tuple(new_imps)
 
             only_contacts = (ju is None) and not mb_names
-            if only_contacts and len(buckets) == 1:
+            if only_contacts and len(buckets) == 1 and not use_win:
                 v6, imps_b = run_banks(v6, imps_b, n_iters)
             else:
                 for _ in range(n_iters):
@@ -1352,6 +1502,7 @@ def solve_all(
     # body state VMEM-resident throughout (ops/sweep.py solve_substeps_contacts).
     mega = (
         use_pallas
+        and not use_win  # windowed layout has its own sweep; mega is full-width-only
         and not bank_names
         and cfg.iteration_schedule is None
         and integrator_cfg.velocity_callback is None
@@ -1461,13 +1612,30 @@ def _solve_finalize_bucketed(
     previous sort-based inverse cost two 16k-element sorts per step (~0.9 ms at 4k)."""
     if True:
         imps_out = []
-        n_store = sum(1 for bk in buckets if bk.get("pages"))
+        n_store = sum(1 for bk in buckets if bk.get("pages") or bk.get("win"))
         for ci in range(len(buckets)):
             bk = buckets[ci]
             if bk.get("pages"):
                 # Store bank: stays in page-exec order; the caller maps it back to slot
                 # order with one page-granular inverse-permutation gather.
                 imps_out.append(imps_final[ci])
+                continue
+            if bk.get("win"):
+                # Windowed store bank: back to page-exec order via the dest gather.
+                # Wide-overflow rows (dest == sink) keep their incoming (warm-start)
+                # impulses — retained, not zeroed, matching the honest-caps pattern.
+                w = bk["win"]
+                bp = w["b_r"] + w["wide_cap"]
+                placed = w["dest"] < bp
+                dest_c = jnp.minimum(w["dest"], bp - 1)
+                imps_out.append(
+                    jax.tree_util.tree_map(
+                        lambda orig_leaf, w_leaf: jnp.where(
+                            _bcast(placed, orig_leaf), w_leaf[dest_c], orig_leaf
+                        ),
+                        bk["imp_orig"], imps_final[ci],
+                    )
+                )
                 continue
             B = bk["order"].shape[0]
             pos = bk["pos"]

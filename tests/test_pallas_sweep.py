@@ -60,3 +60,87 @@ def test_pallas_matches_xla_pile():
     assert np.isfinite(pp).all() and np.isfinite(vp).all()
     # Dynamic bodies (slot 0 is the static ground) stay above the ground plane.
     assert (pp[1][1:25] > -0.2).all()
+
+
+def test_windowed_matches_xla_pile():
+    """Windowed-state kernel (ops/sweep.py contact_sweep_win + solver/windowing.py,
+    forced small via backend='pallas_win'): the solve math is identical to the XLA
+    path; only the Gauss-Seidel slice ORDER differs (rows regroup by (color, Morton
+    block)), so short trajectories must agree tightly and remain physical."""
+    sim_x = _pile_sim("xla")
+    sim_w = _pile_sim("pallas_win")
+    dt = 1 / 60.0
+    sim_x.run(3, dt)
+    sim_w.run(3, dt)
+    px, vx = _states(sim_x)
+    pw, vw = _states(sim_w)
+    # Reorder noise grows chaotically from ~1e-7/step; 3 steps of stacked contact
+    # stay within a millimeter (same bound scale as the full-width kernel's 20-step
+    # tolerance above).
+    assert np.max(np.abs(px - pw)) < 2e-3, np.max(np.abs(px - pw))
+    assert not bool(sim_w.last_diag.overflow)
+    sim_x.run(17, dt)
+    sim_w.run(17, dt)
+    px, vx = _states(sim_x)
+    pw, vw = _states(sim_w)
+    # 20 steps: the reordered Gauss-Seidel iterate genuinely differs, so the envelope
+    # is looser than the full-width kernel's (which keeps the XLA slice order).
+    assert np.max(np.abs(px - pw)) < 2e-2, np.max(np.abs(px - pw))
+    assert np.median(np.abs(px - pw)) < 1e-3
+    assert np.isfinite(pw).all() and np.isfinite(vw).all()
+    assert (pw[1][1:25] > -0.2).all()
+
+
+def test_windowing_row_groups():
+    """Unit checks on the windowed layout builder: every narrow row's endpoints fall
+    inside its slice window; appendix holds non-dynamic bodies; padding slices dead."""
+    import jax
+    import jax.numpy as jnp
+
+    from bepuphysics2_tpu.bodies import KIND_DYNAMIC, KIND_STATIC
+    from bepuphysics2_tpu.solver import windowing as wd
+    from bepuphysics2_tpu.utils.vec import Vec3
+
+    rng = np.random.default_rng(5)
+    nb = 512
+    pos = Vec3(*(jnp.asarray(rng.uniform(-50, 50, nb).astype(np.float32))
+                 for _ in range(3)))
+    kind = jnp.asarray(
+        np.where(rng.uniform(size=nb) < 0.05, KIND_STATIC, KIND_DYNAMIC)
+    ).astype(jnp.int32)
+    # NOTE: not jitted standalone — body_layout returns trace-time ints (nch, nblk)
+    # that downstream code uses as shapes; in production it traces inside the step.
+    lay = wd.body_layout(pos, kind)
+    slot_pos = np.asarray(lay["slot_pos"])
+    app_pos = np.asarray(lay["app_pos"])
+    # Appendix replicates exactly the non-dynamic slots (few enough to fit).
+    nd = np.asarray(kind) != KIND_DYNAMIC
+    assert set(np.nonzero(app_pos >= 0)[0]) == set(np.nonzero(nd)[0])
+    # slot_pos is a permutation of the spatial range.
+    assert sorted(slot_pos.tolist()) == list(range(1024, 1024 + nb))
+
+    B = 256
+    a = jnp.asarray(rng.integers(0, nb, B).astype(np.int32))
+    b = jnp.asarray(rng.integers(0, nb, B).astype(np.int32))
+    valid = jnp.asarray(rng.uniform(size=B) < 0.9)
+    color = jnp.asarray(rng.integers(0, 5, B).astype(np.int32))  # C=4 + jacobi
+    rw = wd.row_windows(lay, a, b, valid, color, num_colors=4, sb=64, wide_cap=128)
+    dest = np.asarray(rw["dest"])
+    wstart = np.asarray(rw["wstart"])
+    b_r = rw["b_r"]
+    for r in range(B):
+        if not bool(valid[r]):
+            assert dest[r] == rw["bp"], "invalid rows must sink"
+            continue
+        d = dest[r]
+        assert 0 <= d < rw["bp"]
+        if d < b_r:  # narrow: window must cover both endpoints
+            ws = wstart[d // 64] * 8  # cols -> body positions
+            assert ws >= 0, "live slice marked dead"
+            for slot in (int(a[r]), int(b[r])):
+                if app_pos[slot] >= 0:
+                    continue  # appendix: always visible
+                p = slot_pos[slot]
+                assert ws <= p < ws + wd.WCOLS * 8, (r, p, ws)
+    # Slices wholly past the used region are dead.
+    assert wstart[-1] == -1

@@ -22,10 +22,14 @@ N_RAGDOLLS = int(os.environ.get("BENCH_RAGDOLLS", 16))
 def main():
     import jax
 
-    from __graft_entry__ import _build_pile_sim, _build_ragdoll_tube_sim
+    from __graft_entry__ import (
+        _build_colosseum_sim, _build_pile_sim, _build_ragdoll_tube_sim,
+    )
 
     import dataclasses
 
+    if SCENARIO == "colosseum":
+        return colosseum()
     if SCENARIO == "ragdoll_tube":
         sim, config = _build_ragdoll_tube_sim(N_RAGDOLLS, substeps=4, num_colors=8)
         metric = f"steps_per_sec_{N_RAGDOLLS}_ragdoll_tube"
@@ -100,6 +104,76 @@ def main():
                 # would invalidate the number.
                 "overflow": bool(sim.last_diag.overflow),
                 "pairs": int(sim.last_diag.pair_count),
+            }
+        )
+    )
+
+
+def colosseum():
+    """Colosseum sleeping-churn stress (ColosseumDemo.cs / PyramidDemo.cs scale):
+    settle a grid of box-ring colosseums until islands sleep, topple one, report
+    steps/s plus the awake-fraction curve and wake latency."""
+    import numpy as _np
+
+    from __graft_entry__ import _build_colosseum_sim
+
+    sim, config, handles, col_of = _build_colosseum_sim(N_BODIES)
+    dt = 1.0 / 60.0
+    n = len(handles)
+
+    def awake_frac():
+        sim._sync_from_device()
+        h = sim._host
+        dyn = h.kind == 1
+        return float(_np.sum(h.awake & dyn) / max(1, _np.sum(dyn)))
+
+    # Settle until the sleepers win (bounded); sample the awake fraction curve.
+    curve = []
+    for _ in range(10):
+        sim.run(30, dt)
+        curve.append(round(awake_frac(), 4))
+        if curve[-1] < 0.05:
+            break
+    settled_frac = curve[-1]
+
+    # Timed settled window (the sleeping steady state IS the benchmark: fixed-shape
+    # pipeline cost at 10^5 capacity with most islands asleep).
+    t0 = time.perf_counter()
+    sim.run(32, dt)
+    float(sim.last_diag.contact_count)
+    settled_sps = 32 / (time.perf_counter() - t0)
+
+    # Topple colosseum 0: radial shove on its bodies -> wake cascade.
+    sim._sync_from_device()
+    h = sim._host
+    for hi in _np.asarray(handles)[col_of == 0]:
+        i = int(hi)
+        h.vx[i] += 4.0
+        h.awake[i] = True
+        h.sleep_timer[i] = 0.0
+    sim._dirty = True
+
+    wake_curve = []
+    t0 = time.perf_counter()
+    sim.run(32, dt)
+    float(sim.last_diag.contact_count)
+    churn_sps = 32 / (time.perf_counter() - t0)
+    wake_curve.append(round(awake_frac(), 4))
+
+    print(
+        json.dumps(
+            {
+                "metric": f"steps_per_sec_colosseum_{n}",
+                "value": round(settled_sps, 2),
+                "unit": "steps/sec",
+                "vs_baseline": round(settled_sps / 10000.0, 4),
+                "overflow": bool(sim.last_diag.overflow),
+                "pairs": int(sim.last_diag.pair_count),
+                "bodies": n,
+                "awake_frac_curve": curve,
+                "awake_frac_settled": settled_frac,
+                "awake_frac_post_topple": wake_curve[-1],
+                "steps_per_sec_churn": round(churn_sps, 2),
             }
         )
     )

@@ -32,6 +32,13 @@ import jax.numpy as jnp
 from ..utils.spring import SpringSettings, compute_springiness
 from ..utils.vec import Sym2, Sym3, Vec2, Vec3, build_orthonormal_basis
 
+# Fault-injection hook for the parity harness (parity/run_parity.py): negates the
+# tangent-friction constraint-space velocity, the classic jacobian sign bug. The
+# harness flips this, clears the jit caches, reruns the sliding-sphere scene, and
+# asserts the friction envelopes FAIL — proving the oracle can catch a sign error.
+# Never set outside tests/parity.
+DEBUG_NEGATE_TANGENT_CSV = False
+
 
 class ContactPrestep(NamedTuple):
     """Per-record prestep data (reference Contact{N}PrestepData)."""
@@ -246,6 +253,8 @@ def solve(
     # constraint-space *violating* velocity (reference TangentFriction.ComputeCorrectiveImpulse)
     csv1 = vb.linear.dot(t1) - va.linear.dot(t1) - va.angular.dot(ang_a1) - vb.angular.dot(ang_b1)
     csv2 = vb.linear.dot(t2) - va.linear.dot(t2) - va.angular.dot(ang_a2) - vb.angular.dot(ang_b2)
+    if DEBUG_NEGATE_TANGENT_CSV:  # parity fault injection — see module header
+        csv1, csv2 = -csv1, -csv2
     csi = eff.transform(Vec2(csv1, csv2))
 
     contact_count = jnp.maximum(jnp.sum(prestep.contact_mask.astype(jnp.float32), -1), 1.0)
@@ -489,6 +498,8 @@ def apply_iteration(kern: ContactKernel, imp: ContactImpulses, va: BodyVel, vb: 
         vb.linear.dot(kern.t2) - va.linear.dot(kern.t2)
         - va.angular.dot(kern.ang_a2) - vb.angular.dot(kern.ang_b2)
     )
+    if DEBUG_NEGATE_TANGENT_CSV:  # parity fault injection — see module header
+        csv1, csv2 = -csv1, -csv2
     csi = kern.eff_t.transform(Vec2(csv1, csv2))
     pen_masked = pen * kern.live
     max_tangent = kern.premul_friction * jnp.sum(pen_masked, -1)

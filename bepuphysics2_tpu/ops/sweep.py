@@ -521,79 +521,9 @@ def _substeps_kernel(
     # ---- substep boundary: pose integration (s>0), gravity, world-inertia refresh.
     @pl.when((p == 1) & (sl == 0))
     def _():
-        aux = aux_ref[:]
-        im_row = aux[0:L, :]
-        from ..integrator import (
-            ANGULAR_CONSERVE_MOMENTUM,
-            ANGULAR_CONSERVE_WITH_GYROSCOPIC,
-            integrate_angular_conserve_momentum,
-            integrate_angular_gyroscopic,
+        _pose_vel_inertia_block(
+            SG, SP, aux_ref, h, lin_scale, ang_scale, gravity, angular_mode, s
         )
-
-        loc = Sym3(*(aux[(1 + j) * L : (2 + j) * L, :] for j in range(6)))
-        mcode = aux[7 * L : 8 * L, :]
-        gmask = jnp.mod(mcode, 2.0) > 0.5
-        imask = mcode >= 2.0
-
-        @pl.when(s > 0)
-        def _():
-            pos = Vec3(t_of(SP, 0), t_of(SP, 1), t_of(SP, 2))
-            orn = Quat(t_of(SP, 3), t_of(SP, 4), t_of(SP, 5), t_of(SP, 6))
-            vel = Vec3(t_of(SG, 0), t_of(SG, 1), t_of(SG, 2))
-            omg = Vec3(t_of(SG, 3), t_of(SG, 4), t_of(SG, 5))
-            new_pos = (pos + vel * h).where(imask, pos)
-            new_orn_i = integrate_orientation(orn, omg, h)
-            new_orn = new_orn_i.where(imask, orn)
-            SP[0 * L : 1 * L, :] = new_pos.x
-            SP[1 * L : 2 * L, :] = new_pos.y
-            SP[2 * L : 3 * L, :] = new_pos.z
-            SP[3 * L : 4 * L, :] = new_orn.x
-            SP[4 * L : 5 * L, :] = new_orn.y
-            SP[5 * L : 6 * L, :] = new_orn.z
-            SP[6 * L : 7 * L, :] = new_orn.w
-            if angular_mode == ANGULAR_CONSERVE_MOMENTUM:
-                world_new = loc.rotation_sandwich(new_orn.to_matrix())
-                omg_c = integrate_angular_conserve_momentum(orn, loc, world_new, omg)
-                omg_n = omg_c.where(imask & gmask, omg)
-                SG[3 * L : 4 * L, :] = omg_n.x
-                SG[4 * L : 5 * L, :] = omg_n.y
-                SG[5 * L : 6 * L, :] = omg_n.z
-            elif angular_mode == ANGULAR_CONSERVE_WITH_GYROSCOPIC:
-                omg_c = integrate_angular_gyroscopic(new_orn, loc, omg, h)
-                omg_n = omg_c.where(imask & gmask, omg)
-                SG[3 * L : 4 * L, :] = omg_n.x
-                SG[4 * L : 5 * L, :] = omg_n.y
-                SG[5 * L : 6 * L, :] = omg_n.z
-
-        # Gravity + damping (velocity integration; reads re-issued after the pose
-        # block's omega writes).
-        vel = Vec3(t_of(SG, 0), t_of(SG, 1), t_of(SG, 2))
-        omg = Vec3(t_of(SG, 3), t_of(SG, 4), t_of(SG, 5))
-        gx, gy, gz = gravity
-        new_vel = Vec3(
-            (vel.x + gx * h) * lin_scale,
-            (vel.y + gy * h) * lin_scale,
-            (vel.z + gz * h) * lin_scale,
-        ).where(gmask, vel)
-        new_omg = (omg * ang_scale).where(gmask, omg)
-        SG[0 * L : 1 * L, :] = new_vel.x
-        SG[1 * L : 2 * L, :] = new_vel.y
-        SG[2 * L : 3 * L, :] = new_vel.z
-        SG[3 * L : 4 * L, :] = new_omg.x
-        SG[4 * L : 5 * L, :] = new_omg.y
-        SG[5 * L : 6 * L, :] = new_omg.z
-
-        # World inverse inertia from the (possibly updated) orientation.
-        orn = Quat(t_of(SP, 3), t_of(SP, 4), t_of(SP, 5), t_of(SP, 6))
-        w = loc.rotation_sandwich(orn.to_matrix())
-        base = 8 * L
-        SG[base + 0 * L : base + 1 * L, :] = im_row
-        SG[base + 1 * L : base + 2 * L, :] = w.xx
-        SG[base + 2 * L : base + 3 * L, :] = w.yx
-        SG[base + 3 * L : base + 4 * L, :] = w.yy
-        SG[base + 4 * L : base + 5 * L, :] = w.zx
-        SG[base + 5 * L : base + 6 * L, :] = w.zy
-        SG[base + 6 * L : base + 7 * L, :] = w.zz
 
     # ---- per-slice routing masks
     hi_lane = hi_lane_ref[0]
@@ -882,28 +812,53 @@ def unpack_contact_impulses(imp_t, imp_like):
     )
 
 
+
 # --------------------------------------------------------------------------------------
-# Windowed-state color sweep: the >8k-body variant of contact_sweep. The full-width
-# kernel's one-hot routing costs rows × bodies MACs (every slice routes against every
-# chunk column), which dies above ~8k bodies. Here each slice routes only against a
-# WINDOW of the velocity state: a fixed appendix of replicated non-dynamic bodies
-# (cols [0, gcols)) plus a contiguous spatial range [ws, ws+wcols) of the
-# Morton-permuted dynamic layout — constant per-slice cost at any body count. Two
-# further changes vs the full-width kernel:
-#   - only VELOCITIES are routed through the MXU; the per-row inertia context is
-#     constant within a substep, so it streams from HBM per slice (pre-scaled by the
-#     Jacobi mass split) like the prestep block — 3× fewer routing MACs;
-#   - slices whose window start is negative are DEAD (group padding) and skip all work.
-# Replicating non-dynamic state is sound: the solver never writes it (zero inverse
-# mass/inertia ⇒ zero deltas) and reads are constant within the substep. Reference
-# identity: the solve loop has no size cliff (Solver_Solve.cs:297-654).
+# Windowed-state kernels: the >8k-body variants. The full-width one-hot routing costs
+# rows × bodies MACs (every slice routes against every chunk column), which dies above
+# ~8k bodies. Here each slice routes only against a WINDOW of the permuted velocity
+# state: FOUR 128-column segments (solver/windowing.py — appendix + three Morton blocks
+# for narrow slices; appendix + blockA + blockB for wide Morton-seam slices), so the
+# per-slice routing cost is constant at any body count. Replicating non-dynamic state
+# into the appendix is sound: the solver never writes it (zero inverse mass/inertia ⇒
+# zero deltas). Reference identity: the solve loop has no size cliff
+# (Solver_Solve.cs:297-654).
 
 IT_ROWS = 16  # A: im ixx iyx iyy izx izy izz pad | B: same — jacobi-prescaled
+WSEG = 4  # window segments per slice
+WSEG_COLS = 128  # columns per segment (= windowing.GCOLS = windowing.BLK // L)
+NWIN = WSEG * WSEG_COLS  # window columns per slice
+
+
+def _win_view(V, seg_refs, s):
+    """Concatenate the slice's four 128-col window segments of V, a VALUE of shape
+    (rows, NCH). Mosaic needs the static lane-alignment proof (pl.multiple_of)."""
+    parts = []
+    for k in range(WSEG):
+        ws = pl.multiple_of(jnp.maximum(seg_refs[k][s], 0), 128)
+        parts.append(jax.lax.dynamic_slice_in_dim(V, ws, WSEG_COLS, axis=1))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _win_scatter_add(V, seg_refs, s, dV):
+    """Add dV (rows, NWIN) back into the first dV.shape[0] rows of ref V through the
+    slice's segments. Duplicate segments are safe: rows index exactly one segment
+    position, so a duplicated segment's dV region is identically zero."""
+    nr = dV.shape[0]
+    for k in range(WSEG):
+        ws = pl.multiple_of(jnp.maximum(seg_refs[k][s], 0), 128)
+        cur = V[0:nr, pl.ds(ws, WSEG_COLS)]
+        V[0:nr, pl.ds(ws, WSEG_COLS)] = (
+            cur + dV[:, k * WSEG_COLS : (k + 1) * WSEG_COLS]
+        )
 
 
 def _contact_sweep_win_kernel(
     hscal_ref,  # (1, 2) SMEM: h, inv_h
-    wstart_ref,  # (n_slices,) SMEM int32: spatial window start COLUMN; -1 = dead slice
+    seg0_ref,  # (n_slices,) SMEM int32 segment start columns; seg0 == -1 = dead slice
+    seg1_ref,
+    seg2_ref,
+    seg3_ref,
     hi_lane_ref,  # (1, 2SB) int32 block — WINDOW-relative chunk column per row side
     lo_lane_ref,  # (1, 2SB) int32 block
     hi_sub_ref,  # (2SB, 1) int32 block
@@ -920,28 +875,22 @@ def _contact_sweep_win_kernel(
     n_slices,
     n_iters,
     sb,
-    gcols,
-    wcols,
 ):
     it = pl.program_id(0)
     s = pl.program_id(1)
     first = (it == 0) & (s == 0)
     last = (it == n_iters - 1) & (s == n_slices - 1)
+    segs = (seg0_ref, seg1_ref, seg2_ref, seg3_ref)
 
     @pl.when(first)
     def _():
         v_scratch[:] = v_in_ref[:]
         imp_scratch[:] = imp_in_ref[:]
 
-    ws_raw = wstart_ref[s]
-
-    @pl.when(ws_raw >= 0)
+    @pl.when(seg0_ref[s] >= 0)
     def _():
         m2 = 2 * sb
-        nwin = gcols + wcols
         inv_h = hscal_ref[0, 1]
-        # Lane-dimension dynamic slices need a static alignment proof for Mosaic.
-        ws = pl.multiple_of(ws_raw, 128)
 
         hi_lane = hi_lane_ref[0]  # (1, 2SB) window-relative
         lo_lane = lo_lane_ref[0]
@@ -949,21 +898,16 @@ def _contact_sweep_win_kernel(
         scale2 = scale_ref[0, 0]  # (2SB,)
 
         oh_g = (
-            jax.lax.broadcasted_iota(jnp.int32, (nwin, m2), 0) == hi_lane
+            jax.lax.broadcasted_iota(jnp.int32, (NWIN, m2), 0) == hi_lane
         ).astype(jnp.bfloat16)
         oh_s = (
-            jax.lax.broadcasted_iota(jnp.int32, (m2, nwin), 1) == hi_sub
+            jax.lax.broadcasted_iota(jnp.int32, (m2, NWIN), 1) == hi_sub
         ).astype(jnp.bfloat16)
         oh_lo = (
             jax.lax.broadcasted_iota(jnp.int32, (L, m2), 0) == lo_lane
         ).astype(jnp.float32)
 
-        # Window view (lane concat at a 128 tile boundary; ws is 128-aligned and
-        # >= gcols by construction on the XLA side).
-        win = jnp.concatenate(
-            [v_scratch[:, 0:gcols], v_scratch[:, pl.ds(ws, wcols)]], axis=1
-        )  # (NVC*L, nwin)
-
+        win = _win_view(v_scratch[:], segs, s)  # (NVC*L, NWIN)
         W = _mm3(win, oh_g)  # (NVC*L, 2SB)
         W3 = W.reshape(NVC, L, m2)
         G = jnp.sum(W3 * oh_lo[None, :, :], axis=1)  # (NVC, 2SB)
@@ -1005,12 +949,8 @@ def _contact_sweep_win_kernel(
         d_rows = jnp.concatenate([d_a, d_b], axis=1)  # (8, 2SB)
         d_rows = d_rows / scale2[None, :]
         dexp = (d_rows[:, None, :] * oh_lo[None, :, :]).reshape(NVC * L, m2)
-        dV = _mm3(dexp, oh_s)  # (NVC*L, nwin)
-        # Appendix deltas are identically zero (non-dynamic: zero inverse inertia), but
-        # adding keeps the routing exact and costs one tile add.
-        v_scratch[:, 0:gcols] = v_scratch[:, 0:gcols] + dV[:, :gcols]
-        cur = v_scratch[:, pl.ds(ws, wcols)]
-        v_scratch[:, pl.ds(ws, wcols)] = cur + dV[:, gcols:]
+        dV = _mm3(dexp, oh_s)  # (NVC*L, NWIN)
+        _win_scatter_add(v_scratch, segs, s, dV)
 
     @pl.when(last)
     def _():
@@ -1026,18 +966,16 @@ def contact_sweep_win(
     whi2,  # (B2,) int32 WINDOW-relative chunk column per row side (slice-major, A|B)
     lo2,  # (B2,) int32 lane-in-chunk per row side
     scale,  # (B2,) f32 jacobi scale per row side
-    wstart,  # (n_slices,) int32 spatial window start column (128-aligned); -1 = dead
+    wseg,  # (n_slices, WSEG) int32 segment start columns (128-aligned); [:,0]=-1 dead
     h,
     inv_h,
     *,
     sb: int,
-    gcols: int,
-    wcols: int,
     n_iters: int,
     interpret: bool = False,
 ):
     """Windowed Gauss-Seidel sweeps: grid (n_iters, n_slices), velocities VMEM-resident
-    across all slices/iterations, per-slice routing limited to gcols+wcols columns."""
+    across all slices/iterations, per-slice routing limited to NWIN window columns."""
     nch = vt.shape[1]
     B = ps_t.shape[1]
     n_slices = B // sb
@@ -1054,8 +992,6 @@ def contact_sweep_win(
         n_slices=n_slices,
         n_iters=n_iters,
         sb=sb,
-        gcols=gcols,
-        wcols=wcols,
     )
 
     grid = (n_iters, n_slices)
@@ -1063,6 +999,9 @@ def contact_sweep_win(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, m2), lambda it, s: (s, 0, 0), memory_space=pltpu.VMEM),
@@ -1096,7 +1035,10 @@ def contact_sweep_win(
         interpret=interpret,
     )(
         hscal,
-        wstart.astype(jnp.int32),
+        wseg[:, 0].astype(jnp.int32),
+        wseg[:, 1].astype(jnp.int32),
+        wseg[:, 2].astype(jnp.int32),
+        wseg[:, 3].astype(jnp.int32),
         hi,
         lo,
         hi_sub,
@@ -1118,3 +1060,357 @@ def pack_inertia_rows(g2a, g2b):
          g2b[:, 0], g2b[:, 1], g2b[:, 2], g2b[:, 3], g2b[:, 4], g2b[:, 5], g2b[:, 6],
          z]
     )
+
+
+# --------------------------------------------------------------------------------------
+# Windowed whole-solve mega kernel: the entire substepped contact solve (incremental
+# depth update, pose/velocity integration, world-inertia refresh, warm start, velocity
+# iterations) in ONE pallas_call over the PERMUTED body layout, each slice routing
+# through its 4-segment window. This is the full-width _substeps_kernel without the
+# size cliff: per-slice cost is constant in the body count.
+
+
+def _pose_vel_inertia_block(SG, SP, aux_ref, h, lin_scale, ang_scale, gravity,
+                            angular_mode, s):
+    """Substep-boundary body update on the FULL column set: pose integrate (s>0),
+    gravity + damping, world-inverse-inertia refresh into SG rows 8..15. Shared by the
+    full-width and windowed mega kernels (same math as integrator.py)."""
+    def t_of(ref, c):
+        return ref[c * L : (c + 1) * L, :]
+
+    aux = aux_ref[:]
+    im_row = aux[0:L, :]
+    from ..integrator import (
+        ANGULAR_CONSERVE_MOMENTUM,
+        ANGULAR_CONSERVE_WITH_GYROSCOPIC,
+        integrate_angular_conserve_momentum,
+        integrate_angular_gyroscopic,
+    )
+
+    loc = Sym3(*(aux[(1 + j) * L : (2 + j) * L, :] for j in range(6)))
+    mcode = aux[7 * L : 8 * L, :]
+    gmask = jnp.mod(mcode, 2.0) > 0.5
+    imask = mcode >= 2.0
+
+    @pl.when(s > 0)
+    def _():
+        pos = Vec3(t_of(SP, 0), t_of(SP, 1), t_of(SP, 2))
+        orn = Quat(t_of(SP, 3), t_of(SP, 4), t_of(SP, 5), t_of(SP, 6))
+        vel = Vec3(t_of(SG, 0), t_of(SG, 1), t_of(SG, 2))
+        omg = Vec3(t_of(SG, 3), t_of(SG, 4), t_of(SG, 5))
+        new_pos = (pos + vel * h).where(imask, pos)
+        new_orn_i = integrate_orientation(orn, omg, h)
+        new_orn = new_orn_i.where(imask, orn)
+        SP[0 * L : 1 * L, :] = new_pos.x
+        SP[1 * L : 2 * L, :] = new_pos.y
+        SP[2 * L : 3 * L, :] = new_pos.z
+        SP[3 * L : 4 * L, :] = new_orn.x
+        SP[4 * L : 5 * L, :] = new_orn.y
+        SP[5 * L : 6 * L, :] = new_orn.z
+        SP[6 * L : 7 * L, :] = new_orn.w
+        if angular_mode == ANGULAR_CONSERVE_MOMENTUM:
+            world_new = loc.rotation_sandwich(new_orn.to_matrix())
+            omg_c = integrate_angular_conserve_momentum(orn, loc, world_new, omg)
+            omg_n = omg_c.where(imask & gmask, omg)
+            SG[3 * L : 4 * L, :] = omg_n.x
+            SG[4 * L : 5 * L, :] = omg_n.y
+            SG[5 * L : 6 * L, :] = omg_n.z
+        elif angular_mode == ANGULAR_CONSERVE_WITH_GYROSCOPIC:
+            omg_c = integrate_angular_gyroscopic(new_orn, loc, omg, h)
+            omg_n = omg_c.where(imask & gmask, omg)
+            SG[3 * L : 4 * L, :] = omg_n.x
+            SG[4 * L : 5 * L, :] = omg_n.y
+            SG[5 * L : 6 * L, :] = omg_n.z
+
+    # Gravity + damping (velocity integration; reads re-issued after the pose
+    # block's omega writes).
+    vel = Vec3(t_of(SG, 0), t_of(SG, 1), t_of(SG, 2))
+    omg = Vec3(t_of(SG, 3), t_of(SG, 4), t_of(SG, 5))
+    gx, gy, gz = gravity
+    new_vel = Vec3(
+        (vel.x + gx * h) * lin_scale,
+        (vel.y + gy * h) * lin_scale,
+        (vel.z + gz * h) * lin_scale,
+    ).where(gmask, vel)
+    new_omg = (omg * ang_scale).where(gmask, omg)
+    SG[0 * L : 1 * L, :] = new_vel.x
+    SG[1 * L : 2 * L, :] = new_vel.y
+    SG[2 * L : 3 * L, :] = new_vel.z
+    SG[3 * L : 4 * L, :] = new_omg.x
+    SG[4 * L : 5 * L, :] = new_omg.y
+    SG[5 * L : 6 * L, :] = new_omg.z
+
+    # World inverse inertia from the (possibly updated) orientation.
+    orn = Quat(t_of(SP, 3), t_of(SP, 4), t_of(SP, 5), t_of(SP, 6))
+    w = loc.rotation_sandwich(orn.to_matrix())
+    base = 8 * L
+    SG[base + 0 * L : base + 1 * L, :] = im_row
+    SG[base + 1 * L : base + 2 * L, :] = w.xx
+    SG[base + 2 * L : base + 3 * L, :] = w.yx
+    SG[base + 3 * L : base + 4 * L, :] = w.yy
+    SG[base + 4 * L : base + 5 * L, :] = w.zx
+    SG[base + 5 * L : base + 6 * L, :] = w.zy
+    SG[base + 6 * L : base + 7 * L, :] = w.zz
+
+
+def _win_substeps_kernel(
+    hscal_ref,  # (1, 4) SMEM: h, inv_h, lin_scale, ang_scale
+    seg0_ref, seg1_ref, seg2_ref, seg3_ref,  # (n_slices,) SMEM int32 window segments
+    hi_lane_ref, lo_lane_ref, hi_sub_ref, scale_ref,  # per-slice routing blocks
+    ps_ref,  # (PS_ROWS, SB) block
+    sg_in_ref,  # (SG_ROWS, NCH) — permuted layout
+    sp_in_ref,  # (SP_ROWS, NCH)
+    aux_ref,  # (AUX_ROWS, NCH)
+    imp_in_ref,  # (IMP_ROWS, B)
+    v_out_ref,  # (8*L, NCH)
+    p_out_ref,  # (SP_ROWS, NCH)
+    imp_out_ref,  # (IMP_ROWS, B)
+    SG, SP, IMP, DEP,  # scratch
+    *,
+    n_substeps, n_iters, n_slices, sb, angular_mode, gravity,
+):
+    s = pl.program_id(0)
+    p = pl.program_id(1)
+    sl = pl.program_id(2)
+    PH = 2 + n_iters
+    m2 = 2 * sb
+    h = hscal_ref[0, 0]
+    inv_h = hscal_ref[0, 1]
+    lin_scale = hscal_ref[0, 2]
+    ang_scale = hscal_ref[0, 3]
+    segs = (seg0_ref, seg1_ref, seg2_ref, seg3_ref)
+
+    @pl.when((s == 0) & (p == 0) & (sl == 0))
+    def _():
+        SG[:] = sg_in_ref[:]
+        SP[:] = sp_in_ref[:]
+        IMP[:] = imp_in_ref[:]
+
+    # ---- substep boundary: pose integration (s>0), gravity, world-inertia refresh.
+    @pl.when((p == 1) & (sl == 0))
+    def _():
+        _pose_vel_inertia_block(
+            SG, SP, aux_ref, h, lin_scale, ang_scale, gravity, angular_mode, s
+        )
+
+    live = segs[0][sl] >= 0
+
+    # ---- per-slice routing masks (window-relative)
+    hi_lane = hi_lane_ref[0]
+    lo_lane = lo_lane_ref[0]
+    hi_sub = hi_sub_ref[0]
+    scale2 = scale_ref[0, 0]
+    oh_g = (jax.lax.broadcasted_iota(jnp.int32, (NWIN, m2), 0) == hi_lane).astype(
+        jnp.bfloat16
+    )
+    oh_s = (jax.lax.broadcasted_iota(jnp.int32, (m2, NWIN), 1) == hi_sub).astype(
+        jnp.bfloat16
+    )
+    oh_lo = (jax.lax.broadcasted_iota(jnp.int32, (L, m2), 0) == lo_lane).astype(
+        jnp.float32
+    )
+    ps = ps_ref[:]
+
+    def gather(rows):
+        win = _win_view(rows, segs, sl)
+        W = _mm3(win, oh_g)
+        W3 = W.reshape(rows.shape[0] // L, L, m2)
+        return jnp.sum(W3 * oh_lo[None, :, :], axis=1)
+
+    def scatter_deltas(dva_l, dva_a, dvb_l, dvb_a):
+        za = jnp.zeros_like(dva_l.x)
+        zb = jnp.zeros_like(dvb_l.x)
+        d_a = jnp.stack([dva_l.x, dva_l.y, dva_l.z, dva_a.x, dva_a.y, dva_a.z, za, za])
+        d_b = jnp.stack([dvb_l.x, dvb_l.y, dvb_l.z, dvb_a.x, dvb_a.y, dvb_a.z, zb, zb])
+        d_rows = jnp.concatenate([d_a, d_b], axis=1) / scale2[None, :]
+        dexp = (d_rows[:, None, :] * oh_lo[None, :, :]).reshape(NVC * L, m2)
+        dV = _mm3(dexp, oh_s)
+        _win_scatter_add(SG, segs, sl, dV)
+
+    def dep_rows():
+        blk = DEP[:, pl.ds(sl * sb, sb)]
+        return [blk[k] for k in range(4)]
+
+    def sides16():
+        G = gather(SG[:])
+        ga = G[:, :sb]
+        gb = G[:, sb:]
+        sa = scale2[:sb]
+        sb_ = scale2[sb:]
+        va = BodyVel(Vec3(ga[0], ga[1], ga[2]), Vec3(ga[3], ga[4], ga[5]))
+        vb = BodyVel(Vec3(gb[0], gb[1], gb[2]), Vec3(gb[3], gb[4], gb[5]))
+        ia_im = ga[8] * sa
+        ia_ii = Sym3(*(ga[9 + j] * sa for j in range(6)))
+        ib_im = gb[8] * sb_
+        ib_ii = Sym3(*(gb[9 + j] * sb_ for j in range(6)))
+        return va, vb, ia_im, ia_ii, ib_im, ib_ii
+
+    # ---- phase 0: incremental depth update (substeps > 0)
+    @pl.when((p == 0) & (s > 0) & live)
+    def _():
+        Gv = gather(SG[0 : 8 * L, :])
+        va = BodyVel(Vec3(Gv[0, :sb], Gv[1, :sb], Gv[2, :sb]),
+                     Vec3(Gv[3, :sb], Gv[4, :sb], Gv[5, :sb]))
+        vb = BodyVel(Vec3(Gv[0, sb:], Gv[1, sb:], Gv[2, sb:]),
+                     Vec3(Gv[3, sb:], Gv[4, sb:], Gv[5, sb:]))
+        new_dep = _inc_depth_rows(ps, dep_rows(), va, vb, h)
+        DEP[:, pl.ds(sl * sb, sb)] = jnp.stack(new_dep)
+
+    # ---- phase 1 at substep 0: initialize the depth scratch from the prestep rows.
+    @pl.when((p == 1) & (s == 0))
+    def _():
+        DEP[:, pl.ds(sl * sb, sb)] = jnp.stack([ps[PS_DEPTH + k] for k in range(4)])
+
+    # ---- phase 1: warm start
+    @pl.when((p == 1) & live)
+    def _():
+        va, vb, ia_im, ia_ii, ib_im, ib_ii = sides16()
+        imp_blk = IMP[:, pl.ds(sl * sb, sb)]
+        imp_rows = [imp_blk[r] for r in range(IMP_ROWS)]
+        dva, dvb = _warm_start_rows(ps, dep_rows(), imp_rows, ia_im, ia_ii, ib_im, ib_ii)
+        scatter_deltas(dva[0], dva[1], dvb[0], dvb[1])
+
+    # ---- phases 2+: velocity iterations
+    @pl.when((p >= 2) & live)
+    def _():
+        va, vb, ia_im, ia_ii, ib_im, ib_ii = sides16()
+        imp_blk = IMP[:, pl.ds(sl * sb, sb)]
+        imp_rows = [imp_blk[r] for r in range(IMP_ROWS)]
+        new_imp, dva, dvb = _solve_contact_rows(
+            ps, dep_rows(), imp_rows, ia_im, ia_ii, ib_im, ib_ii, va, vb, inv_h
+        )
+        IMP[:, pl.ds(sl * sb, sb)] = jnp.stack(new_imp)
+        scatter_deltas(dva[0], dva[1], dvb[0], dvb[1])
+
+    @pl.when((s == n_substeps - 1) & (p == PH - 1) & (sl == n_slices - 1))
+    def _():
+        v_out_ref[:] = SG[0 : 8 * L, :]
+        p_out_ref[:] = SP[:]
+        imp_out_ref[:] = IMP[:]
+
+
+def solve_substeps_contacts_win(
+    v6p,  # (NP, 6) PERMUTED velocities (solver/windowing.py layout)
+    pos_p, orn_p,  # Vec3, Quat of (NP,) permuted
+    inv_mass_p,  # (NP,)
+    local_inv_inertia_p,  # Sym3 of (NP,)
+    grav_mask_p,  # (NP,) bool
+    integ_mask_p,  # (NP,) bool
+    ps_t,  # (PS_ROWS, B) windowed-exec order
+    imp_t,  # (IMP_ROWS, B)
+    whi2,  # (n_slices*2SB,) window-relative chunk columns (slice-major, A|B)
+    wlo2,  # lanes
+    scale,  # jacobi scales
+    wseg,  # (n_slices, WSEG) segment start columns
+    h, inv_h, lin_scale, ang_scale,
+    *,
+    nch: int,
+    sb: int,
+    n_substeps: int,
+    n_iters: int,
+    angular_mode: int,
+    gravity: tuple,
+    interpret: bool = False,
+):
+    """Windowed variant of solve_substeps_contacts: the ENTIRE substepped contact solve
+    as one Pallas program over the permuted body layout. Returns permuted
+    (v6', pos', orn', imp_t')."""
+    B = ps_t.shape[1]
+    n_slices = B // sb
+    m2 = 2 * sb
+    np_ = v6p.shape[0]
+
+    hi = whi2.astype(jnp.int32).reshape(n_slices, 1, m2)
+    lo = wlo2.astype(jnp.int32).reshape(n_slices, 1, m2)
+    hi_sub = hi.reshape(n_slices, m2, 1)
+    scale_r = scale.astype(jnp.float32).reshape(n_slices, 1, m2)
+    hscal = jnp.stack(
+        [
+            jnp.asarray(h, jnp.float32),
+            jnp.asarray(inv_h, jnp.float32),
+            jnp.asarray(lin_scale, jnp.float32),
+            jnp.asarray(ang_scale, jnp.float32),
+        ]
+    ).reshape(1, 4)
+
+    sg_in = jnp.zeros((SG_ROWS, nch), jnp.float32)
+    sg_in = sg_in.at[0 : 8 * L, :].set(pack_state_v(v6p, nch))
+    pose14 = jnp.stack(
+        [pos_p.x, pos_p.y, pos_p.z, orn_p.x, orn_p.y, orn_p.z, orn_p.w], -1
+    )
+    sp_in = _pack_rows8(pose14, nch)
+    mcode = grav_mask_p.astype(jnp.float32) + 2.0 * integ_mask_p.astype(jnp.float32)
+    aux14 = jnp.stack(
+        [
+            inv_mass_p,
+            local_inv_inertia_p.xx, local_inv_inertia_p.yx, local_inv_inertia_p.yy,
+            local_inv_inertia_p.zx, local_inv_inertia_p.zy, local_inv_inertia_p.zz,
+            mcode,
+        ],
+        -1,
+    )
+    aux_in = _pack_rows8(aux14, nch)
+
+    kernel = functools.partial(
+        _win_substeps_kernel,
+        n_substeps=n_substeps,
+        n_iters=n_iters,
+        n_slices=n_slices,
+        sb=sb,
+        angular_mode=angular_mode,
+        gravity=gravity,
+    )
+    grid = (n_substeps, 2 + n_iters, n_slices)
+    v_out, p_out, imp_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, m2), lambda s, p, q: (q, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m2), lambda s, p, q: (q, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m2, 1), lambda s, p, q: (q, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m2), lambda s, p, q: (q, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PS_ROWS, sb), lambda s, p, q: (0, q), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SG_ROWS, nch), lambda s, p, q: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SP_ROWS, nch), lambda s, p, q: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((AUX_ROWS, nch), lambda s, p, q: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((IMP_ROWS, B), lambda s, p, q: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8 * L, nch), lambda s, p, q: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SP_ROWS, nch), lambda s, p, q: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((IMP_ROWS, B), lambda s, p, q: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8 * L, nch), jnp.float32),
+            jax.ShapeDtypeStruct((SP_ROWS, nch), jnp.float32),
+            jax.ShapeDtypeStruct((IMP_ROWS, B), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((SG_ROWS, nch), jnp.float32),
+            pltpu.VMEM((SP_ROWS, nch), jnp.float32),
+            pltpu.VMEM((IMP_ROWS, B), jnp.float32),
+            pltpu.VMEM((4, B), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        hscal,
+        wseg[:, 0].astype(jnp.int32),
+        wseg[:, 1].astype(jnp.int32),
+        wseg[:, 2].astype(jnp.int32),
+        wseg[:, 3].astype(jnp.int32),
+        hi, lo, hi_sub, scale_r, ps_t, sg_in, sp_in, aux_in, imp_t,
+    )
+
+    v6_new = unpack_state_v(v_out, np_)
+    pose_out = _unpack_rows8(p_out, np_)
+    pos_new = Vec3(pose_out[:, 0], pose_out[:, 1], pose_out[:, 2])
+    orn_new = Quat(pose_out[:, 3], pose_out[:, 4], pose_out[:, 5], pose_out[:, 6])
+    return v6_new, pos_new, orn_new, imp_out

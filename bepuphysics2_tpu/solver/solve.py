@@ -653,17 +653,15 @@ def solve_all(
             bw = windowing.scatter_rows(dest, bp, b_s)
             saw = windowing.scatter_rows(dest, bp, sa_s, fill=1)
             sbw = windowing.scatter_rows(dest, bp, sb_s, fill=1)
-            # Window-relative body index per side (narrow region only; the wide tail
-            # routes full-width with absolute layout positions).
+            # Window-relative body index per side (every slice — narrow AND wide —
+            # routes through its own 4-segment window).
             rel_a = windowing.scatter_rows(dest, bp, rw["rel_a"])
             rel_b = windowing.scatter_rows(dest, bp, rw["rel_b"])
-            abs_a = windowing.scatter_rows(dest, bp, lay["slot_pos"][a_s])
-            abs_b = windowing.scatter_rows(dest, bp, lay["slot_pos"][b_s])
             sbk = dict(
                 win=dict(
-                    lay=lay, sb=sb_w, b_r=rw["b_r"], wide_cap=wide_cap,
-                    n_slices=rw["n_slices"], wstart=rw["wstart"],
-                    rel_a=rel_a, rel_b=rel_b, abs_a=abs_a, abs_b=abs_b,
+                    lay=lay, sb=sb_w, wide_cap=wide_cap, bp=bp,
+                    n_slices=rw["n_slices"], wseg=rw["wseg"],
+                    rel_a=rel_a, rel_b=rel_b,
                     dest=dest, orig_valid=sps.valid,
                 ),
                 page=sb_w, ps=ps_w, imp=imp_w, imp_orig=simp,
@@ -770,31 +768,24 @@ def solve_all(
                 bk["p_nsl"] = nsl
                 if bk.get("win"):
                     w = bk["win"]
-                    b_r = w["b_r"]
-                    nsn = w["n_slices"]
+                    nsl_w = w["n_slices"]
 
-                    def _slice_major(xa, xb, lo, hi, ns_):
+                    def _slice_major(xa, xb):
                         return jnp.concatenate(
-                            [xa[lo:hi].reshape(ns_, sb_i), xb[lo:hi].reshape(ns_, sb_i)],
+                            [xa.reshape(nsl_w, sb_i), xb.reshape(nsl_w, sb_i)],
                             axis=1,
                         ).reshape(-1)
 
-                    # Narrow region: window-relative chunk/lane per side.
+                    # Window-relative chunk/lane per side (all slices are windowed —
+                    # narrow 3-block windows and wide (blkA, blkB) windows share the
+                    # 4-segment kernel path).
                     bk["p_whi2"] = _slice_major(
-                        w["rel_a"] // psweep.L, w["rel_b"] // psweep.L, 0, b_r, nsn
+                        w["rel_a"] // psweep.L, w["rel_b"] // psweep.L
                     )
                     bk["p_wlo2"] = _slice_major(
-                        w["rel_a"] % psweep.L, w["rel_b"] % psweep.L, 0, b_r, nsn
+                        w["rel_a"] % psweep.L, w["rel_b"] % psweep.L
                     )
-                    bk["p_wscale"] = _slice_major(bk["sa"], bk["sb"], 0, b_r, nsn)
-                    # Wide tail: absolute layout positions, full-width routing.
-                    nsw = w["wide_cap"] // sb_i
-                    bk["p_widx2"] = _slice_major(
-                        w["abs_a"], w["abs_b"], b_r, b_r + w["wide_cap"], nsw
-                    )
-                    bk["p_wwscale"] = _slice_major(
-                        bk["sa"], bk["sb"], b_r, b_r + w["wide_cap"], nsw
-                    )
+                    bk["p_wscale"] = _slice_major(bk["sa"], bk["sb"])
                 else:
                     ba_s = bk["ps"].body_a.reshape(nsl, sb_i)
                     bb_s = bk["ps"].body_b.reshape(nsl, sb_i)
@@ -1300,9 +1291,7 @@ def solve_all(
                 from . import windowing as _winm
 
                 _lay = next(bk["win"] for bk in buckets if bk.get("win"))["lay"]
-                tt = psweep.pack_state_t(
-                    _winm.permute_rows(table14, _lay["pos_slot"]), p_nch
-                )
+                tt = None  # every win bucket routes through 4-segment windows
             else:
                 tt = psweep.pack_state_t(table14, p_nch)
             ps_ts = {}
@@ -1332,23 +1321,12 @@ def solve_all(
                     imp_t = psweep.pack_contact_impulses(imps_b[ci])
                     if bk.get("win"):
                         w = bk["win"]
-                        b_r = w["b_r"]
-                        vt, imp_n = psweep.contact_sweep_win(
-                            vt, it_ts[ci][:, :b_r], ps_ts[ci][:, :b_r],
-                            imp_t[:, :b_r],
-                            bk["p_whi2"], bk["p_wlo2"], bk["p_wscale"], w["wstart"],
+                        vt, imp_t = psweep.contact_sweep_win(
+                            vt, it_ts[ci], ps_ts[ci], imp_t,
+                            bk["p_whi2"], bk["p_wlo2"], bk["p_wscale"], w["wseg"],
                             h, inv_h,
-                            sb=w["sb"], gcols=_winm.GCOLS, wcols=_winm.WCOLS,
-                            n_iters=n_it, interpret=pallas_interpret,
-                        )
-                        # Wide tail (Morton-seam rows): full-width routing over the
-                        # same permuted state — tiny row count, any span.
-                        vt, imp_w = psweep.contact_sweep(
-                            vt, tt, ps_ts[ci][:, b_r:], imp_t[:, b_r:],
-                            bk["p_widx2"], bk["p_wwscale"], h, inv_h,
                             sb=w["sb"], n_iters=n_it, interpret=pallas_interpret,
                         )
-                        imp_t = jnp.concatenate([imp_n, imp_w], axis=1)
                     else:
                         vt, imp_t = psweep.contact_sweep(
                             vt, tt, ps_ts[ci], imp_t, bk["p_idx2"], bk["p_scale"],
@@ -1500,14 +1478,76 @@ def solve_all(
     # pallas_call covers every substep's incremental depth update, pose/velocity
     # integration, world-inertia refresh, warm start, and velocity iterations with the
     # body state VMEM-resident throughout (ops/sweep.py solve_substeps_contacts).
-    mega = (
+    mega_ok = (
         use_pallas
-        and not use_win  # windowed layout has its own sweep; mega is full-width-only
         and not bank_names
         and cfg.iteration_schedule is None
         and integrator_cfg.velocity_callback is None
         and any(bk.get("p_nsl") for bk in buckets)
     )
+    mega = mega_ok and not use_win
+    # Windowed mega: same whole-solve fusion over the PERMUTED layout (store-bank
+    # scenes above the full-width kernel's range — ops/sweep.py
+    # solve_substeps_contacts_win). Store mode has exactly one bucket.
+    mega_win = (
+        mega_ok and use_win and len(buckets) == 1 and bool(buckets[0].get("win"))
+        and buckets[0]["p_nsl"] > 0
+    )
+    if mega_win:
+        from . import windowing as _winm
+
+        bk = buckets[0]
+        w = bk["win"]
+        lay = w["lay"]
+        pos_slot = lay["pos_slot"]
+        slot_pos = lay["slot_pos"]
+        perm = lambda x: _winm.permute_rows(x, pos_slot)
+        ps_t = psweep.pack_contact_prestep(bk["ps"], bk["p_spring"])
+        imp_t = psweep.pack_contact_impulses(bk["imp"])
+        lin_scale = (
+            (1.0 - integrator_cfg.linear_damping) ** h
+            if integrator_cfg.linear_damping
+            else 1.0
+        )
+        ang_scale = (
+            (1.0 - integrator_cfg.angular_damping) ** h
+            if integrator_cfg.angular_damping
+            else 1.0
+        )
+        gmask = (state.kind == KIND_DYNAMIC) & state.awake
+        li = state.inv_inertia
+        v6n_p, pos_p, orn_p, imp_out = psweep.solve_substeps_contacts_win(
+            perm(_vel_to6(state)),
+            Vec3(perm(state.pos.x), perm(state.pos.y), perm(state.pos.z)),
+            Quat(perm(state.orn.x), perm(state.orn.y), perm(state.orn.z),
+                 perm(state.orn.w)),
+            perm(state.inv_mass),
+            Sym3(perm(li.xx), perm(li.yx), perm(li.yy), perm(li.zx), perm(li.zy),
+                 perm(li.zz)),
+            perm(gmask), perm(state.integrable),
+            ps_t, imp_t,
+            bk["p_whi2"], bk["p_wlo2"], bk["p_wscale"], w["wseg"],
+            h, inv_h, lin_scale, ang_scale,
+            nch=lay["nch"], sb=w["sb"], n_substeps=cfg.substeps,
+            n_iters=cfg.velocity_iterations,
+            angular_mode=integrator_cfg.angular_mode,
+            gravity=integrator_cfg.gravity,
+            interpret=pallas_interpret,
+        )
+        # Back to slot order. Dead sentinel positions are discarded by the gather.
+        state = _vel_from6(
+            state._replace(
+                pos=Vec3(pos_p.x[slot_pos], pos_p.y[slot_pos], pos_p.z[slot_pos]),
+                orn=Quat(orn_p.x[slot_pos], orn_p.y[slot_pos], orn_p.z[slot_pos],
+                         orn_p.w[slot_pos]),
+            ),
+            v6n_p[slot_pos],
+        )
+        imps_final = (psweep.unpack_contact_impulses(imp_out, bk["imp"]),)
+        jimps_final = {}
+        ju_imp_final = jnp.zeros((0, _U_IMPULSE), jnp.float32)
+        state = integrate_poses(state, integrator_cfg, h)
+        return _finalize(state, imps_final, jimps_final, ju_imp_final)
     if mega:
         active = [ci for ci in range(len(buckets)) if buckets[ci]["p_nsl"]]
         ps_t_all = jnp.concatenate(
@@ -1625,7 +1665,7 @@ def _solve_finalize_bucketed(
                 # Wide-overflow rows (dest == sink) keep their incoming (warm-start)
                 # impulses — retained, not zeroed, matching the honest-caps pattern.
                 w = bk["win"]
-                bp = w["b_r"] + w["wide_cap"]
+                bp = w["bp"]
                 placed = w["dest"] < bp
                 dest_c = jnp.minimum(w["dest"], bp - 1)
                 imps_out.append(

@@ -1,27 +1,29 @@
-"""Windowed-solve layout: Morton body permutation + (color, window-block) row grouping.
+"""Windowed-solve layout: Morton body permutation + segmented-window row grouping.
 
-The windowed Pallas sweep (ops/sweep.py contact_sweep_win) routes each 256-row slice
-against a fixed 512-column window of the velocity state instead of the whole body
-array, which removes the rows x bodies scaling that gated the full-width kernel at
-8,192 bodies (reference identity: the solve loop has no size cliff,
-Solver_Solve.cs:297-654). This module builds everything the kernel needs, per frame,
-as fixed-shape XLA:
+The windowed Pallas sweeps (ops/sweep.py contact_sweep_win / solve_substeps_contacts_win)
+route each 256-row slice against a 512-column WINDOW of the velocity state instead of the
+whole body array, which removes the rows x bodies scaling that gated the full-width
+kernel at 8,192 bodies (reference identity: the solve loop has no size cliff,
+Solver_Solve.cs:297-654). This module builds everything the kernels need, per frame, as
+fixed-shape XLA:
 
 - **Body layout** (``body_layout``): all body slots sorted by Morton code of their
   position (spatial locality => contact partners land near each other), prefixed by a
   replicated APPENDIX of up to G non-dynamic bodies (ground planes, kinematic drivers:
   the bodies that touch everything). Replication is sound because the solver never
   writes non-dynamic velocities (zero inverse mass/inertia => zero deltas).
-- **Row grouping** (``row_windows``): constraint rows keyed by (color, window-block of
-  the lowest spatial endpoint). Rows whose spatial span fits two blocks are "narrow"
-  and solve in the windowed kernel — the window covers three consecutive blocks, so
-  membership is guaranteed, never checked at solve time. The rare wide rows (span
-  beyond two blocks — Morton seam crossings) go to a compacted per-iteration XLA pass;
-  rows beyond that capacity raise the solver overflow diagnostic (the engine-wide
-  honest-caps pattern), never silently drop.
-- Groups are padded to the slice size; padding rows are invalid (zero impulses, zero
-  contact mask) and contribute exactly zero. Wholly-dead slices carry window start -1
-  and the kernel skips them.
+- **Segmented windows**: every slice's window is FOUR 128-column (= 1024-body) segments
+  of the permuted state, concatenated. Two slice kinds share one kernel code path:
+  - *narrow* (color, lowest-block) groups: segments = [appendix, blk, blk+1, blk+2] —
+    rows whose spatial span fits two blocks, the overwhelming majority under Morton
+    order;
+  - *wide* (color, blockA, blockB) groups: segments = [appendix, blkA, blkB, appendix]
+    — Morton-seam crossings; side A indexes segment 1, side B segment 2. The duplicate
+    appendix segment is never indexed by a wide row, so its scatter-back adds zero.
+  Groups are padded to the slice size; padding rows are invalid (zero impulses, zero
+  contact mask) and contribute exactly zero. Wholly-dead slices carry segment0 = -1 and
+  the kernel skips them. Wide demand beyond ``wide_cap`` raises the solver overflow
+  diagnostic (engine-wide honest-caps pattern) and keeps the rows' warm-start impulses.
 """
 from __future__ import annotations
 
@@ -31,8 +33,9 @@ import jax.numpy as jnp
 from ..bodies import KIND_DYNAMIC, KIND_EMPTY
 
 GCOLS = 128  # appendix columns (GCOLS*8 = 1024 replicated non-dynamic bodies)
-BLK = 1024  # window block, in bodies (128 columns); window = 3 consecutive blocks
-WCOLS = 3 * (BLK // 8)  # spatial window columns per slice
+BLK = 1024  # window block, in bodies; MUST equal GCOLS*8 (segment width = 128 cols)
+SEGS = 4  # segments per slice window
+WIN_BODIES = SEGS * BLK  # bodies addressable by one slice's window
 
 
 def _morton10(x):
@@ -64,7 +67,7 @@ def body_layout(pos, kind):
     Returns a dict:
       pos_slot: (NP,) int32 — body slot at each layout position (NB = dead sentinel);
                 NP = G + NB rounded so NP/8 is a multiple of 128, plus 2*BLK overhang
-                so every window slice is in-bounds.
+                so every window segment is in-bounds.
       slot_pos: (NB,) int32 — authoritative (spatial) layout position of each slot.
       app_pos:  (NB,) int32 — appendix position of the slot, or -1.
       nch:      int — transposed-state columns (NP // 8).
@@ -104,8 +107,8 @@ def body_layout(pos, kind):
     )[:nb]
 
     # Layout positions: appendix replicas then the spatial permutation, padded so the
-    # last window block (start = G + (NBLK-1)*BLK, extent 3*BLK) stays in bounds and
-    # the column count is a multiple of 128.
+    # highest window segment (blk = nblk-1 + 2) stays in bounds and the column count is
+    # a multiple of 128.
     nblk = -(-nb // BLK)
     np_need = G + (nblk + 2) * BLK
     nch = -(-(np_need // 8) // 128) * 128
@@ -130,25 +133,27 @@ def permute_rows(x, pos_slot):
 
 def row_windows(lay, body_a, body_b, valid, color, num_colors: int, sb: int,
                 wide_cap: int):
-    """Group bank rows by (color incl. Jacobi, window block); build the padded
-    windowed-exec layout + per-slice kernel metadata.
+    """Group bank rows into segmented-window slices; build the padded windowed-exec
+    layout + per-slice kernel metadata.
 
     Returns dict:
       dest:   (B,) int32 — padded-layout row of each bank row (narrow region, wide
-              region, or BP sink for invalid rows).
-      b_r:    int — narrow (kernel) region size; n_slices = b_r // sb.
-      bp:     int — total padded bank size (b_r + wide_cap).
-      wstart: (n_slices,) int32 window start column, -1 for dead slices.
-      whi/wlo:(BP,) int32 window-relative chunk column / lane per row SIDE builders
-              (use with dest-scattered sides; see build_side).
-      wide_overflow: () bool — wide rows exceeded wide_cap (solver overflow).
+              region, or BP sink for invalid/overflowed rows).
+      b_n:    int — narrow region size (static bound).
+      bp:     int — total padded bank size (b_n + wide_cap).
+      n_slices: int — bp // sb.
+      wseg:   (n_slices, SEGS) int32 — window segment start COLUMNS (128-aligned);
+              wseg[:, 0] == -1 marks a dead slice.
+      rel_a/rel_b: (B,) int32 — window-relative body index of each side, in
+              [0, WIN_BODIES).
+      wide_overflow: () bool — padded wide demand exceeded wide_cap (solver overflow).
     """
-    nb = lay["slot_pos"].shape[0]
     nblk = lay["nblk"]
     G = GCOLS * 8
     C = num_colors
     B = body_a.shape[0]
-    NG = (C + 1) * nblk
+    NGn = (C + 1) * nblk  # narrow groups: (color incl. Jacobi, lowest block)
+    NGw = (C + 1) * nblk * nblk  # wide groups: (color, blockA, blockB)
 
     pa = lay["slot_pos"][body_a]
     pb = lay["slot_pos"][body_b]
@@ -171,61 +176,107 @@ def row_windows(lay, body_a, body_b, valid, color, num_colors: int, sb: int,
     narrow = valid & (hi_sp - lo_sp <= 2 * BLK)
     wide = valid & ~narrow
     wb = jnp.clip(lo_sp // BLK, 0, nblk - 1)
+    blk_a = jnp.clip(sp_a // BLK, 0, nblk - 1)
+    blk_b = jnp.clip(sp_b // BLK, 0, nblk - 1)
     col = jnp.clip(color, 0, C)
-    key = jnp.where(narrow, col * nblk + wb, NG)
+    key_n = col * nblk + wb  # meaningful where narrow
+    key_w = (col * nblk + blk_a) * nblk + blk_b  # where wide
 
-    # Padded grouping: counts -> SB-padded bases -> rank within group.
-    cnt = jnp.zeros(NG + 1, jnp.int32).at[key].add(1)
-    padded = -(-cnt[:NG] // sb) * sb
-    base = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(padded)])
-    b_r = B + NG * sb  # static worst case: every group pays one partial slice
-    n_slices = b_r // sb
+    # Padded grouping: counts -> SB-padded bases -> rank within group. One combined
+    # sort serves both regions (rank only needs to be per-group).
+    cnt_n = jnp.zeros(NGn + 1, jnp.int32).at[jnp.where(narrow, key_n, NGn)].add(1)
+    padded_n = -(-cnt_n[:NGn] // sb) * sb
+    base_n = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(padded_n)])
+    b_n = B + NGn * sb  # static worst case: every narrow group pays one partial slice
 
-    order = jnp.argsort(key, stable=True).astype(jnp.int32)
-    key_s = key[order]
-    seg_start = jnp.concatenate(
-        [jnp.zeros(1, dtype=bool), key_s[1:] != key_s[:-1]]
-    )
+    cnt_w = jnp.zeros(NGw + 1, jnp.int32).at[jnp.where(wide, key_w, NGw)].add(1)
+    padded_w = -(-cnt_w[:NGw] // sb) * sb
+    base_w = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(padded_w)])
+    wide_overflow = base_w[NGw] > wide_cap
+
+    bp = b_n + wide_cap
+    n_slices = bp // sb
+
+    ckey = jnp.where(narrow, key_n, jnp.where(wide, NGn + key_w, NGn + NGw))
+    order = jnp.argsort(ckey, stable=True).astype(jnp.int32)
+    key_s = ckey[order]
+    seg_start = jnp.concatenate([jnp.zeros(1, dtype=bool), key_s[1:] != key_s[:-1]])
     idx = jnp.arange(B, dtype=jnp.int32)
     start_idx = jnp.where(seg_start, idx, 0)
     seg_base = jax.lax.associative_scan(jnp.maximum, start_idx)
     rank_s = idx - seg_base
     rank = jnp.zeros(B, jnp.int32).at[order].set(rank_s)
-    dest_narrow = base[jnp.minimum(key, NG - 1)] + rank
 
-    # Wide region: compacted rows after the narrow region.
-    wrank = jnp.cumsum(wide.astype(jnp.int32)) - 1
-    wide_kept = wide & (wrank < wide_cap)
-    wide_overflow = jnp.sum(wide) > wide_cap
-    bp = b_r + wide_cap
-    dest = jnp.where(
-        narrow, dest_narrow, jnp.where(wide_kept, b_r + wrank, bp)
-    ).astype(jnp.int32)
+    dest_n = base_n[jnp.minimum(key_n, NGn - 1)] + rank
+    dest_w = b_n + base_w[jnp.minimum(key_w, NGw - 1)] + rank
+    w_kept = wide & (base_w[jnp.minimum(key_w, NGw - 1)] + rank < wide_cap)
+    dest = jnp.where(narrow, dest_n, jnp.where(w_kept, dest_w, bp)).astype(jnp.int32)
 
-    # Per-slice group id: scatter group markers at base//sb, forward-fill with a max
-    # scan, then window start from the group's block.
-    g_ids = jnp.arange(NG, dtype=jnp.int32)
-    marker = (
-        jnp.full(n_slices + 1, -1, jnp.int32)
-        .at[jnp.where(padded > 0, base[:NG] // sb, n_slices)]
-        .max(g_ids, mode="drop")
-    )[:n_slices]
-    gid = jax.lax.associative_scan(jnp.maximum, marker)
-    used = jnp.arange(n_slices, dtype=jnp.int32) < (base[NG] // sb)
-    wb_of_slice = jnp.maximum(gid, 0) % nblk
-    wstart = jnp.where(used & (gid >= 0), GCOLS + wb_of_slice * (BLK // 8), -1)
+    # ---- Per-slice window segments: scatter each live group's segment vector at its
+    # start slice, then forward-fill (slices of one group are contiguous).
+    n_sl_n = b_n // sb
+    n_sl_w = wide_cap // sb
 
-    # Window-relative body index per side, for rows that land in the narrow region
-    # (wide rows don't use them): appendix members sit at [0, G), spatial members at
-    # G + (sp - wb*BLK) where wb is the row's group block.
-    rel_a = jnp.where(a_app, aa, G + sp_a - wb * BLK)
-    rel_b = jnp.where(b_app, ab, G + sp_b - wb * BLK)
+    def _fill(marked):
+        """Forward-fill -1 gaps with the latest valid value (select-right-if-valid)."""
+        return jax.lax.associative_scan(
+            lambda a, b: jnp.where(b >= 0, b, a), marked
+        )
+
+    def _group_starts(bases, padded, start_vals, n_sl, extra=0):
+        out = (
+            jnp.full(n_sl + 1, -1, jnp.int32)
+            .at[jnp.where(padded > 0, bases // sb + extra, n_sl)]
+            .max(start_vals, mode="drop")
+        )[:n_sl]
+        return _fill(out)
+
+    g_n = jnp.arange(NGn, dtype=jnp.int32)
+    gid_n = _group_starts(base_n[:NGn], padded_n, g_n, n_sl_n)
+    used_n = jnp.arange(n_sl_n, dtype=jnp.int32) < (base_n[NGn] // sb)
+    wb_sl = jnp.maximum(gid_n, 0) % nblk
+    seg_n = jnp.stack(
+        [
+            jnp.where(used_n & (gid_n >= 0), 0, -1),
+            GCOLS + wb_sl * GCOLS,
+            GCOLS + (wb_sl + 1) * GCOLS,
+            GCOLS + (wb_sl + 2) * GCOLS,
+        ],
+        axis=1,
+    )
+
+    g_w = jnp.arange(NGw, dtype=jnp.int32)
+    gid_w = _group_starts(base_w[:NGw], padded_w, g_w, n_sl_w)
+    used_w = jnp.arange(n_sl_w, dtype=jnp.int32) < jnp.minimum(
+        base_w[NGw], wide_cap
+    ) // sb
+    wa_sl = (jnp.maximum(gid_w, 0) // nblk) % nblk
+    wb2_sl = jnp.maximum(gid_w, 0) % nblk
+    seg_w = jnp.stack(
+        [
+            jnp.where(used_w & (gid_w >= 0), 0, -1),
+            GCOLS + wa_sl * GCOLS,
+            GCOLS + wb2_sl * GCOLS,
+            jnp.zeros(n_sl_w, jnp.int32),  # never indexed by wide rows
+        ],
+        axis=1,
+    )
+    wseg = jnp.concatenate([seg_n, seg_w], axis=0)
+
+    # ---- Window-relative body index per side, in [0, WIN_BODIES). Segment k covers
+    # window bodies [k*BLK, (k+1)*BLK). Appendix members sit in segment 0.
+    rel_n_a = jnp.where(a_app, aa, BLK + sp_a - wb * BLK)
+    rel_n_b = jnp.where(b_app, ab, BLK + sp_b - wb * BLK)
+    rel_w_a = BLK + sp_a - blk_a * BLK
+    rel_w_b = 2 * BLK + sp_b - blk_b * BLK
+    rel_a = jnp.where(narrow, rel_n_a, rel_w_a)
+    rel_b = jnp.where(narrow, rel_n_b, rel_w_b)
     return dict(
         dest=dest,
-        b_r=b_r,
+        b_n=b_n,
         bp=bp,
         n_slices=n_slices,
-        wstart=wstart,
+        wseg=wseg,
         rel_a=rel_a,
         rel_b=rel_b,
         wide_overflow=wide_overflow,

@@ -29,6 +29,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+if os.environ.get("PARITY_CPU") == "1":
+    # Env-var JAX_PLATFORMS is overridden by the axon site hook; the config API is the
+    # reliable switch (same pattern as tests/conftest.py). Opt level 1 keeps the tiny
+    # per-scene compiles to ~1 min on this box's single core.
+    os.environ.setdefault("BEPUPHYSICS2_TPU_NO_CACHE", "1")
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_backend_optimization_level=1"
+    ).strip()
+    os.environ.setdefault("BEPUPHYSICS2_TPU_RUN_CHUNK", "0")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 DT = 1.0 / 60.0
 SUBSTEPS = 8
 STEPS = 1000
@@ -132,6 +145,299 @@ def closed_form_ballistic(n_steps):
     return out
 
 
+def _tiny_config(**kw):
+    from bepuphysics2_tpu import SimConfig
+
+    base = dict(
+        body_capacity=8, max_pairs=16, substeps=SUBSTEPS, num_colors=2,
+        enable_sleep=False,
+    )
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def sliding_sphere_scene(steps=STEPS, v0x=3.0, spin0y=10.0, mu=0.4):
+    """Sphere sliding + spinning on a static plane: engine trajectory (pos, vel, omega).
+    Friction pair coefficient = sqrt(0.4·0.4) = 0.4 (narrowphase geometric blend)."""
+    from bepuphysics2_tpu import (
+        BodyDescription, Box, Simulation, Sphere, StaticDescription,
+    )
+
+    sim = Simulation(_tiny_config())
+    ground = sim.add_shape(Box(200.0, 0.5, 200.0))
+    sim.add_static(StaticDescription(position=(0.0, -0.5, 0.0), shape=ground, friction=mu))
+    s = Sphere(RADIUS)
+    ss = sim.add_shape(s)
+    ball = sim.add_body(
+        BodyDescription.dynamic(
+            (0.0, RADIUS, 0.0), ss, 1.0, s,
+            velocity=(v0x, 0.0, 0.0), angular_velocity=(0.0, spin0y, 0.0), friction=mu,
+        )
+    )
+    ps = np.zeros((steps, 3)); vs = np.zeros((steps, 3)); ws = np.zeros((steps, 3))
+    for i in range(steps):
+        sim.timestep(DT)
+        pos, _, vel, omg = sim.get_body(ball)
+        ps[i], vs[i], ws[i] = pos, vel, omg
+    return ps, vs, ws
+
+
+def pendulum_scene(steps=STEPS, length=1.0, radius=0.2):
+    """Ball-socket pendulum: static anchor body at the origin, sphere bob at (L,0,0)."""
+    from bepuphysics2_tpu import BodyDescription, Simulation, Sphere
+
+    sim = Simulation(_tiny_config(joint_capacity=4))
+    s = Sphere(radius)
+    ss = sim.add_shape(s)
+    anchor = sim.add_body(BodyDescription.kinematic((0.0, 0.0, 0.0)))
+    bob = sim.add_body(
+        BodyDescription.dynamic((length, 0.0, 0.0), ss, 1.0, s, collision_group=1)
+    )
+    sim.add_constraint(
+        "ball_socket", [anchor, bob],
+        local_offset_a=(0.0, 0.0, 0.0), local_offset_b=(-length, 0.0, 0.0),
+    )
+    ps = np.zeros((steps, 3)); vs = np.zeros((steps, 3))
+    for i in range(steps):
+        sim.timestep(DT)
+        pos, _, vel, _ = sim.get_body(bob)
+        ps[i], vs[i] = pos, vel
+    return ps, vs
+
+
+def hinge_chain_scene(steps=STEPS, n_links=3, length=0.8, radius=0.15):
+    """Hinge chain (z-axis hinges) from a static anchor, starting horizontal. A multi-link
+    chain is chaotic, so no scalar trajectory oracle — the envelopes are CONSERVATION
+    laws: energy never grows, hinge axis alignment and socket drift stay bounded
+    (joint jacobian errors pump energy / drift the axis within a few hundred steps)."""
+    from bepuphysics2_tpu import BodyDescription, Capsule, Simulation
+
+    sim = Simulation(_tiny_config(body_capacity=8, joint_capacity=8))
+    cap = Capsule(radius, length * 0.5)
+    cs = sim.add_shape(cap)
+    anchor = sim.add_body(BodyDescription.kinematic((0.0, 0.0, 0.0)))
+    handles = [anchor]
+    for i in range(n_links):
+        # Links extend along +x; capsules axis-aligned to +x via orientation (capsule
+        # axis is local y: rotate local y onto world x = -90deg about z).
+        q = (0.0, 0.0, -np.sqrt(0.5), np.sqrt(0.5))
+        h = sim.add_body(
+            BodyDescription.dynamic(
+                ((i + 0.5) * length, 0.0, 0.0), cs, 1.0, cap,
+                orientation=q, collision_group=1,
+            )
+        )
+        handles.append(h)
+        # Hinge between previous body and this link at x = i*length, axis = world z.
+        # Local hinge axis of the capsule body: world z in local frame = rotate⁻¹(z).
+        sim.add_constraint(
+            "hinge", [handles[i], h],
+            local_offset_a=(0.0, 0.0, 0.0) if i == 0 else (0.0, length * 0.5, 0.0),
+            local_offset_b=(0.0, -length * 0.5, 0.0),
+            local_hinge_axis_a=(0.0, 0.0, 1.0),
+            local_hinge_axis_b=(0.0, 0.0, 1.0),
+        )
+    es = np.zeros(steps)
+    drift = np.zeros(steps)
+    axis_err = np.zeros(steps)
+    for i in range(steps):
+        sim.timestep(DT)
+        e = 0.0
+        prev_tip = np.zeros(3)
+        for li, h in enumerate(handles[1:]):
+            pos, orn, vel, omg = sim.get_body(h)
+            x, y, z, w = orn
+            # local y (capsule axis) in world, and local z (hinge axis) in world
+            u = np.array([x, y, z])
+            def rot(v):
+                return 2*np.dot(u, v)*u + (w*w - np.dot(u, u))*v + 2*w*np.cross(u, v)
+            axis_w = rot(np.array([0.0, 0.0, 1.0]))
+            cap_axis = rot(np.array([0.0, 1.0, 0.0]))
+            root = np.asarray(pos) - cap_axis * (length * 0.5)
+            tip = np.asarray(pos) + cap_axis * (length * 0.5)
+            drift[i] = max(drift[i], float(np.linalg.norm(root - prev_tip)))
+            axis_err[i] = max(axis_err[i], float(np.arccos(np.clip(axis_w[2], -1, 1))))
+            prev_tip = tip
+            # Linear KE + potential only (rotational KE omitted UNDERestimates energy,
+            # which keeps the no-energy-gain check conservative).
+            ke = 0.5 * float(np.dot(vel, vel))
+            e += ke + 10.0 * float(pos[1])  # g = 10, mass 1: potential (y up)
+        es[i] = e
+    return es, drift, axis_err
+
+
+def box_stack_friction_scene(force, steps=400, mu=0.5, settle=120):
+    """Two stacked unit boxes; constant lateral force on the TOP box. Closed-form
+    friction law oracle: slides iff F > μ·m·g; sliding acceleration ≈ (F − μmg)/m.
+    The bottom box must hold (ground friction capacity μ·2mg exceeds the dragged load)."""
+    from bepuphysics2_tpu import BodyDescription, Box, Simulation, StaticDescription
+
+    sim = Simulation(_tiny_config(substeps=8, max_pairs=32))
+    ground = sim.add_shape(Box(50.0, 0.5, 50.0))
+    sim.add_static(StaticDescription(position=(0.0, -0.5, 0.0), shape=ground, friction=mu))
+    b = Box(1.0, 1.0, 1.0)
+    bs = sim.add_shape(b)
+    bot = sim.add_body(BodyDescription.dynamic((0.0, 0.5, 0.0), bs, 1.0, b, friction=mu))
+    top = sim.add_body(BodyDescription.dynamic((0.0, 1.5, 0.0), bs, 1.0, b, friction=mu))
+    for _ in range(settle):
+        sim.timestep(DT)
+    p0_top, _, _, _ = sim.get_body(top)
+    p0_bot, _, _, _ = sim.get_body(bot)
+    vxs = np.zeros(steps)
+    for i in range(steps):
+        pos, orn, vel, omg = sim.get_body(top)
+        sim.set_velocity(top, (vel[0] + force * DT, vel[1], vel[2]), omg)
+        sim.timestep(DT)
+        _, _, vel2, _ = sim.get_body(top)
+        vxs[i] = vel2[0]
+    p1_top, _, _, _ = sim.get_body(top)
+    p1_bot, _, _, _ = sim.get_body(bot)
+    # acceleration from the last half of the push window (quasi-steady sliding)
+    half = steps // 2
+    accel = (vxs[-1] - vxs[half]) / ((steps - 1 - half) * DT)
+    return dict(
+        top_disp=float(p1_top[0] - p0_top[0]),
+        bot_disp=float(abs(p1_bot[0] - p0_bot[0])),
+        accel=float(accel),
+        final_vx=float(vxs[-1]),
+    )
+
+
+def run_sliding_sphere(flipped=False):
+    """Envelope for the sliding/spinning sphere, optionally with the tangent-sign fault
+    injected (DEBUG_NEGATE_TANGENT_CSV) to prove the harness catches it."""
+    from parity.oracles import sliding_sphere_oracle
+
+    import jax
+    from bepuphysics2_tpu.constraints import contact as contact_mod
+
+    v0x, spin0y, mu = 3.0, 10.0, 0.4
+    if flipped:
+        contact_mod.DEBUG_NEGATE_TANGENT_CSV = True
+        jax.clear_caches()
+    try:
+        ps, vs, ws = sliding_sphere_scene(v0x=v0x, spin0y=spin0y, mu=mu)
+    finally:
+        if flipped:
+            contact_mod.DEBUG_NEGATE_TANGENT_CSV = False
+            jax.clear_caches()
+    op, ov, ow = sliding_sphere_oracle(v0x, spin0y, mu, radius=RADIUS, steps=STEPS)
+
+    # Closed-form laws (implementation-independent): solid sphere slide->roll at 5/7·v0;
+    # twist spin decays monotonically toward 0 without flipping sign.
+    v_roll = 5.0 / 7.0 * v0x
+    env = {
+        "config": f"sphere(r={RADIUS}) sliding at {v0x} m/s with {spin0y} rad/s twist, mu={mu}",
+        "vx_final_engine": float(vs[-1, 0]),
+        "vx_final_oracle": float(ov[-1, 0]),
+        "vx_rolling_closed_form": v_roll,
+        "rolling_dev_engine": float(abs(vs[-1, 0] - v_roll)),
+        "rolling_dev_oracle": float(abs(ov[-1, 0] - v_roll)),
+        "spin_final_engine": float(ws[-1, 1]),
+        "spin_final_oracle": float(ow[-1, 1]),
+        "traj_max_dev_x": float(np.max(np.abs(ps[:, 0] - op[:, 0]))),
+        "vel_max_dev": float(np.max(np.abs(vs - ov))),
+        "omega_max_dev": float(np.max(np.abs(ws - ow))),
+    }
+    # Twist decays only slowly: the reference's single-contact twist lever is the
+    # penetration DEPTH (ContactConvexTypes.cs:326), millimetres at rest — the oracle
+    # and engine must AGREE (envelope), and spin must never grow or flip sign.
+    env["pass"] = bool(
+        env["rolling_dev_engine"] < 0.03 * v0x
+        and env["rolling_dev_oracle"] < 0.03 * v0x
+        and env["traj_max_dev_x"] < 0.15
+        and env["vel_max_dev"] < 0.1
+        and env["omega_max_dev"] < 0.1
+        and env["spin_final_engine"] <= 1.01 * spin0y
+        and env["spin_final_engine"] > -0.05 * spin0y
+    )
+    return env
+
+
+def run_pendulum():
+    from parity.oracles import pendulum_oracle
+
+    L = 1.0
+    ps, vs = pendulum_scene(length=L)
+    op, ov = pendulum_oracle(length=L, radius=0.2, steps=STEPS)
+    # rod length drift (engine), energy envelope (mass 1, g = 10)
+    rod = np.linalg.norm(ps, axis=1)
+    e = 0.5 * np.sum(vs * vs, axis=1) + 10.0 * ps[:, 1]
+    e0 = 10.0 * 0.0 + 0.0  # starts at rest at y=0
+    env = {
+        "config": f"ball-socket pendulum L={L}, sphere bob r=0.2, 60Hz x {SUBSTEPS} substeps",
+        "traj_max_dev": float(np.max(np.linalg.norm(ps - op, axis=1))),
+        "traj_max_dev_first_300": float(
+            np.max(np.linalg.norm(ps[:300] - op[:300], axis=1))
+        ),
+        "rod_length_max_err": float(np.max(np.abs(rod - L))),
+        "energy_max_gain": float(np.max(e - e0)),
+        "lowest_point_engine": float(np.min(ps[:, 1])),
+        "lowest_point_oracle": float(np.min(op[:, 1])),
+    }
+    # Phase drift between two correct implementations grows with time (f32 vs f64,
+    # op order); the first 300 steps (~3 swings) must track tightly, the full horizon
+    # loosely, and the conservation/geometry bounds must hold throughout.
+    env["pass"] = bool(
+        env["traj_max_dev_first_300"] < 0.05
+        and env["rod_length_max_err"] < 0.05 * L
+        and env["energy_max_gain"] < 0.5  # < 5% of the 10 J swing scale
+        and abs(env["lowest_point_engine"] - env["lowest_point_oracle"]) < 0.05
+    )
+    return env
+
+
+def run_hinge_chain():
+    es, drift, axis_err = hinge_chain_scene()
+    env = {
+        "config": "3-link hinge chain (z-axis hinges), capsule links, starts horizontal",
+        "energy_max": float(np.max(es)),
+        "energy_initial": float(es[0]),
+        "energy_final": float(es[-1]),
+        "socket_drift_max": float(np.max(drift)),
+        "hinge_axis_err_max_rad": float(np.max(axis_err)),
+    }
+    env["pass"] = bool(
+        env["energy_max"] <= env["energy_initial"] + 0.5
+        and env["socket_drift_max"] < 0.08
+        and env["hinge_axis_err_max_rad"] < 0.05
+    )
+    return env
+
+
+def run_box_stack():
+    """Closed-form oracle uses the REFERENCE's friction law, not the textbook Coulomb
+    cone: a 4-contact manifold caps tangent friction at (μ/4)·ΣP
+    (ContactConvexTypes.cs:813 premultipliedFrictionCoefficient = μ/4), so a box's
+    static capacity is μ·m·g/4. Measured engine slide acceleration matches this law to
+    ~1% (validated against the r4 parity run)."""
+    mu, m, g = 0.5, 1.0, 10.0
+    cap = mu * m * g / 4.0  # 1.25 N: reference 4-contact manifold friction capacity
+    low = box_stack_friction_scene(force=0.5 * cap, steps=300, mu=mu)
+    high = box_stack_friction_scene(force=4.0 * cap, steps=300, mu=mu)
+    a_expect = (4.0 * cap - cap) / m  # 3.75 m/s²
+    env = {
+        "config": (
+            "two stacked unit boxes, mu=0.5, lateral force on the top box; oracle = "
+            "reference manifold friction law cap=(mu/4)*sum(P) (ContactConvexTypes.cs:813)"
+        ),
+        "static_force": 0.5 * cap,
+        "static_top_disp": low["top_disp"],
+        "static_bot_disp": low["bot_disp"],
+        "kinetic_force": 4.0 * cap,
+        "kinetic_accel": high["accel"],
+        "kinetic_accel_closed_form": a_expect,
+        "kinetic_bot_disp": high["bot_disp"],
+    }
+    env["pass"] = bool(
+        abs(low["top_disp"]) < 0.05
+        and low["bot_disp"] < 0.05
+        and abs(high["accel"] - a_expect) < 0.25 * a_expect
+        and high["bot_disp"] < 0.08
+    )
+    return env
+
+
 def main():
     ys_ref, vs_ref = scalar_reference()
     ys_eng, vs_eng = engine_trajectory()
@@ -166,10 +472,43 @@ def main():
         and env["rest_dev"] < 5e-3
         and env["velocity_max_dev_after_settle"] < 1e-2
     )
+
+    scenes = {"sphere_drop": env}
+    print("sphere_drop:", "PASS" if env["pass"] else "FAIL", flush=True)
+    for name, fn in (
+        ("sliding_sphere", run_sliding_sphere),
+        ("pendulum_ball_socket", run_pendulum),
+        ("hinge_chain", run_hinge_chain),
+        ("box_stack_friction", run_box_stack),
+    ):
+        scenes[name] = fn()
+        print(name + ":", "PASS" if scenes[name]["pass"] else "FAIL", flush=True)
+
+    # Fault-injection proof: a negated tangent jacobian must FAIL the friction envelope
+    # (otherwise the harness could not catch the bug class it claims to cover).
+    flipped = run_sliding_sphere(flipped=True)
+    scenes["signflip_tangent_must_fail"] = flipped
+    signflip_caught = not flipped["pass"]
+    print("signflip caught:", signflip_caught, flush=True)
+
+    report = {
+        "steps": STEPS,
+        "oracle": (
+            "independent scalar TGS reimplementations + closed-form physics laws "
+            "(dotnet unavailable in this environment: no .NET runtime, zero egress — "
+            "documented in run_parity.py)"
+        ),
+        "scenes": scenes,
+        "signflip_tangent_caught": bool(signflip_caught),
+        "pass": bool(
+            signflip_caught
+            and all(s["pass"] for k, s in scenes.items() if k != "signflip_tangent_must_fail")
+        ),
+    }
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "PARITY_TRAJ.json")
     with open(os.path.abspath(out), "w") as f:
-        json.dump(env, f, indent=2)
-    print(json.dumps(env, indent=2))
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
 
 
 if __name__ == "__main__":

@@ -92,9 +92,9 @@ def test_windowed_matches_xla_pile():
 
 
 def test_windowing_row_groups():
-    """Unit checks on the windowed layout builder: every narrow row's endpoints fall
-    inside its slice window; appendix holds non-dynamic bodies; padding slices dead."""
-    import jax
+    """Unit checks on the windowed layout builder: every row's endpoints fall inside
+    its slice's 4-segment window at the window-relative index the layout reports;
+    appendix holds non-dynamic bodies; padding slices dead."""
     import jax.numpy as jnp
 
     from bepuphysics2_tpu.bodies import KIND_DYNAMIC, KIND_STATIC
@@ -113,6 +113,7 @@ def test_windowing_row_groups():
     lay = wd.body_layout(pos, kind)
     slot_pos = np.asarray(lay["slot_pos"])
     app_pos = np.asarray(lay["app_pos"])
+    pos_slot = np.asarray(lay["pos_slot"])
     # Appendix replicates exactly the non-dynamic slots (few enough to fit).
     nd = np.asarray(kind) != KIND_DYNAMIC
     assert set(np.nonzero(app_pos >= 0)[0]) == set(np.nonzero(nd)[0])
@@ -120,27 +121,30 @@ def test_windowing_row_groups():
     assert sorted(slot_pos.tolist()) == list(range(1024, 1024 + nb))
 
     B = 256
+    sb = 64
     a = jnp.asarray(rng.integers(0, nb, B).astype(np.int32))
     b = jnp.asarray(rng.integers(0, nb, B).astype(np.int32))
     valid = jnp.asarray(rng.uniform(size=B) < 0.9)
     color = jnp.asarray(rng.integers(0, 5, B).astype(np.int32))  # C=4 + jacobi
-    rw = wd.row_windows(lay, a, b, valid, color, num_colors=4, sb=64, wide_cap=128)
+    rw = wd.row_windows(lay, a, b, valid, color, num_colors=4, sb=sb, wide_cap=192)
     dest = np.asarray(rw["dest"])
-    wstart = np.asarray(rw["wstart"])
-    b_r = rw["b_r"]
+    wseg = np.asarray(rw["wseg"])
+    rel_a = np.asarray(rw["rel_a"])
+    rel_b = np.asarray(rw["rel_b"])
+    assert not bool(rw["wide_overflow"])
     for r in range(B):
         if not bool(valid[r]):
             assert dest[r] == rw["bp"], "invalid rows must sink"
             continue
         d = dest[r]
         assert 0 <= d < rw["bp"]
-        if d < b_r:  # narrow: window must cover both endpoints
-            ws = wstart[d // 64] * 8  # cols -> body positions
-            assert ws >= 0, "live slice marked dead"
-            for slot in (int(a[r]), int(b[r])):
-                if app_pos[slot] >= 0:
-                    continue  # appendix: always visible
-                p = slot_pos[slot]
-                assert ws <= p < ws + wd.WCOLS * 8, (r, p, ws)
+        segs = wseg[d // sb]
+        assert segs[0] >= 0, "live slice marked dead"
+        for slot, rel in ((int(a[r]), int(rel_a[r])), (int(b[r]), int(rel_b[r]))):
+            # The window-relative index must resolve to THIS slot (or a replica of it)
+            # through the slice's segment layout.
+            k = rel // wd.BLK
+            layout_pos = segs[k] * 8 + (rel % wd.BLK)
+            assert pos_slot[layout_pos] == slot, (r, slot, rel, segs)
     # Slices wholly past the used region are dead.
-    assert wstart[-1] == -1
+    assert wseg[-1, 0] == -1

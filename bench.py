@@ -42,7 +42,7 @@ def main():
         # decoupled Jacobi slice; overflow stays False throughout the run.
         sim, config = _build_pile_sim(
             body_capacity=N_BODIES + 64,
-            max_pairs=max(4 * N_BODIES, 4096),
+            max_pairs=max(6 * N_BODIES, 4096),
             substeps=4,
             num_colors=8,
             n_bodies=N_BODIES,
@@ -50,7 +50,10 @@ def main():
         metric = f"steps_per_sec_{N_BODIES}_body_mixed_pile"
 
     sim.config = dataclasses.replace(
-        sim.config, color_cap_factor=1.0, jacobi_cap_factor=0.3, color_rounds=1
+        sim.config, color_cap_factor=1.0, jacobi_cap_factor=0.3, color_rounds=1,
+        # Pile impact admits >2k pairs/frame into the persistent store; the default
+        # churn cap (cap//8) tripped overflow_src=4 at 4k. Measured: 4096 clears it.
+        store_churn=4096,
     )
     sim._dirty = True
 
@@ -76,11 +79,11 @@ def main():
     # count; `overflow` in the diagnostics would flag any capacity breach honestly.
     if SCENARIO != "ragdoll_tube" and os.environ.get("BENCH_ADAPTIVE", "1") == "1":
         live_pairs = int(sim.last_diag.pair_count)
-        # 8x the warmup count: the pile keeps developing contacts through the timed
-        # window (measured peak ~8.2x the step-33 count at 4k); 6x saturated the bank
-        # and tripped the overflow diagnostic.
-        target = max(9 * live_pairs, N_BODIES, 4096)
-        target = min(target, 4 * N_BODIES)
+        # 12x the warmup count: the pile keeps developing contacts through the timed
+        # window (measured at 4k: 1,648 pairs at step 33 grows to ~16.5k by step 129 —
+        # ~10x; 9x with a 4N cap saturated the bank and tripped overflow_src=4|1).
+        target = max(12 * live_pairs, N_BODIES, 4096)
+        target = min(target, 6 * N_BODIES)
         if target < sim.config.max_pairs:
             sim.reconfigure(max_pairs=target)
             # Compile the resized chunk+single-step programs before the timed window.
@@ -103,6 +106,9 @@ def main():
                 # Honesty flags: capacity breaches degrade the sim (dropped pairs) and
                 # would invalidate the number.
                 "overflow": bool(sim.last_diag.overflow),
+                # Bitmask of WHICH capacity tripped (1=broad phase, 2=solver buckets,
+                # 4=pair store, 8=compound children, 16/32=sleep retention).
+                "overflow_src": int(getattr(sim.last_diag, "overflow_src", 0)),
                 "pairs": int(sim.last_diag.pair_count),
             }
         )

@@ -145,6 +145,9 @@ def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str
                 jnp.sum(prestep.contact_mask & prestep.valid[:, None]), axis
             ),
             overflow=jax.lax.psum(pairs.overflow.astype(jnp.int32), axis) > 0,
+            overflow_src=jax.lax.psum(
+                jnp.where(pairs.overflow, jnp.int32(1), jnp.int32(0)), axis
+            ),
         )
         # Sharded path requires enable_sleep=False; the sleep banks pass through.
         # (And use_pair_store=False: the sharded pipeline keeps the per-frame cache
@@ -180,7 +183,9 @@ def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str
         )
         out_specs = (
             state_specs(state),
-            StepDiagnostics(pair_count=rep, contact_count=rep, overflow=rep),
+            StepDiagnostics(
+                pair_count=rep, contact_count=rep, overflow=rep, overflow_src=rep
+            ),
         )
         # check_vma (new name) / check_rep (old): the per-device color slices are
         # device-varying while bodies come out replicated via psum; disable the

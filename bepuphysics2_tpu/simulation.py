@@ -156,6 +156,10 @@ class StepDiagnostics(NamedTuple):
     pair_count: jnp.ndarray
     contact_count: jnp.ndarray
     overflow: jnp.ndarray
+    # Which capacity tripped (bitmask): 1=broad phase, 2=solver buckets, 4=pair store,
+    # 8=compound children, 16=sleep retention, 32=compound sleep retention. Lets a
+    # sizing pass (bench.py, tests) report WHAT to grow instead of a bare bool.
+    overflow_src: jnp.ndarray = 0
 
 
 # Donate the SimState buffers into step()/step_n(): the previous state is dead after the
@@ -419,9 +423,14 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
         bodies = update_sleep(bodies, sleep_presteps, banks, dt, config.sleep_time)
 
     # --- Persist warm-start data (impulses + solver colors).
+    def _src(flag, bit):
+        return jnp.where(flag, jnp.int32(bit), jnp.int32(0))
+
+    ovfl_src = _src(pairs.overflow, 1) | _src(solver_overflow, 2)
     if use_store:
         cache = state.cache  # unused by the store path
         overflow = pairs.overflow | solver_overflow | sovfl
+        ovfl_src = ovfl_src | _src(sovfl, 4)
     else:
         cache = update_cache(
             prestep, imp, config.body_capacity, ccolors[0], slot_live=pairs.valid
@@ -432,6 +441,7 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
         cidx = 1 if not use_store else len(imps) - 1
         ccache = update_cache_keyed(cprestep, imps[cidx], ckey, ccolors[0 if use_store else 1])
         overflow = overflow | covfl
+        ovfl_src = ovfl_src | _src(covfl, 8)
         contact_count = contact_count + jnp.sum(
             cprestep.contact_mask & cprestep.valid[:, None]
         )
@@ -462,6 +472,7 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
                 None,
             )
             overflow = overflow | rovfl
+            ovfl_src = ovfl_src | _src(rovfl, 16)
         if has_compounds:
             sub_cap = config.children_per_pair + (
                 config.cc_children_per_side ** 2 if config.max_cc_pairs > 0 else 0
@@ -479,11 +490,13 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
                 None,
             )
             overflow = overflow | scovfl
+            ovfl_src = ovfl_src | _src(scovfl, 32)
 
     diag = StepDiagnostics(
         pair_count=jnp.sum(store.live) if use_store else jnp.sum(pairs.valid),
         contact_count=contact_count,
         overflow=overflow,
+        overflow_src=ovfl_src,
     )
     return (
         SimState(
@@ -512,13 +525,15 @@ def step_n(state: SimState, shapes, joint_banks, dt, config: SimConfig, present_
     Returns (state', diagnostics-of-last-step with sticky overflow)."""
 
     def body(carry, _):
-        st, overflow = carry
+        st, overflow, src = carry
         st, diag = _step_impl(st, shapes, joint_banks, dt, config, present_types)
-        return (st, overflow | diag.overflow), diag
+        return (st, overflow | diag.overflow, src | diag.overflow_src), diag
 
-    (state, overflow), diags = jax.lax.scan(body, (state, jnp.bool_(False)), None, length=n)
+    (state, overflow, src), diags = jax.lax.scan(
+        body, (state, jnp.bool_(False), jnp.int32(0)), None, length=n
+    )
     last = jax.tree_util.tree_map(lambda x: x[-1], diags)
-    return state, last._replace(overflow=overflow)
+    return state, last._replace(overflow=overflow, overflow_src=src)
 
 
 class Simulation:

@@ -1,6 +1,7 @@
 """Continuous collision detection (reference ContinuousDetectionMode.Continuous,
 NarrowPhaseCCDContinuations + SweepTasks conservative advancement)."""
 import numpy as np
+import pytest
 
 from bepuphysics2_tpu import (
     BodyDescription,
@@ -10,6 +11,9 @@ from bepuphysics2_tpu import (
     Sphere,
     StaticDescription,
 )
+
+pytestmark = pytest.mark.slow  # see pytest.ini: extra full-step compiles
+
 
 
 def _bullet_sim(ccd_pairs: int):

@@ -6,6 +6,9 @@ import pytest
 from bepuphysics2_tpu import BodyDescription, Box, SimConfig, Simulation, StaticDescription
 from bepuphysics2_tpu.models import Character, SimpleCar, add_cloth, add_ragdoll
 
+pytestmark = pytest.mark.slow  # see pytest.ini: extra full-step compiles
+
+
 
 def ground_sim(**kw):
     defaults = dict(

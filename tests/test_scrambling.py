@@ -3,10 +3,14 @@
 slot recycling, constraint maps, wake propagation). After every burst the full validation
 battery must pass (validation.validate — the reference's Debug assert walls)."""
 import numpy as np
+import pytest
 
 from bepuphysics2_tpu import (
     BodyDescription, Box, SimConfig, Simulation, Sphere, StaticDescription, validate,
 )
+
+pytestmark = pytest.mark.slow  # see pytest.ini: extra full-step compiles
+
 
 
 def test_scrambled_bookkeeping_survives():

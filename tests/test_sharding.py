@@ -14,6 +14,9 @@ from bepuphysics2_tpu import (
     StaticDescription,
 )
 
+pytestmark = pytest.mark.slow  # see pytest.ini: extra full-step compiles
+
+
 
 def build_scene(n_dyn=12):
     config = SimConfig(

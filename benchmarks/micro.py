@@ -134,6 +134,73 @@ def main():
     )
     timeit("generic_gjk_mpr_box_cylinder", generic_convex_manifold, ctx_g, qa)
 
+    # ---- scene raycast at the 64k scale: full O(R*N) pass vs top-K pruned candidate
+    # pass (the BVH-descent analogue; reference Trees/Tree_RayCast.cs:137,
+    # RayBatcher.cs:125). A character-controller support ray in a big world is the
+    # motivating workload.
+    _raycast_micro(rng)
+
+
+def _raycast_micro(rng, nb=None, n_rays=128):
+    import os as _os
+
+    from bepuphysics2_tpu.bodies import BodyState
+    from bepuphysics2_tpu.collision.raycast import ray_cast_all
+    from bepuphysics2_tpu.shapes.registry import ShapeRegistry, Sphere
+    from bepuphysics2_tpu.utils.vec import Quat, Sym3, Vec3
+
+    nb = nb or int(_os.environ.get("RAY_BODIES", 65536))
+    reg = ShapeRegistry()
+    sid = reg.add(Sphere(0.5))
+    shapes = reg.device()
+
+    side = int(np.ceil(np.sqrt(nb)))
+    ix = np.arange(nb) % side
+    iz = np.arange(nb) // side
+    px = (ix - side / 2) * 1.5
+    pz = (iz - side / 2) * 1.5
+    py = rng.uniform(0.0, 4.0, nb)
+    zeros = jnp.zeros(nb, jnp.float32)
+    ones = jnp.ones(nb, jnp.float32)
+    state = BodyState(
+        pos=Vec3(jnp.asarray(px, jnp.float32), jnp.asarray(py, jnp.float32),
+                 jnp.asarray(pz, jnp.float32)),
+        orn=Quat(zeros, zeros, zeros, ones),
+        vel=Vec3(zeros, zeros, zeros), omega=Vec3(zeros, zeros, zeros),
+        inv_mass=ones, inv_inertia=Sym3(ones, zeros, ones, zeros, zeros, ones),
+        kind=jnp.ones(nb, jnp.int32), awake=jnp.ones(nb, bool),
+        shape=jnp.full(nb, sid, jnp.int32),
+        friction=ones, spring_frequency=30.0 * ones, spring_damping=ones,
+        max_recovery_velocity=2.0 * ones, sleep_threshold=zeros, sleep_timer=zeros,
+        sleep_island=jnp.zeros(nb, jnp.int32),
+        collision_group=jnp.zeros(nb, jnp.int32),
+        continuity=jnp.zeros(nb, jnp.int32),
+        spec_margin_min=zeros, spec_margin_max=0.1 * ones,
+    )
+    r_ix = rng.integers(0, nb, n_rays)
+    o = Vec3(jnp.asarray(px[r_ix], jnp.float32), jnp.full(n_rays, 10.0, jnp.float32),
+             jnp.asarray(pz[r_ix], jnp.float32))
+    d = Vec3(jnp.zeros(n_rays, jnp.float32), jnp.full(n_rays, -1.0, jnp.float32),
+             jnp.zeros(n_rays, jnp.float32))
+
+    import functools
+
+    full = jax.jit(functools.partial(ray_cast_all, max_t=30.0))
+    pruned = jax.jit(functools.partial(ray_cast_all, max_t=30.0, prune_k=64))
+    h_full = full(state, shapes, o, d)
+    h_pruned = pruned(state, shapes, o, d)
+    agree = int(np.sum(np.asarray(h_full.body) == np.asarray(h_pruned.body)))
+    for name, fn in (("raycast_full_64k", full), ("raycast_pruned_k64_64k", pruned)):
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            r = fn(state, shapes, o, d)
+        _ = np.asarray(r.t)[:1]
+        us = (time.perf_counter() - t0) / REPS * 1e6
+        print(json.dumps({
+            "micro": name, "batch": n_rays, "bodies": nb,
+            "us_per_call": round(us, 2), "agree": agree,
+        }))
+
 
 def _unit_quat(rng, n):
     from bepuphysics2_tpu.utils.vec import Quat

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..bodies import BodyState
@@ -174,32 +175,22 @@ def _ray_triangle(o: Vec3, d: Vec3, va: Vec3, vb: Vec3, vc: Vec3):
     return t, n, hit
 
 
-def ray_cast_all(
-    state: BodyState, shapes: ShapeData, origin: Vec3, direction: Vec3, max_t,
-    exclude=None, children_window: int = 0,
-) -> RayHit:
-    """Cast ray(s) against every collidable; min-t reduction. ``origin``/``direction``
-    may be single vectors (scalar components) or batched (R,) components — broadcasting
-    produces an (R, N) test grid reduced over N. ``exclude``: optional body slot to skip
-    (a self-cast filter — the reference expresses this through IRayHitHandler.AllowTest,
-    Simulation_Queries.cs:35)."""
-    n_bodies = state.pos.x.shape[0]
-    batched = jnp.ndim(origin.x) > 0
-    if batched:
-        o_b = Vec3(origin.x[:, None], origin.y[:, None], origin.z[:, None])
-        d_b = Vec3(direction.x[:, None], direction.y[:, None], direction.z[:, None])
-        max_t_b = jnp.asarray(max_t)[..., None] if jnp.ndim(max_t) > 0 else max_t
-    else:
-        o_b, d_b, max_t_b = origin, direction, max_t
-
-    shape_id = jnp.maximum(state.shape, 0)
-    stype = jnp.where(state.shape >= 0, shapes.type[shape_id], -1)
+def _cast_collidables(pos, orn, shape, shapes: ShapeData, o_b: Vec3, d_b: Vec3,
+                      children_window: int):
+    """Exact per-collidable ray tests (all registered shape types + compound/mesh child
+    pools). ``pos``/``orn``/``shape`` are per-collidable arrays of any trailing shape
+    that broadcasts against the ray components in ``o_b``/``d_b`` — (N,) for the
+    all-bodies pass, (R, K) for the pruned candidate pass. Returns (t, n_local) with
+    t = +inf at misses; the caller applies liveness/max-t filtering and the min-t
+    reduction."""
+    shape_id = jnp.maximum(shape, 0)
+    stype = jnp.where(shape >= 0, shapes.type[shape_id], -1)
     params = shapes.params[shape_id]
 
     # Transform ray into each body's local frame.
-    rel = o_b - state.pos
-    local_o = state.orn.rotate_inverse(rel)
-    local_d = state.orn.rotate_inverse(d_b)
+    rel = o_b - pos
+    local_o = orn.rotate_inverse(rel)
+    local_d = orn.rotate_inverse(d_b)
 
     results = []
     t_sph, n_sph, h_sph = _ray_sphere(local_o, local_d, params[..., 0])
@@ -291,20 +282,87 @@ def ray_cast_all(
         t = jnp.where(closer, tc_best, t)
         n_local = n_best.where(closer, n_local)
 
+    return t, n_local
+
+
+def ray_cast_all(
+    state: BodyState, shapes: ShapeData, origin: Vec3, direction: Vec3, max_t,
+    exclude=None, children_window: int = 0, prune_k: int = 0,
+) -> RayHit:
+    """Cast ray(s) against every collidable; min-t reduction. ``origin``/``direction``
+    may be single vectors (scalar components) or batched (R,) components — broadcasting
+    produces an (R, N) test grid reduced over N. ``exclude``: optional body slot to skip
+    (a self-cast filter — the reference expresses this through IRayHitHandler.AllowTest,
+    Simulation_Queries.cs:35).
+
+    ``prune_k`` > 0 (batched rays only) enables the TPU analogue of BVH descent
+    (reference Trees/Tree_RayCast.cs:137, RayBatcher.cs:125): a cheap bounding-sphere
+    pass over all N ranks bodies by a conservative LOWER bound on their hit time, the
+    ``prune_k`` earliest candidates are gathered, and the expensive shape/child-pool
+    tests run on (R, K) instead of (R, N). For the closest-hit query this is exact
+    unless more than K bounding spheres start earlier than the true hit's lower bound —
+    i.e. exact in any scene that isn't K-deep along the ray corridor."""
+    n_bodies = state.pos.x.shape[0]
+    batched = jnp.ndim(origin.x) > 0
+    if batched:
+        o_b = Vec3(origin.x[:, None], origin.y[:, None], origin.z[:, None])
+        d_b = Vec3(direction.x[:, None], direction.y[:, None], direction.z[:, None])
+        max_t_b = jnp.asarray(max_t)[..., None] if jnp.ndim(max_t) > 0 else max_t
+    else:
+        o_b, d_b, max_t_b = origin, direction, max_t
+
     exists = state.exists & (state.shape >= 0)
     if exclude is not None:
         exists = exists & (jnp.arange(n_bodies) != exclude)
-    t = jnp.where(exists & (t <= max_t_b), t, _INF)
 
-    best = jnp.argmin(t, axis=-1)
-    if batched:
-        rows = jnp.arange(t.shape[0])
-        best_t = t[rows, best]
-        n_sel = Vec3(n_local.x[rows, best], n_local.y[rows, best], n_local.z[rows, best])
+    if prune_k and batched and prune_k < n_bodies:
+        # ---- phase 1: conservative entry times vs per-body bounding spheres.
+        r_bound = shapes.max_radius[jnp.maximum(state.shape, 0)]
+        rel = o_b - state.pos  # (R, N)
+        dd = jnp.maximum(d_b.dot(d_b), 1e-30)
+        d_len = jnp.sqrt(dd)
+        tproj = -rel.dot(d_b) / dd
+        tc = jnp.clip(tproj, 0.0, max_t_b)
+        closest = rel + d_b * tc
+        miss = closest.dot(closest) > (r_bound * r_bound)
+        # Lower bound on any hit t: sphere entry can't precede tproj - r/|d|.
+        entry = jnp.maximum(tproj - r_bound / d_len, 0.0)
+        entry = jnp.where(miss | ~exists, _INF, entry)
+        neg_entry, idx = jax.lax.top_k(-entry, prune_k)  # K earliest candidates
+        cand_live = neg_entry > -_INF
+
+        rows = jnp.arange(idx.shape[0])[:, None]
+        posK = Vec3(state.pos.x[idx], state.pos.y[idx], state.pos.z[idx])
+        ornK = Quat(state.orn.x[idx], state.orn.y[idx], state.orn.z[idx],
+                    state.orn.w[idx])
+        t, n_local = _cast_collidables(
+            posK, ornK, state.shape[idx], shapes, o_b, d_b, children_window
+        )
+        t = jnp.where(cand_live & (t <= max_t_b), t, _INF)
+        best_c = jnp.argmin(t, axis=-1)
+        best = idx[rows[:, 0], best_c]
+        best_t = t[rows[:, 0], best_c]
+        n_sel = Vec3(
+            n_local.x[rows[:, 0], best_c],
+            n_local.y[rows[:, 0], best_c],
+            n_local.z[rows[:, 0], best_c],
+        )
         orn_sel = state.orn[best]
     else:
-        best_t = t[best]
-        n_sel = Vec3(n_local.x[best], n_local.y[best], n_local.z[best])
+        t, n_local = _cast_collidables(
+            state.pos, state.orn, state.shape, shapes, o_b, d_b, children_window
+        )
+        t = jnp.where(exists & (t <= max_t_b), t, _INF)
+        best = jnp.argmin(t, axis=-1)
+        if batched:
+            rows = jnp.arange(t.shape[0])
+            best_t = t[rows, best]
+            n_sel = Vec3(
+                n_local.x[rows, best], n_local.y[rows, best], n_local.z[rows, best]
+            )
+        else:
+            best_t = t[best]
+            n_sel = Vec3(n_local.x[best], n_local.y[best], n_local.z[best])
         orn_sel = state.orn[best]
     world_n = orn_sel.rotate(n_sel)
     hit = best_t < _INF

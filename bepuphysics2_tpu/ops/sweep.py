@@ -830,13 +830,16 @@ WSEG_COLS = 128  # columns per segment (= windowing.GCOLS = windowing.BLK // L)
 NWIN = WSEG * WSEG_COLS  # window columns per slice
 
 
-def _win_view(V, seg_refs, s):
-    """Concatenate the slice's four 128-col window segments of V, a VALUE of shape
-    (rows, NCH). Mosaic needs the static lane-alignment proof (pl.multiple_of)."""
+def _win_view(ref, seg_refs, s, nrows):
+    """Concatenate the slice's four 128-col window segments of ref, shape (rows, NCH).
+    The reads go THROUGH the ref with a dynamic lane start: Mosaic has no value-level
+    dynamic_slice lowering inside cond branches on TPU (measured: NotImplementedError
+    at 16k bodies), but aligned dynamic-start ref loads lower fine — pl.multiple_of
+    supplies the 128-lane alignment proof."""
     parts = []
     for k in range(WSEG):
         ws = pl.multiple_of(jnp.maximum(seg_refs[k][s], 0), 128)
-        parts.append(jax.lax.dynamic_slice_in_dim(V, ws, WSEG_COLS, axis=1))
+        parts.append(ref[0:nrows, pl.ds(ws, WSEG_COLS)])
     return jnp.concatenate(parts, axis=1)
 
 
@@ -907,7 +910,7 @@ def _contact_sweep_win_kernel(
             jax.lax.broadcasted_iota(jnp.int32, (L, m2), 0) == lo_lane
         ).astype(jnp.float32)
 
-        win = _win_view(v_scratch[:], segs, s)  # (NVC*L, NWIN)
+        win = _win_view(v_scratch, segs, s, NVC * L)  # (NVC*L, NWIN)
         W = _mm3(win, oh_g)  # (NVC*L, 2SB)
         W3 = W.reshape(NVC, L, m2)
         G = jnp.sum(W3 * oh_lo[None, :, :], axis=1)  # (NVC, 2SB)
@@ -1211,10 +1214,10 @@ def _win_substeps_kernel(
     )
     ps = ps_ref[:]
 
-    def gather(rows):
-        win = _win_view(rows, segs, sl)
+    def gather(nr):
+        win = _win_view(SG, segs, sl, nr)
         W = _mm3(win, oh_g)
-        W3 = W.reshape(rows.shape[0] // L, L, m2)
+        W3 = W.reshape(nr // L, L, m2)
         return jnp.sum(W3 * oh_lo[None, :, :], axis=1)
 
     def scatter_deltas(dva_l, dva_a, dvb_l, dvb_a):
@@ -1232,7 +1235,7 @@ def _win_substeps_kernel(
         return [blk[k] for k in range(4)]
 
     def sides16():
-        G = gather(SG[:])
+        G = gather(SG.shape[0])
         ga = G[:, :sb]
         gb = G[:, sb:]
         sa = scale2[:sb]
@@ -1248,7 +1251,7 @@ def _win_substeps_kernel(
     # ---- phase 0: incremental depth update (substeps > 0)
     @pl.when((p == 0) & (s > 0) & live)
     def _():
-        Gv = gather(SG[0 : 8 * L, :])
+        Gv = gather(8 * L)
         va = BodyVel(Vec3(Gv[0, :sb], Gv[1, :sb], Gv[2, :sb]),
                      Vec3(Gv[3, :sb], Gv[4, :sb], Gv[5, :sb]))
         vb = BodyVel(Vec3(Gv[0, sb:], Gv[1, sb:], Gv[2, sb:]),

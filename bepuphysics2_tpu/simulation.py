@@ -842,11 +842,16 @@ class Simulation:
             self._host.wx[handle], self._host.wy[handle], self._host.wz[handle] = angular
 
     # --- queries -----------------------------------------------------------------------
-    def ray_cast(self, origin, direction, max_t: float = 1.0e30, exclude: int = None):
+    def ray_cast(self, origin, direction, max_t: float = 1.0e30, exclude: int = None,
+                 prune_k: int = 0):
         """Scene ray cast (reference Simulation.RayCast, Simulation_Queries.cs:167).
         ``origin``/``direction``: 3-tuples or (R,3) arrays for batched rays.
         ``exclude``: body handle to skip (self-cast filter; reference
-        IRayHitHandler.AllowTest). Returns RayHit(hit, t, body, normal)."""
+        IRayHitHandler.AllowTest). ``prune_k``: batched rays only — test only the K
+        bounding-sphere candidates with the earliest conservative entry along each ray
+        instead of all N bodies (the BVH-descent analogue, Trees/Tree_RayCast.cs:137;
+        exact unless >K candidates precede the true hit). 0 = exact full pass.
+        Returns RayHit(hit, t, body, normal)."""
         import numpy as _np
 
         if self._dirty:
@@ -874,7 +879,7 @@ class Simulation:
         return ray_cast_all(
             self._state.bodies, self.shapes.device(), ov, dv, jnp.float32(max_t),
             exclude=None if exclude is None else jnp.int32(exclude),
-            children_window=cw,
+            children_window=cw, prune_k=prune_k,
         )
 
     def state_hash(self) -> int:

@@ -52,6 +52,25 @@ def test_batched_rays():
     assert int(np.asarray(hit.body)[1]) == handles["box"]
 
 
+def test_pruned_raycast_matches_full():
+    """prune_k (top-K bounding-sphere candidate pass, the BVH-descent analogue —
+    reference Trees/Tree_RayCast.cs:137) must agree with the exact full pass whenever
+    K covers the ray corridor: same hit body, t, and normal."""
+    sim, handles = make_scene()
+    origins = np.array(
+        [[0, 5, 0], [3, 5, 0], [6, 5, 0], [9, 5, 0], [50, 5, 0]], np.float32
+    )
+    dirs = np.tile(np.array([[0, -1, 0]], np.float32), (5, 1))
+    full = sim.ray_cast(origins, dirs, 10.0)
+    pruned = sim.ray_cast(origins, dirs, 10.0, prune_k=3)
+    assert list(np.asarray(full.hit)) == list(np.asarray(pruned.hit))
+    assert list(np.asarray(full.body)) == list(np.asarray(pruned.body))
+    np.testing.assert_allclose(np.asarray(full.t), np.asarray(pruned.t), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(full.normal.y), np.asarray(pruned.normal.y), rtol=1e-5
+    )
+
+
 def test_box_query_and_sweep():
     sim, handles = make_scene()
     found = sim.box_query((-1, 0, -1), (4, 2, 1))

@@ -79,10 +79,12 @@ def main():
     # count; `overflow` in the diagnostics would flag any capacity breach honestly.
     if SCENARIO != "ragdoll_tube" and os.environ.get("BENCH_ADAPTIVE", "1") == "1":
         live_pairs = int(sim.last_diag.pair_count)
-        # 12x the warmup count: the pile keeps developing contacts through the timed
-        # window (measured at 4k: 1,648 pairs at step 33 grows to ~16.5k by step 129 —
-        # ~10x; 9x with a 4N cap saturated the bank and tripped overflow_src=4|1).
-        target = max(12 * live_pairs, N_BODIES, 4096)
+        # 12x the warmup count with a 4N floor: the pile keeps developing contacts
+        # through the timed window (measured: 4k grows 1,648 pairs at step 33 -> ~16.5k
+        # by step 129 = 4.0/body; 16k reached >=37k = 2.3+/body and tripped
+        # overflow_src=7 under a 12x-only target — deeper piles are still collapsing
+        # at warmup, so warmup count alone under-predicts demand).
+        target = max(12 * live_pairs, 4 * N_BODIES, 4096)
         target = min(target, 6 * N_BODIES)
         if target < sim.config.max_pairs:
             sim.reconfigure(max_pairs=target)

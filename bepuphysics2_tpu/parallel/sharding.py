@@ -38,31 +38,49 @@ def make_mesh(n_devices: int | None = None, axis: str = "world"):
 def batched_step_fn(config: SimConfig, mesh: Mesh, axis: str = "world"):
     """Returns a jitted function stepping a BATCH of independent simulations, with the
     batch axis sharded over ``mesh``. All pytree leaves of the batched SimState carry a
-    leading batch dimension."""
+    leading batch dimension (batch must divide by the mesh size).
 
-    def _step(states: SimState, shapes, joint_banks, dt):
-        return jax.vmap(lambda s: step(s, shapes, joint_banks, dt, config))(states)
+    Execution shape: ``shard_map`` over the batch axis with a ``lax.scan`` over each
+    device's local worlds — the compiled body is the plain single-world step. (A vmapped
+    step is semantically identical but lowers batched scatters/sorts whose XLA:CPU
+    compile cost is ~9x the unbatched program — the round-4 dryrun-timeout regression;
+    on TPU the scan also avoids batching overhead in the one-world-per-device case.)"""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
-    batch_sharding = jax.tree_util.tree_map(
-        lambda _: NamedSharding(mesh, P(axis)), 0
+    def _local(states: SimState, shapes, joint_banks, dt):
+        def body(_, s):
+            s2, diag = step(s, shapes, joint_banks, dt, config)
+            return None, (s2, diag)
+
+        _, (out, diags) = jax.lax.scan(body, None, states)
+        return out, diags
+
+    specs = dict(
+        mesh=mesh,
+        in_specs=(P(axis), P(), P(), P()),  # states batch-sharded; rest replicated
+        out_specs=P(axis),
     )
-    return jax.jit(
-        _step,
-        in_shardings=(
-            NamedSharding(mesh, P(axis)),  # states: batch axis sharded
-            NamedSharding(mesh, P()),  # shapes replicated
-            NamedSharding(mesh, P()),  # joint banks replicated
-            NamedSharding(mesh, P()),
-        ),
-        out_shardings=(NamedSharding(mesh, P(axis)), NamedSharding(mesh, P(axis))),
-    )
+    try:
+        fn = shard_map(_local, check_vma=False, **specs)
+    except TypeError:  # older jax spelling
+        fn = shard_map(_local, check_rep=False, **specs)
+    return jax.jit(fn)
 
 
-def replicate_state(state: SimState, batch: int) -> SimState:
-    """Tile a single-world state into a batch (for batched stepping)."""
-    return jax.tree_util.tree_map(
+def replicate_state(state: SimState, batch: int, mesh: Mesh = None, axis: str = "world"):
+    """Tile a single-world state into a batch (for batched stepping). When ``mesh`` is
+    given, the batch axis is placed sharded over it — matching batched_step_fn's output
+    sharding, so the first call compiles the same program as the steady state."""
+    out = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x[None], (batch,) + x.shape), state
     )
+    if mesh is not None:
+        sh = NamedSharding(mesh, P(axis))
+        out = jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), out)
+    return out
 
 
 def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str = "world"):
@@ -145,8 +163,12 @@ def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str
                 jnp.sum(prestep.contact_mask & prestep.valid[:, None]), axis
             ),
             overflow=jax.lax.psum(pairs.overflow.astype(jnp.int32), axis) > 0,
-            overflow_src=jax.lax.psum(
-                jnp.where(pairs.overflow, jnp.int32(1), jnp.int32(0)), axis
+            # Collapse the psum COUNT to the broad-phase bit (bit 1) — a raw psum of
+            # 0/1 indicators would read as a different overflow source (bit 2 = solver,
+            # bit 4 = store) whenever 2 or 4 shards overflowed.
+            overflow_src=jnp.where(
+                jax.lax.psum(pairs.overflow.astype(jnp.int32), axis) > 0,
+                jnp.int32(1), jnp.int32(0),
             ),
         )
         # Sharded path requires enable_sleep=False; the sleep banks pass through.

@@ -35,14 +35,13 @@ def main():
         metric = f"steps_per_sec_{N_RAGDOLLS}_ragdoll_tube"
     else:
         # Solver settings match the reference benchmark (ShapePileBenchmark.cs:106 uses
-        # SolveDescription(4, 1): 4 substeps, 1 velocity iteration). Capacities: the whole
-        # pipeline cost scales with max_pairs (measured ~linear), so the bank is sized to
-        # the measured peak demand (12.3k pairs at 4k bodies settling = 3N) + headroom,
-        # with tight color buckets (capacity-aware coloring keeps them exact) and a
-        # decoupled Jacobi slice; overflow stays False throughout the run.
+        # SolveDescription(4, 1): 4 substeps, 1 velocity iteration). Initial capacities
+        # are a generous N-derived ceiling (the deep-pile collapse peaks >5 pairs/body
+        # at 16k); Simulation.autosize below re-derives every capacity from MEASURED
+        # demand (the engine's demand counters), replacing per-scene hand knobs.
         sim, config = _build_pile_sim(
             body_capacity=N_BODIES + 64,
-            max_pairs=max(6 * N_BODIES, 4096),
+            max_pairs=max(8 * N_BODIES, 4096),
             substeps=4,
             num_colors=8,
             n_bodies=N_BODIES,
@@ -51,9 +50,6 @@ def main():
 
     sim.config = dataclasses.replace(
         sim.config, color_cap_factor=1.0, jacobi_cap_factor=0.3, color_rounds=1,
-        # Pile impact admits >2k pairs/frame into the persistent store; the default
-        # churn cap (cap//8) tripped overflow_src=4 at 4k. Measured: 4096 clears it.
-        store_churn=4096,
     )
     sim._dirty = True
 
@@ -72,25 +68,17 @@ def main():
     sim.run(33, dt)
     sync()
 
-    # Right-size pair capacity to live demand (Simulation.reconfigure — the reference
-    # allocates TypeBatches to actual constraint counts; fixed-shape XLA pays for
-    # CAPACITY in every stage, so an oversized bank taxes the whole pipeline). The
-    # timed window still grows contacts, so leave generous headroom over the warmup
-    # count; `overflow` in the diagnostics would flag any capacity breach honestly.
-    if SCENARIO != "ragdoll_tube" and os.environ.get("BENCH_ADAPTIVE", "1") == "1":
-        live_pairs = int(sim.last_diag.pair_count)
-        # 12x the warmup count with a 4N floor: the pile keeps developing contacts
-        # through the timed window (measured: 4k grows 1,648 pairs at step 33 -> ~16.5k
-        # by step 129 = 4.0/body; 16k reached >=37k = 2.3+/body and tripped
-        # overflow_src=7 under a 12x-only target — deeper piles are still collapsing
-        # at warmup, so warmup count alone under-predicts demand).
-        target = max(12 * live_pairs, 4 * N_BODIES, 4096)
-        target = min(target, 6 * N_BODIES)
-        if target < sim.config.max_pairs:
-            sim.reconfigure(max_pairs=target)
-            # Compile the resized chunk+single-step programs before the timed window.
-            sim.run(33, dt)
-            sync()
+    # Demand-driven sizing (Simulation.autosize): probe, read the engine's demand
+    # counters, reconfigure to demand x headroom, repeat while overflowing. The timed
+    # window still grows contacts, so the probe runs deeper into the collapse first
+    # and headroom stays generous; `overflow` in the output flags any breach honestly.
+    if os.environ.get("BENCH_ADAPTIVE", "1") == "1":
+        sim.run(31, dt)  # deeper into the collapse: demand keeps growing post-warmup
+        sync()
+        out = sim.autosize(dt, probe_steps=32, headroom=2.0)
+        # Compile the resized chunk+single-step programs before the timed window.
+        sim.run(33, dt)
+        sync()
 
     t0 = time.perf_counter()
     sim.run(STEPS, dt)
@@ -112,6 +100,11 @@ def main():
                 # 4=pair store, 8=compound children, 16/32=sleep retention).
                 "overflow_src": int(getattr(sim.last_diag, "overflow_src", 0)),
                 "pairs": int(sim.last_diag.pair_count),
+                # Peak demand counters of the timed window (StepDiagnostics.demand):
+                # [bp pairs, grid entries, grid large, admits, live, jacobi, wide, dead]
+                "demand": [int(x) for x in sim.last_diag.demand]
+                if sim.last_diag.demand is not None else None,
+                "max_pairs": int(sim.config.max_pairs),
             }
         )
     )

@@ -189,7 +189,18 @@ def _raycast_micro(rng, nb=None, n_rays=128):
     pruned = jax.jit(functools.partial(ray_cast_all, max_t=30.0, prune_k=64))
     h_full = full(state, shapes, o, d)
     h_pruned = pruned(state, shapes, o, d)
-    agree = int(np.sum(np.asarray(h_full.body) == np.asarray(h_pruned.body)))
+    # Full agreement = same hit flag, same body, AND matching t (a pruned pass that
+    # returns the right body with a wrong t, or flips hit/miss vs max_t, must not
+    # count as agreeing). Also report how many rays saturated the K budget (possibly
+    # inexact by construction — collision/raycast.py RayHit.saturated).
+    hf, hp = np.asarray(h_full.hit), np.asarray(h_pruned.hit)
+    agree = int(np.sum(
+        (hf == hp)
+        & (np.asarray(h_full.body) == np.asarray(h_pruned.body))
+        & np.isclose(np.asarray(h_full.t), np.asarray(h_pruned.t), rtol=1e-5,
+                     atol=1e-5)
+    ))
+    saturated = int(np.sum(np.asarray(h_pruned.saturated)))
     for name, fn in (("raycast_full_64k", full), ("raycast_pruned_k64_64k", pruned)):
         t0 = time.perf_counter()
         for _ in range(REPS):
@@ -198,7 +209,7 @@ def _raycast_micro(rng, nb=None, n_rays=128):
         us = (time.perf_counter() - t0) / REPS * 1e6
         print(json.dumps({
             "micro": name, "batch": n_rays, "bodies": nb,
-            "us_per_call": round(us, 2), "agree": agree,
+            "us_per_call": round(us, 2), "agree": agree, "saturated": saturated,
         }))
 
 

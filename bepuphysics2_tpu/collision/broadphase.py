@@ -32,6 +32,17 @@ class PairList(NamedTuple):
     b: jnp.ndarray  # (MPAIR,) int32
     valid: jnp.ndarray  # (MPAIR,) bool
     overflow: jnp.ndarray  # () bool — candidate count exceeded capacity
+    # (4,) int32 TRUE demand counters (pre-clamp), the inputs of demand-driven sizing
+    # (reference SimulationAllocationSizes sizing-from-live-counts):
+    # [candidate pairs, grid entries, grid large set, max per-row candidates].
+    demand: jnp.ndarray = None
+
+
+def _demand(pairs=0, entries=0, large=0, max_row=0):
+    return jnp.stack([
+        jnp.asarray(pairs, jnp.int32), jnp.asarray(entries, jnp.int32),
+        jnp.asarray(large, jnp.int32), jnp.asarray(max_row, jnp.int32),
+    ])
 
 
 def _pair_filter(kind, awake, group):
@@ -101,7 +112,8 @@ def brute_force(
     overflow = (count > max_pairs) | jnp.any(row_counts > k)
     # Row index is the larger body (lower-triangle mask); report pairs as (a < b).
     return PairList(
-        bi.astype(jnp.int32), ai.astype(jnp.int32), valid, overflow
+        bi.astype(jnp.int32), ai.astype(jnp.int32), valid, overflow,
+        _demand(pairs=jnp.sum(row_counts), max_row=jnp.max(row_counts)),
     )
 
 
@@ -146,6 +158,7 @@ def brute_force_rows(
         (ai.astype(jnp.int32) + row_start).astype(jnp.int32),
         valid,
         count > max_pairs,
+        _demand(pairs=count),
     )
 
 
@@ -223,7 +236,10 @@ def sweep(aabb_min: Vec3, aabb_max: Vec3, kind, awake, group, max_pairs: int, wi
     b = jnp.maximum(orig_i, orig_j).astype(jnp.int32)
     valid = jnp.arange(max_pairs) < count
     overflow = (count > max_pairs) | overflow_window | jnp.any(row_counts > k)
-    return PairList(a, b, valid, overflow)
+    return PairList(
+        a, b, valid, overflow,
+        _demand(pairs=jnp.sum(row_counts), max_row=jnp.max(row_counts)),
+    )
 
 def grid2(
     aabb_min: Vec3,
@@ -428,7 +444,14 @@ def grid2(
         (count > max_pairs) | overflow_entries | overflow_window | overflow_rowk
         | (large_count > max_large) | overflow_lk
     )
-    return PairList(a, b, valid, overflow)
+    return PairList(
+        a, b, valid, overflow,
+        _demand(
+            pairs=jnp.sum(row_counts) + jnp.sum(lrow_counts),
+            entries=entry_count, large=large_count,
+            max_row=jnp.maximum(jnp.max(row_counts), jnp.max(lrow_counts)),
+        ),
+    )
 
 
 def _round_up_int(x: int, mult: int) -> int:
@@ -617,4 +640,8 @@ def grid(
         (count > max_pairs) | overflow_cell | (large_count > max_large)
         | jnp.any(row_counts > KP)
     )
-    return PairList(a, b, valid, overflow)
+    return PairList(
+        a, b, valid, overflow,
+        _demand(pairs=jnp.sum(row_counts), large=large_count,
+                max_row=jnp.max(row_counts)),
+    )

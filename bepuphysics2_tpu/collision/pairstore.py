@@ -148,11 +148,13 @@ def update(
     """One frame of store maintenance: retire separated pairs, admit new broad-phase
     pairs (with color + page slot assignment), and retry colors for Jacobi rows.
 
-    Returns (store', overflow). Deferred work is never wrong: a dead row past dead_cap
-    retires next frame (its manifold is empty meanwhile), a new pair past churn_cap
-    enters next frame (the candidate list re-emits it), a Jacobi row past repair_cap
-    keeps mass-split solving. ``overflow`` flags only real capacity losses (slot/hash
-    exhaustion)."""
+    Returns (store', overflow, demand). Deferred work is never wrong: a dead row past
+    dead_cap retires next frame (its manifold is empty meanwhile), a new pair past
+    churn_cap enters next frame (the candidate list re-emits it), a Jacobi row past
+    repair_cap keeps mass-split solving. ``overflow`` flags only real capacity losses
+    (slot/hash exhaustion). ``demand`` is a (3,) int32 vector of TRUE per-frame demand
+    [admissions, retirements, live rows] for demand-driven sizing
+    (reference SimulationAllocationSizes / Solver TypeBatch growth-from-counts)."""
     B = store.capacity
     NB = kind.shape[0]
     C = num_colors
@@ -172,6 +174,7 @@ def update(
         [
             aabb_min.x, aabb_min.y, aabb_min.z, aabb_max.x, aabb_max.y, aabb_max.z,
             kind.astype(jnp.float32), group.astype(jnp.float32),
+            ((kind == KIND_DYNAMIC) & awake).astype(jnp.float32),
         ],
         -1,
     )
@@ -192,6 +195,9 @@ def update(
         & ((ka == KIND_DYNAMIC) | (kb == KIND_DYNAMIC))
         & ((ga != gb) | (ga == 0))
     )
+    # Row activity (an awake dynamic endpoint) rides the SAME side gathers — a separate
+    # post-update awake[a]|awake[b] pass cost two more capacity-sized gathers.
+    row_awake = (ra[:, 8] > 0) | (rb[:, 8] > 0)
     dead = store.live & ~ok
     dsel, _, _ = _compact(dead, dead_cap)  # spill retires next frame — harmless
     dsel_c = jnp.minimum(dsel, B - 1)
@@ -476,7 +482,17 @@ def update(
         ht_slot=ht_s2.reshape(hb, LANES),
         page_color=page_color_new,
     )
-    return store2, overflow
+    demand = jnp.stack([
+        jnp.sum(new).astype(jnp.int32),
+        jnp.sum(dead).astype(jnp.int32),
+        jnp.sum(live2).astype(jnp.int32),
+    ])
+    # Per-slot activity after the write phase: admitted rows are active by construction
+    # (the broad phase only emits pairs with an awake dynamic endpoint); moved repair
+    # rows carry their old slot's activity.
+    act_new = jnp.where(is_new, True, row_awake[old_c])
+    active_out = live2 & row_awake.at[w].set(act_new, mode="drop")
+    return store2, overflow, demand, active_out
 
 
 def exec_order(store: PairStore, num_colors: int):

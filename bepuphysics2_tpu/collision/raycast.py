@@ -41,6 +41,11 @@ class RayHit(NamedTuple):
     t: jnp.ndarray  # distance along (unnormalized) direction
     body: jnp.ndarray  # int32 body slot (-1 = miss)
     normal: Vec3  # world-space surface normal at hit
+    # prune_k mode only (None otherwise): True where the K-candidate budget saturated
+    # with the K-th candidate's conservative entry bound <= the returned t — i.e. an
+    # unexamined body COULD hit earlier; the result may not be the true closest hit.
+    # Callers needing exactness re-cast those rays with prune_k=0.
+    saturated: jnp.ndarray = None
 
 
 def _ray_sphere(o: Vec3, d: Vec3, radius):
@@ -348,6 +353,13 @@ def ray_cast_all(
             n_local.z[rows[:, 0], best_c],
         )
         orn_sel = state.orn[best]
+        # Saturation signal: the K-th (latest-entry) candidate was live AND its entry
+        # lower bound precedes the found t — an unexamined body could be closer. When
+        # the K-th entry exceeds best_t (or the budget wasn't filled), the pruned
+        # result is provably the exact closest hit.
+        mt = max_t_b[..., 0] if jnp.ndim(max_t_b) > 0 else jnp.asarray(max_t, jnp.float32)
+        best_t_cmp = jnp.minimum(t[rows[:, 0], best_c], mt)
+        saturated = cand_live[:, -1] & (-neg_entry[:, -1] <= best_t_cmp)
     else:
         t, n_local = _cast_collidables(
             state.pos, state.orn, state.shape, shapes, o_b, d_b, children_window
@@ -364,6 +376,7 @@ def ray_cast_all(
             best_t = t[best]
             n_sel = Vec3(n_local.x[best], n_local.y[best], n_local.z[best])
         orn_sel = state.orn[best]
+        saturated = None  # full pass: exact by construction
     world_n = orn_sel.rotate(n_sel)
     hit = best_t < _INF
     return RayHit(
@@ -371,4 +384,5 @@ def ray_cast_all(
         t=jnp.where(hit, best_t, jnp.asarray(max_t, jnp.float32)),
         body=jnp.where(hit, best.astype(jnp.int32), -1),
         normal=world_n.where(hit, Vec3.zeros(hit.shape)),
+        saturated=saturated,
     )

@@ -790,6 +790,47 @@ def pack_contact_prestep(ps, springiness):
     return jnp.stack(rows)
 
 
+def pack_contact_prestep_cols(ps, springiness):
+    """Column-stacked (B, PS_ROWS) variant of pack_contact_prestep.
+
+    Row-major packing exists so the WHOLE prestep can ride one wide row
+    gather/scatter through the per-step relayouts (page-exec permutation, windowed
+    scatter) instead of ~30 separate capacity-sized passes — at 16k bodies those
+    passes WERE the step (profiled ~1.2-1.6 ms each on v5e). ``matrix.T`` of the
+    final layout yields exactly pack_contact_prestep's (PS_ROWS, B) kernel feed."""
+    err_vel, cfm, soft = springiness
+    cols = [
+        ps.normal.x, ps.normal.y, ps.normal.z,
+        ps.offset_a.x[:, 0], ps.offset_a.x[:, 1], ps.offset_a.x[:, 2], ps.offset_a.x[:, 3],
+        ps.offset_a.y[:, 0], ps.offset_a.y[:, 1], ps.offset_a.y[:, 2], ps.offset_a.y[:, 3],
+        ps.offset_a.z[:, 0], ps.offset_a.z[:, 1], ps.offset_a.z[:, 2], ps.offset_a.z[:, 3],
+        ps.offset_b.x, ps.offset_b.y, ps.offset_b.z,
+        ps.depth[:, 0], ps.depth[:, 1], ps.depth[:, 2], ps.depth[:, 3],
+        ps.contact_mask[:, 0].astype(jnp.float32),
+        ps.contact_mask[:, 1].astype(jnp.float32),
+        ps.contact_mask[:, 2].astype(jnp.float32),
+        ps.contact_mask[:, 3].astype(jnp.float32),
+        ps.friction,
+        err_vel, cfm, soft,
+        ps.max_recovery_velocity,
+        ps.valid.astype(jnp.float32),
+    ]
+    return jnp.stack(cols, axis=-1)
+
+
+def pack_contact_impulses_cols(imp):
+    """Column-stacked (B, IMP_ROWS) variant of pack_contact_impulses."""
+    z = jnp.zeros_like(imp.twist)
+    return jnp.stack(
+        [
+            imp.penetration[:, 0], imp.penetration[:, 1],
+            imp.penetration[:, 2], imp.penetration[:, 3],
+            imp.tangent.x, imp.tangent.y, imp.twist, z,
+        ],
+        axis=-1,
+    )
+
+
 def pack_contact_impulses(imp):
     """Row-major ContactImpulses -> (IMP_ROWS, B)."""
     z = jnp.zeros_like(imp.twist)

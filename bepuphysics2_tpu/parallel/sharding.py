@@ -152,7 +152,7 @@ def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str
             )
             for name in joint_banks
         }
-        new_bodies, imps, joint_imps, _, ccolors, jcolors = solve_all(
+        new_bodies, imps, joint_imps, _, ccolors, jcolors, _sdem = solve_all(
             bodies, [(prestep, imp, pcolor)], banks, config.integrator,
             config.solve_config(), dt, axis_name=axis,
         )
@@ -169,6 +169,9 @@ def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str
             overflow_src=jnp.where(
                 jax.lax.psum(pairs.overflow.astype(jnp.int32), axis) > 0,
                 jnp.int32(1), jnp.int32(0),
+            ),
+            demand=jnp.concatenate(
+                [jax.lax.psum(pairs.demand, axis), jnp.zeros(4, jnp.int32)]
             ),
         )
         # Sharded path requires enable_sleep=False; the sleep banks pass through.
@@ -206,7 +209,8 @@ def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str
         out_specs = (
             state_specs(state),
             StepDiagnostics(
-                pair_count=rep, contact_count=rep, overflow=rep, overflow_src=rep
+                pair_count=rep, contact_count=rep, overflow=rep, overflow_src=rep,
+                demand=rep,
             ),
         )
         # check_vma (new name) / check_rep (old): the per-device color slices are

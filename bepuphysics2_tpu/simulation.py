@@ -105,6 +105,9 @@ class SimConfig:
     store_churn: int = 0
     store_dead: int = 0
     store_repair: int = 0
+    # Windowed-solver wide-row capacity (solver/solve.py SolveConfig.wide_cap_rows);
+    # 0 = auto (bank/8). Derived from measured demand by Simulation.autosize.
+    wide_cap_rows: int = 0
 
     def store_layout(self):
         """(capacity, page) for the pair store — capacity = max_pairs rounded to pages."""
@@ -130,6 +133,7 @@ class SimConfig:
             jacobi_cap_factor=self.jacobi_cap_factor,
             color_rounds=self.color_rounds,
             backend=self.solver_backend,
+            wide_cap_rows=self.wide_cap_rows,
         )
 
 
@@ -160,6 +164,17 @@ class StepDiagnostics(NamedTuple):
     # 8=compound children, 16=sleep retention, 32=compound sleep retention. Lets a
     # sizing pass (bench.py, tests) report WHAT to grow instead of a bare bool.
     overflow_src: jnp.ndarray = 0
+    # (8,) int32 TRUE demand counters (pre-clamp) — the measured inputs of
+    # demand-driven capacity derivation (Simulation.autosize; the reference sizes
+    # everything from live counts, SimulationAllocationSizes.cs):
+    # [0 broad-phase candidate pairs, 1 grid entries, 2 grid large set,
+    #  3 store admissions this frame, 4 store live rows, 5 solver Jacobi rows,
+    #  6 windowed wide rows, 7 store retirements].
+    demand: jnp.ndarray = None
+
+
+# Named indices into StepDiagnostics.demand.
+D_PAIRS, D_ENTRIES, D_LARGE, D_ADMIT, D_LIVE, D_JACOBI, D_WIDE, D_DEAD = range(8)
 
 
 # Donate the SimState buffers into step()/step_n(): the previous state is dead after the
@@ -289,13 +304,11 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
         )
 
         churn_cap, dead_cap, repair_cap = config.store_caps()
-        store, sovfl = pairstore.update(
+        store, sovfl, store_demand, active = pairstore.update(
             store, bodies.kind, bodies.awake, bodies.collision_group,
             aabb_min, aabb_max, pairs.a, pairs.b, pairs.valid, insertable,
             config.num_colors, ext_used, churn_cap, dead_cap, repair_cap,
         )
-        awake_dyn = (bodies.kind == KIND_DYNAMIC) & bodies.awake
-        active = store.live & (awake_dyn[store.body_a] | awake_dyn[store.body_b])
         prestep, imp, t_eval = narrow_phase_store(
             bodies, shapes, store, active, dt, present_types=present_types,
             max_ccd=config.max_ccd_pairs,
@@ -311,6 +324,7 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
             )
         pcolor = None
     else:
+        store_demand = jnp.zeros(3, jnp.int32)
         prestep, imp, pcolor, t_eval = narrow_phase(
             bodies, shapes, pairs, state.cache, dt, present_types=present_types,
             max_ccd=config.max_ccd_pairs, pairs_sorted=(method == "brute"),
@@ -348,32 +362,10 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
         for name in joint_banks
     }
     if use_store:
-        from .collision import pairstore
-
-        Bcap, page = config.store_layout()
-        P = Bcap // page
-        # Page-execution packing: pages sorted by color (Jacobi last). The permutation
-        # is PAGE-granular, so these gathers move whole page blocks at bandwidth —
-        # this replaces the per-row bucket packing of the legacy path.
-        perm, is_jac_pages, inv_perm = pairstore.exec_order(store, config.num_colors)
-
-        def _pg(x):
-            return x.reshape((P, page) + x.shape[1:])[perm].reshape(
-                (Bcap,) + x.shape[1:]
-            )
-
-        ps_exec = jax.tree_util.tree_map(_pg, prestep)
-        imp_exec = jax.tree_util.tree_map(_pg, imp)
-        jac_row = jnp.repeat(is_jac_pages, page)
-        jac_counts = pairstore.jacobi_counts(
-            store.body_a, store.body_b,
-            active & (store.color == config.num_colors),
-            config.body_capacity, max(128, Bcap // 8),
-        )
-        store_bank = dict(
-            ps=ps_exec, imp=imp_exec, page=page, jacobi=jac_row,
-            jac_counts=jac_counts, color=_pg(store.color),
-        )
+        # Raw slot-order store bank; the solver owns the execution layout (page-exec
+        # trees for the general paths, ONE packed move for the windowed fast path —
+        # solver/solve.py _solve_store_win_fast). Impulses come back in slot order.
+        store_bank = dict(store=store, ps=prestep, imp=imp, active=active)
         base_used = store.used
         contact_banks = []
     else:
@@ -382,19 +374,14 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
         contact_banks = [(prestep, imp, pcolor)]
     if has_compounds:
         contact_banks.append((cprestep, cimp, cpcolor))
-    bodies, imps, joint_imps, solver_overflow, ccolors, jcolors = solve_all(
+    bodies, imps, joint_imps, solver_overflow, ccolors, jcolors, solver_demand = solve_all(
         bodies, contact_banks, banks, config.integrator, config.solve_config(), dt,
         store_bank=store_bank, base_used=base_used,
     )
     if use_store:
-        # Impulses come back in page-exec order → one inverse page gather to slot
-        # order, then persist in place (next frame's warm start is row-local).
-        def _ipg(x):
-            return x.reshape((P, page) + x.shape[1:])[inv_perm].reshape(
-                (Bcap,) + x.shape[1:]
-            )
-
-        imp_slot = jax.tree_util.tree_map(_ipg, imps[0])
+        # Impulses return in SLOT order; persist in place (next frame's warm start
+        # is row-local).
+        imp_slot = imps[0]
         sleeping_row = store.live & ~active
         # Solver output persists only for rows that SOLVED this frame; sleeping rows
         # keep their banked impulses in place (they solved as invalid → zeros).
@@ -492,11 +479,23 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
             overflow = overflow | scovfl
             ovfl_src = ovfl_src | _src(scovfl, 32)
 
+    bp_demand = (
+        pairs.demand
+        if pairs.demand is not None
+        else jnp.zeros(4, jnp.int32)
+    )
     diag = StepDiagnostics(
         pair_count=jnp.sum(store.live) if use_store else jnp.sum(pairs.valid),
         contact_count=contact_count,
         overflow=overflow,
         overflow_src=ovfl_src,
+        demand=jnp.concatenate([
+            bp_demand[:3],  # 0-2: candidate pairs, grid entries, grid large
+            store_demand[0:1],  # 3: store admissions
+            store_demand[2:3],  # 4: store live rows
+            solver_demand,  # 5-6: jacobi rows, windowed wide rows
+            store_demand[1:2],  # 7: store retirements
+        ]),
     )
     return (
         SimState(
@@ -525,15 +524,21 @@ def step_n(state: SimState, shapes, joint_banks, dt, config: SimConfig, present_
     Returns (state', diagnostics-of-last-step with sticky overflow)."""
 
     def body(carry, _):
-        st, overflow, src = carry
+        st, overflow, src, peak = carry
         st, diag = _step_impl(st, shapes, joint_banks, dt, config, present_types)
-        return (st, overflow | diag.overflow, src | diag.overflow_src), diag
+        return (
+            st, overflow | diag.overflow, src | diag.overflow_src,
+            jnp.maximum(peak, diag.demand),
+        ), diag
 
-    (state, overflow, src), diags = jax.lax.scan(
-        body, (state, jnp.bool_(False), jnp.int32(0)), None, length=n
+    (state, overflow, src, peak), diags = jax.lax.scan(
+        body,
+        (state, jnp.bool_(False), jnp.int32(0), jnp.zeros(8, jnp.int32)),
+        None, length=n,
     )
     last = jax.tree_util.tree_map(lambda x: x[-1], diags)
-    return state, last._replace(overflow=overflow, overflow_src=src)
+    # Overflow flags are sticky; demand reports the PEAK over the window (sizing input).
+    return state, last._replace(overflow=overflow, overflow_src=src, demand=peak)
 
 
 class Simulation:
@@ -595,6 +600,67 @@ class Simulation:
                 store=new_store,
             )
         self._dirty = True
+
+    def autosize(self, dt: float = 1.0 / 60.0, probe_steps: int = 16,
+                 headroom: float = 2.0, max_rounds: int = 3) -> dict:
+        """Demand-driven capacity derivation (the reference sizes every structure from
+        live counts — SimulationAllocationSizes.cs, Solver TypeBatch growth). Probe-runs
+        the scene under the CURRENT config, reads the peak demand counters
+        (StepDiagnostics.demand), and reconfigures capacities to measured demand ×
+        ``headroom``. Repeats (growing) while any overflow bit is still set — deferred
+        work during an under-capacity probe is bounded, never wrong, so probing small is
+        safe. Returns {"demand": peak_vector, "overflow": bool, "rounds": n}.
+
+        This replaces per-scene hand tuning of max_pairs / store churn caps / grid
+        entry factors / windowed wide capacity; every fixed-shape stage costs capacity,
+        not live count, so right-sizing is the first-order cost lever on TPU."""
+        import numpy as _np
+
+        d = None
+        rounds = 0
+        for rounds in range(1, max_rounds + 1):
+            self.run(probe_steps, dt, chunk=probe_steps)
+            diag = self.last_diag
+            d = _np.asarray(diag.demand)
+            src = int(diag.overflow_src)
+            n = self.config.body_capacity
+
+            def up(x, mult=256, floor=512):
+                want = int(int(x) * headroom)
+                return max(floor, ((want + mult - 1) // mult) * mult)
+
+            new = {}
+            # Pair world (broad-phase candidates AND store slots share max_pairs).
+            want_pairs = up(max(d[D_PAIRS], d[D_LIVE]), 512, 1024)
+            if want_pairs != self.config.max_pairs:
+                new["max_pairs"] = want_pairs
+            # Store churn caps from measured admissions/retirements/Jacobi rows.
+            if self.config.use_pair_store:
+                new["store_churn"] = up(d[D_ADMIT], 128, 256)
+                new["store_dead"] = up(d[D_DEAD], 128, 256)
+                new["store_repair"] = up(d[D_JACOBI], 64, 128)
+            # Windowed wide rows (Morton-seam crossings).
+            new["wide_cap_rows"] = up(d[D_WIDE], 256, 256)
+            # Grid structures (only meaningful when the grid broad phase runs).
+            if d[D_ENTRIES] > 0:
+                new["grid_entry_factor"] = max(
+                    2, -(-int(d[D_ENTRIES] * headroom) // max(n, 1))
+                )
+            if d[D_LARGE] > 0:
+                new["grid_max_large"] = up(d[D_LARGE], 64, 64)
+            # Overflow with no measured headroom to grow into → double the tripped
+            # capacity (bit 8 = compound children, not demand-counted).
+            if src & 8:
+                new["max_compound_pairs"] = 2 * self.config.max_compound_pairs
+            changed = {
+                k: v for k, v in new.items() if v != getattr(self.config, k)
+            }
+            if changed:
+                self.reconfigure(**changed)
+            if not int(diag.overflow) or not changed:
+                break
+        return {"demand": d, "overflow": bool(int(self.last_diag.overflow)),
+                "rounds": rounds}
 
     def new_collision_group(self) -> int:
         """Fresh collision-group id: bodies sharing a nonzero group generate no contacts
@@ -851,7 +917,10 @@ class Simulation:
         bounding-sphere candidates with the earliest conservative entry along each ray
         instead of all N bodies (the BVH-descent analogue, Trees/Tree_RayCast.cs:137;
         exact unless >K candidates precede the true hit). 0 = exact full pass.
-        Returns RayHit(hit, t, body, normal)."""
+        Returns RayHit(hit, t, body, normal, saturated); in prune_k mode
+        ``saturated[r]`` flags rays whose K-budget filled with candidates entering
+        before the returned t — such results MAY not be the true closest hit; re-cast
+        those rays with prune_k=0 (or larger K) when exactness matters."""
         import numpy as _np
 
         if self._dirty:

@@ -85,6 +85,9 @@ class SolveConfig:
     # XLA elsewhere; "xla"/"pallas" force a path ("pallas" off-TPU runs the kernel in
     # interpreter mode — slow, for tests).
     backend: str = "auto"
+    # Windowed-kernel wide-row (Morton-seam) capacity. 0 = auto (bank/8); autosize
+    # derives it from the measured wide demand (StepDiagnostics.demand[D_WIDE]).
+    wide_cap_rows: int = 0
 
     def iterations_for(self, substep: int) -> int:
         if self.iteration_schedule is not None:
@@ -228,6 +231,148 @@ _U_IMPULSE = max(
 )
 
 
+def _solve_store_win_fast(state, store_bank, integrator_cfg, cfg, dt, interpret):
+    """Whole-solve fast path for store-only scenes above the full-width kernel's range:
+    slot-order prestep+impulses pack ONCE into a (B, 44) matrix, move ONCE into the
+    windowed layout, and the entire substepped solve runs as one Pallas program
+    (ops/sweep.py solve_substeps_contacts_win).
+
+    Why this exists: the general path moved ~30 separate capacity-sized leaves through
+    the page permutation and the windowed scatter every step — at 16k bodies those
+    relayout passes (~1.2-1.6 ms each on v5e) dominated the step, not the solve. One
+    wide row move costs the same as one narrow move on TPU (lane-dim ≤ 128), so the
+    packed matrix collapses ~45 passes into 3 (pack, scatter, unpack). The reference
+    identity: constraint data lives in its TypeBatch layout permanently and per-frame
+    cost is proportional to change (TypeBatch.cs:10, Solver_Solve.cs:297) — here the
+    slot-stable store is the permanent layout and this is its one-move execution view.
+    """
+    from ..collision import pairstore
+    from ..ops import sweep as psweep
+    from ..utils.spring import compute_springiness
+    from . import windowing
+
+    h = dt / cfg.substeps
+    inv_h = cfg.substeps / dt
+    C = cfg.num_colors
+    st = store_bank["store"]
+    sps = store_bank["ps"]
+    simp0 = store_bank["imp"]
+    active = store_bank["active"]
+    n_bodies = state.pos.x.shape[0]
+    B = st.capacity
+
+    # Mass-splitting valence for Jacobi rows (reference SequentialFallbackBatch.cs:37).
+    jac_slot = active & (st.color == C)
+    jac_counts = pairstore.jacobi_counts(
+        st.body_a, st.body_b, jac_slot, n_bodies, max(128, B // 8)
+    )
+    valence = jnp.maximum(jac_counts[:n_bodies], 1.0)
+    is_jac = st.color == C
+    sa = jnp.where(is_jac, valence[st.body_a], 1.0)
+    sb_scale = jnp.where(is_jac, valence[st.body_b], 1.0)
+
+    # ---- pack once (slot order): 32 prestep + 8 impulse + 2 scale columns.
+    fvalid = sps.valid.astype(jnp.float32)
+    psc = psweep.pack_contact_prestep_cols(sps, compute_springiness(sps.spring, h))
+    imc = psweep.pack_contact_impulses_cols(simp0) * fvalid[:, None]
+    M = jnp.concatenate([psc, imc, sa[:, None], sb_scale[:, None]], axis=-1)
+
+    # ---- windowed layout straight from slot order (grouping is by (color, block);
+    # input order is irrelevant, so the page-exec permutation is skipped entirely).
+    sb_w = 256
+    wide_cap = max(sb_w, _round_up(cfg.wide_cap_rows or B // 8, sb_w))
+    lay = windowing.body_layout(state.pos, state.kind)
+    rw = windowing.row_windows(
+        lay, st.body_a, st.body_b, sps.valid, st.color, C, sb_w, wide_cap
+    )
+    dest = rw["dest"]
+    bp = rw["bp"]
+    nsl = rw["n_slices"]
+    Mw_in = jnp.concatenate(
+        [M, rw["rel_a"][:, None].astype(jnp.float32),
+         rw["rel_b"][:, None].astype(jnp.float32)],
+        axis=-1,
+    )
+    Mw = windowing.scatter_rows(dest, bp, Mw_in)  # the ONE capacity-sized move
+
+    # Padding rows scattered as zero — their scales must read 1 (the kernel divides
+    # deltas by scale; real Jacobi scales are >= 1 so 0 unambiguously means padding).
+    sa_w = jnp.where(Mw[:, 40] == 0, 1.0, Mw[:, 40])
+    sbw_ = jnp.where(Mw[:, 41] == 0, 1.0, Mw[:, 41])
+    rel_a_w = Mw[:, 42].astype(jnp.int32)
+    rel_b_w = Mw[:, 43].astype(jnp.int32)
+
+    def _slice_major(xa, xb):
+        return jnp.concatenate(
+            [xa.reshape(nsl, sb_w), xb.reshape(nsl, sb_w)], axis=1
+        ).reshape(-1)
+
+    whi2 = _slice_major(rel_a_w // psweep.L, rel_b_w // psweep.L)
+    wlo2 = _slice_major(rel_a_w % psweep.L, rel_b_w % psweep.L)
+    wscale = _slice_major(sa_w, sbw_)
+    ps_t = Mw[:, :32].T
+    imp_t = Mw[:, 32:40].T
+
+    # ---- permuted body state + the one-kernel solve.
+    pos_slot = lay["pos_slot"]
+    slot_pos = lay["slot_pos"]
+    perm = lambda x: windowing.permute_rows(x, pos_slot)
+    lin_scale = (
+        (1.0 - integrator_cfg.linear_damping) ** h
+        if integrator_cfg.linear_damping
+        else 1.0
+    )
+    ang_scale = (
+        (1.0 - integrator_cfg.angular_damping) ** h
+        if integrator_cfg.angular_damping
+        else 1.0
+    )
+    gmask = (state.kind == KIND_DYNAMIC) & state.awake
+    li = state.inv_inertia
+    v6n_p, pos_p, orn_p, imp_out = psweep.solve_substeps_contacts_win(
+        perm(_vel_to6(state)),
+        Vec3(perm(state.pos.x), perm(state.pos.y), perm(state.pos.z)),
+        Quat(perm(state.orn.x), perm(state.orn.y), perm(state.orn.z),
+             perm(state.orn.w)),
+        perm(state.inv_mass),
+        Sym3(perm(li.xx), perm(li.yx), perm(li.yy), perm(li.zx), perm(li.zy),
+             perm(li.zz)),
+        perm(gmask), perm(state.integrable),
+        ps_t, imp_t, whi2, wlo2, wscale, rw["wseg"],
+        h, inv_h, lin_scale, ang_scale,
+        nch=lay["nch"], sb=sb_w, n_substeps=cfg.substeps,
+        n_iters=cfg.velocity_iterations,
+        angular_mode=integrator_cfg.angular_mode,
+        gravity=integrator_cfg.gravity,
+        interpret=interpret,
+    )
+    state = _vel_from6(
+        state._replace(
+            pos=Vec3(pos_p.x[slot_pos], pos_p.y[slot_pos], pos_p.z[slot_pos]),
+            orn=Quat(orn_p.x[slot_pos], orn_p.y[slot_pos], orn_p.z[slot_pos],
+                     orn_p.w[slot_pos]),
+        ),
+        v6n_p[slot_pos],
+    )
+    state = integrate_poses(state, integrator_cfg, h)
+
+    # ---- impulses back to SLOT order with one row gather. Wide-overflow rows
+    # (dest == sink) keep their incoming warm-start impulses, not zeros.
+    placed = dest < bp
+    imp_rows = jnp.where(
+        placed[:, None], imp_out.T[jnp.minimum(dest, bp - 1)], imc
+    )
+    imp_slot = simp0._replace(
+        penetration=imp_rows[:, :4],
+        tangent=simp0.tangent._replace(x=imp_rows[:, 4], y=imp_rows[:, 5]),
+        twist=imp_rows[:, 6],
+    )
+    demand = jnp.stack(
+        [jnp.sum(jac_slot).astype(jnp.int32), rw["wide_demand"].astype(jnp.int32)]
+    )
+    return state, [imp_slot], {}, rw["wide_overflow"], [], {}, demand
+
+
 def solve_all(
     state: BodyState,
     contact_banks,
@@ -314,10 +459,51 @@ def solve_all(
     )
     use_pallas = _pallas_capable and (
         n_bodies <= 8192 or cfg.backend == "pallas" or use_win
-    ) and (store_bank is None or use_win or store_bank["page"] % 128 == 0)
+    ) and (store_bank is None or use_win or store_bank["store"].page % 128 == 0)
     pallas_interpret = jax.default_backend() != "tpu"
     if use_pallas:
         from ..ops import sweep as psweep
+
+    # ---- Persistent-store execution views -----------------------------------------
+    # ``store_bank`` arrives RAW from the caller: dict(store=PairStore, ps=prestep,
+    # imp=impulses, active=mask), all in slot order. Store-only scenes above the
+    # full-width range take the one-packed-move fast path; every other store
+    # configuration derives the page-execution trees here (moved from simulation.py
+    # so the layout policy lives in one place).
+    inv_perm_pages = None
+    if store_bank is not None and bucketed:
+        from ..collision import pairstore as _pairstore
+
+        if (
+            use_win and use_pallas and not bank_names and not contact_banks
+            and cfg.iteration_schedule is None
+            and integrator_cfg.velocity_callback is None
+        ):
+            return _solve_store_win_fast(
+                state, store_bank, integrator_cfg, cfg, dt, pallas_interpret
+            )
+        _st = store_bank["store"]
+        _page = _st.page
+        _P = _st.n_pages
+        _B = _st.capacity
+        perm_pages, _is_jac_pages, inv_perm_pages = _pairstore.exec_order(_st, C)
+
+        def _pg(x):
+            return x.reshape((_P, _page) + x.shape[1:])[perm_pages].reshape(
+                (_B,) + x.shape[1:]
+            )
+
+        _active = store_bank["active"]
+        _jac_counts = _pairstore.jacobi_counts(
+            _st.body_a, _st.body_b, _active & (_st.color == C), n_bodies,
+            max(128, _B // 8),
+        )
+        store_bank = dict(
+            ps=jax.tree_util.tree_map(_pg, store_bank["ps"]),
+            imp=jax.tree_util.tree_map(_pg, store_bank["imp"]),
+            page=_page, jacobi=jnp.repeat(_is_jac_pages, _page),
+            jac_counts=_jac_counts, color=_pg(_st.color),
+        )
 
     def gather_global(x):
         """Concatenate a sharded per-constraint array across the mesh axis."""
@@ -465,6 +651,10 @@ def solve_all(
 
     # ---- Color-bucket layout per contact bank (single-chip path) -----------------------
     overflow = jnp.bool_(False)
+    # True demand counters for demand-driven sizing: [max Jacobi-slice rows across
+    # banks, windowed wide-row demand] (see Simulation.autosize).
+    jac_demand = jnp.int32(0)
+    wide_demand = jnp.int32(0)
     buckets = []
     cbank_in_jacobi = []
     if bucketed:
@@ -491,6 +681,7 @@ def solve_all(
             col = colors[f"__contacts{ci}__"]
             rnk = ranks[f"__contacts{ci}__"]
             jac = ps.valid & (col == C)
+            jac_demand = jnp.maximum(jac_demand, jnp.sum(jac))
             rank_j = jnp.cumsum(jac.astype(jnp.int32)) - 1
             kept_j = jac & (rank_j < jcap)
             overflow = overflow | jnp.any(jac & ~kept_j)
@@ -522,7 +713,9 @@ def solve_all(
             )
     else:
         for ci, (ps, _) in enumerate(contact_banks):
-            cbank_in_jacobi.append(ps.valid & (colors[f"__contacts{ci}__"] == C))
+            jm = ps.valid & (colors[f"__contacts{ci}__"] == C)
+            jac_demand = jnp.maximum(jac_demand, jnp.sum(jm))
+            cbank_in_jacobi.append(jm)
 
     # ---- Unified two-body joint bucket (single-chip path) ------------------------------
     # All two-body joint types' records interleave into ONE color-bucketed bank with a
@@ -565,6 +758,7 @@ def solve_all(
         )
         BU = ncap_u + jcap_u
         jac_u = u_valid & (u_color == C)
+        jac_demand = jnp.maximum(jac_demand, jnp.sum(jac_u))
         rank_ju = jnp.cumsum(jac_u.astype(jnp.int32)) - 1
         kept_ju = jac_u & (rank_ju < jcap_u)
         overflow = overflow | jnp.any(jac_u & ~kept_ju)
@@ -621,6 +815,7 @@ def solve_all(
     if store_bank is not None and bucketed:
         sps = store_bank["ps"]
         jrow = store_bank["jacobi"]
+        jac_demand = jnp.maximum(jac_demand, jnp.sum(jrow & sps.valid))
         a_s = sps.body_a
         b_s = sps.body_b
         sa_s = jnp.where(jrow, valence[a_s], 1.0)
@@ -634,7 +829,7 @@ def solve_all(
 
             sb_w = 256  # windowed slice rows
             Bs = a_s.shape[0]
-            wide_cap = max(sb_w, _round_up(Bs // 8, sb_w))
+            wide_cap = max(sb_w, _round_up(cfg.wide_cap_rows or Bs // 8, sb_w))
             lay = windowing.body_layout(state.pos, state.kind)
             rw = windowing.row_windows(
                 lay, a_s, b_s, sps.valid, store_bank["color"], C, sb_w, wide_cap
@@ -669,6 +864,7 @@ def solve_all(
                 sa=saw, sb=sbw, s2=jnp.concatenate([saw, sbw]),
             )
             solver_overflow_extra = rw["wide_overflow"]
+            wide_demand = rw["wide_demand"]
         else:
             sbk = dict(
                 pages=True, page=store_bank["page"], ps=sps, imp=simp,
@@ -1471,7 +1667,8 @@ def solve_all(
         return _solve_finalize_bucketed(
             state, imps_final, jimps_final, ju_imp_final, buckets, contact_banks,
             n_cbanks, ju, tb_names, joint_banks, joint_imps, overflow,
-            persist_c, persist_j,
+            persist_c, persist_j, jnp.stack([jac_demand, wide_demand]),
+            inv_perm_pages,
         )
 
     # Contact-only scenes on the Pallas backend take the whole-solve mega kernel: ONE
@@ -1638,41 +1835,51 @@ def solve_all(
 
     if bucketed:
         return _finalize(state, imps_final, jimps_final, ju_imp_final)
-    return state, list(imps_final), jimps_final, overflow, persist_c, persist_j
+    return (
+        state, list(imps_final), jimps_final, overflow, persist_c, persist_j,
+        jnp.stack([jac_demand, wide_demand]),
+    )
 
 
 def _solve_finalize_bucketed(
     state, imps_final, jimps_final, ju_imp_final, buckets, contact_banks, n_cbanks,
     ju, tb_names, joint_banks, joint_imps, overflow, persist_c, persist_j,
+    solver_demand, inv_perm_pages=None,
 ):
     """Bucket-order impulses → original bank order (warm-start persistence).
 
     Each bank's ``pos`` (original row → bucket position, sentinel B = dropped) is already
     known from bucket construction, so the unbucketing is ONE row gather per bank — the
-    previous sort-based inverse cost two 16k-element sorts per step (~0.9 ms at 4k)."""
+    previous sort-based inverse cost two 16k-element sorts per step (~0.9 ms at 4k).
+    Store buckets return SLOT-order impulses (inverse page gather applied here), so the
+    caller persists them in place with no layout knowledge."""
     if True:
+        def _ipg(x):
+            # page-exec order → slot order (page-granular inverse permutation).
+            P = inv_perm_pages.shape[0]
+            page = x.shape[0] // P
+            return x.reshape((P, page) + x.shape[1:])[inv_perm_pages].reshape(x.shape)
+
         imps_out = []
         n_store = sum(1 for bk in buckets if bk.get("pages") or bk.get("win"))
         for ci in range(len(buckets)):
             bk = buckets[ci]
             if bk.get("pages"):
-                # Store bank: stays in page-exec order; the caller maps it back to slot
-                # order with one page-granular inverse-permutation gather.
-                imps_out.append(imps_final[ci])
+                imps_out.append(jax.tree_util.tree_map(_ipg, imps_final[ci]))
                 continue
             if bk.get("win"):
-                # Windowed store bank: back to page-exec order via the dest gather.
-                # Wide-overflow rows (dest == sink) keep their incoming (warm-start)
-                # impulses — retained, not zeroed, matching the honest-caps pattern.
+                # Windowed store bank: back to page-exec order via the dest gather,
+                # then to slot order. Wide-overflow rows (dest == sink) keep their
+                # incoming (warm-start) impulses — retained, not zeroed.
                 w = bk["win"]
                 bp = w["bp"]
                 placed = w["dest"] < bp
                 dest_c = jnp.minimum(w["dest"], bp - 1)
                 imps_out.append(
                     jax.tree_util.tree_map(
-                        lambda orig_leaf, w_leaf: jnp.where(
+                        lambda orig_leaf, w_leaf: _ipg(jnp.where(
                             _bcast(placed, orig_leaf), w_leaf[dest_c], orig_leaf
-                        ),
+                        )),
                         bk["imp_orig"], imps_final[ci],
                     )
                 )
@@ -1706,12 +1913,12 @@ def _solve_finalize_bucketed(
         else:
             for name in tb_names:
                 joint_imps_out[name] = joint_imps[name]
-        return state, imps_out, joint_imps_out, overflow, persist_c, persist_j
+        return state, imps_out, joint_imps_out, overflow, persist_c, persist_j, solver_demand
 
 
 def solve_contacts(state, prestep, imp, integrator_cfg, cfg, dt):
     """Single-contact-bank entry (kept for tests / minimal configs)."""
-    state, imps, _, _, _, _ = solve_all(
+    state, imps, _, _, _, _, _ = solve_all(
         state, [(prestep, imp)], {}, integrator_cfg, cfg, dt
     )
     return state, imps[0]

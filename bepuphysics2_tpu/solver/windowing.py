@@ -155,10 +155,15 @@ def row_windows(lay, body_a, body_b, valid, color, num_colors: int, sb: int,
     NGn = (C + 1) * nblk  # narrow groups: (color incl. Jacobi, lowest block)
     NGw = (C + 1) * nblk * nblk  # wide groups: (color, blockA, blockB)
 
-    pa = lay["slot_pos"][body_a]
-    pb = lay["slot_pos"][body_b]
-    aa = lay["app_pos"][body_a]
-    ab = lay["app_pos"][body_b]
+    # One packed (NB, 2) table → one row gather per side (separate slot_pos/app_pos
+    # gathers cost ~1.4 ms EACH at 160k rows; width is free up to 128 lanes).
+    postab = jnp.stack([lay["slot_pos"], lay["app_pos"]], -1)
+    ga = postab[body_a]
+    gb = postab[body_b]
+    pa = ga[:, 0]
+    pb = gb[:, 0]
+    aa = ga[:, 1]
+    ab = gb[:, 1]
     a_app = aa >= 0
     b_app = ab >= 0
     sp_a = pa - G
@@ -280,6 +285,8 @@ def row_windows(lay, body_a, body_b, valid, color, num_colors: int, sb: int,
         rel_a=rel_a,
         rel_b=rel_b,
         wide_overflow=wide_overflow,
+        # True padded wide demand (rows, pre-cap) — demand-driven wide_cap sizing.
+        wide_demand=base_w[NGw],
     )
 
 

@@ -13,6 +13,8 @@ os.environ.setdefault("BEPUPHYSICS2_TPU_NO_CACHE", "1")
 # The CI box exposes ONE cpu core; at the default backend optimization level a single
 # full-step compile takes 10+ minutes there (LLVM time, not tracing). Level 1 compiles
 # the same program ~5x faster and the suite only checks correctness, not CPU speed.
+# (Level 0 compiles another ~35% faster but slows EXECUTION of the interpret-mode
+# Pallas equivalence tests past their former wall time — measured net loss.)
 # (Must be set before jax/xla initializes — appended, not overwritten.)
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_backend_optimization_level=1"

@@ -4,5 +4,6 @@ from .ragdoll import add_ragdoll
 from .cloth import add_cloth
 from .vehicle import SimpleCar
 from .character import Character
+from .tank import Tank
 
-__all__ = ["add_ragdoll", "add_cloth", "SimpleCar", "Character"]
+__all__ = ["add_ragdoll", "add_cloth", "SimpleCar", "Character", "Tank"]

@@ -231,11 +231,14 @@ _U_IMPULSE = max(
 )
 
 
-def _solve_store_win_fast(state, store_bank, integrator_cfg, cfg, dt, interpret):
-    """Whole-solve fast path for store-only scenes above the full-width kernel's range:
-    slot-order prestep+impulses pack ONCE into a (B, 44) matrix, move ONCE into the
-    windowed layout, and the entire substepped solve runs as one Pallas program
-    (ops/sweep.py solve_substeps_contacts_win).
+def _solve_store_fast(state, store_bank, integrator_cfg, cfg, dt, interpret,
+                      use_win: bool):
+    """Whole-solve fast path for store-only scenes: slot-order prestep+impulses pack
+    ONCE into a (B, 44) matrix, move ONCE into the execution layout, and the entire
+    substepped solve runs as one Pallas program. ``use_win`` picks the layout:
+    windowed (ops/sweep.py solve_substeps_contacts_win; above the full-width kernel's
+    ~8k-body routing range) or page-execution order for the full-width one-hot kernel
+    (solve_substeps_contacts; at most one page gather of the packed matrix).
 
     Why this exists: the general path moved ~30 separate capacity-sized leaves through
     the page permutation and the windowed scatter every step — at 16k bodies those
@@ -277,46 +280,6 @@ def _solve_store_win_fast(state, store_bank, integrator_cfg, cfg, dt, interpret)
     imc = psweep.pack_contact_impulses_cols(simp0) * fvalid[:, None]
     M = jnp.concatenate([psc, imc, sa[:, None], sb_scale[:, None]], axis=-1)
 
-    # ---- windowed layout straight from slot order (grouping is by (color, block);
-    # input order is irrelevant, so the page-exec permutation is skipped entirely).
-    sb_w = 256
-    wide_cap = max(sb_w, _round_up(cfg.wide_cap_rows or B // 8, sb_w))
-    lay = windowing.body_layout(state.pos, state.kind)
-    rw = windowing.row_windows(
-        lay, st.body_a, st.body_b, sps.valid, st.color, C, sb_w, wide_cap
-    )
-    dest = rw["dest"]
-    bp = rw["bp"]
-    nsl = rw["n_slices"]
-    Mw_in = jnp.concatenate(
-        [M, rw["rel_a"][:, None].astype(jnp.float32),
-         rw["rel_b"][:, None].astype(jnp.float32)],
-        axis=-1,
-    )
-    Mw = windowing.scatter_rows(dest, bp, Mw_in)  # the ONE capacity-sized move
-
-    # Padding rows scattered as zero — their scales must read 1 (the kernel divides
-    # deltas by scale; real Jacobi scales are >= 1 so 0 unambiguously means padding).
-    sa_w = jnp.where(Mw[:, 40] == 0, 1.0, Mw[:, 40])
-    sbw_ = jnp.where(Mw[:, 41] == 0, 1.0, Mw[:, 41])
-    rel_a_w = Mw[:, 42].astype(jnp.int32)
-    rel_b_w = Mw[:, 43].astype(jnp.int32)
-
-    def _slice_major(xa, xb):
-        return jnp.concatenate(
-            [xa.reshape(nsl, sb_w), xb.reshape(nsl, sb_w)], axis=1
-        ).reshape(-1)
-
-    whi2 = _slice_major(rel_a_w // psweep.L, rel_b_w // psweep.L)
-    wlo2 = _slice_major(rel_a_w % psweep.L, rel_b_w % psweep.L)
-    wscale = _slice_major(sa_w, sbw_)
-    ps_t = Mw[:, :32].T
-    imp_t = Mw[:, 32:40].T
-
-    # ---- permuted body state + the one-kernel solve.
-    pos_slot = lay["pos_slot"]
-    slot_pos = lay["slot_pos"]
-    perm = lambda x: windowing.permute_rows(x, pos_slot)
     lin_scale = (
         (1.0 - integrator_cfg.linear_damping) ** h
         if integrator_cfg.linear_damping
@@ -329,48 +292,130 @@ def _solve_store_win_fast(state, store_bank, integrator_cfg, cfg, dt, interpret)
     )
     gmask = (state.kind == KIND_DYNAMIC) & state.awake
     li = state.inv_inertia
-    v6n_p, pos_p, orn_p, imp_out = psweep.solve_substeps_contacts_win(
-        perm(_vel_to6(state)),
-        Vec3(perm(state.pos.x), perm(state.pos.y), perm(state.pos.z)),
-        Quat(perm(state.orn.x), perm(state.orn.y), perm(state.orn.z),
-             perm(state.orn.w)),
-        perm(state.inv_mass),
-        Sym3(perm(li.xx), perm(li.yx), perm(li.yy), perm(li.zx), perm(li.zy),
-             perm(li.zz)),
-        perm(gmask), perm(state.integrable),
-        ps_t, imp_t, whi2, wlo2, wscale, rw["wseg"],
-        h, inv_h, lin_scale, ang_scale,
-        nch=lay["nch"], sb=sb_w, n_substeps=cfg.substeps,
-        n_iters=cfg.velocity_iterations,
-        angular_mode=integrator_cfg.angular_mode,
-        gravity=integrator_cfg.gravity,
-        interpret=interpret,
-    )
-    state = _vel_from6(
-        state._replace(
-            pos=Vec3(pos_p.x[slot_pos], pos_p.y[slot_pos], pos_p.z[slot_pos]),
-            orn=Quat(orn_p.x[slot_pos], orn_p.y[slot_pos], orn_p.z[slot_pos],
-                     orn_p.w[slot_pos]),
-        ),
-        v6n_p[slot_pos],
-    )
-    state = integrate_poses(state, integrator_cfg, h)
+    overflow = jnp.bool_(False)
+    wide_demand = jnp.int32(0)
 
-    # ---- impulses back to SLOT order with one row gather. Wide-overflow rows
-    # (dest == sink) keep their incoming warm-start impulses, not zeros.
-    placed = dest < bp
-    imp_rows = jnp.where(
-        placed[:, None], imp_out.T[jnp.minimum(dest, bp - 1)], imc
-    )
+    if use_win:
+        # ---- windowed layout straight from slot order (grouping is by (color,
+        # block); input order is irrelevant, so the page-exec permutation is skipped).
+        sb_w = 256
+        wide_cap = max(sb_w, _round_up(cfg.wide_cap_rows or B // 8, sb_w))
+        lay = windowing.body_layout(state.pos, state.kind)
+        rw = windowing.row_windows(
+            lay, st.body_a, st.body_b, sps.valid, st.color, C, sb_w, wide_cap
+        )
+        dest = rw["dest"]
+        bp = rw["bp"]
+        nsl = rw["n_slices"]
+        Mw_in = jnp.concatenate(
+            [M, rw["rel_a"][:, None].astype(jnp.float32),
+             rw["rel_b"][:, None].astype(jnp.float32)],
+            axis=-1,
+        )
+        Mw = windowing.scatter_rows(dest, bp, Mw_in)  # the ONE capacity-sized move
+
+        # Padding rows scattered as zero — their scales must read 1 (the kernel
+        # divides deltas by scale; real Jacobi scales are >= 1 so 0 unambiguously
+        # means padding).
+        sa_w = jnp.where(Mw[:, 40] == 0, 1.0, Mw[:, 40])
+        sbw_ = jnp.where(Mw[:, 41] == 0, 1.0, Mw[:, 41])
+        rel_a_w = Mw[:, 42].astype(jnp.int32)
+        rel_b_w = Mw[:, 43].astype(jnp.int32)
+
+        def _slice_major(xa, xb):
+            return jnp.concatenate(
+                [xa.reshape(nsl, sb_w), xb.reshape(nsl, sb_w)], axis=1
+            ).reshape(-1)
+
+        whi2 = _slice_major(rel_a_w // psweep.L, rel_b_w // psweep.L)
+        wlo2 = _slice_major(rel_a_w % psweep.L, rel_b_w % psweep.L)
+        wscale = _slice_major(sa_w, sbw_)
+        ps_t = Mw[:, :32].T
+        imp_t = Mw[:, 32:40].T
+
+        pos_slot = lay["pos_slot"]
+        slot_pos = lay["slot_pos"]
+        perm = lambda x: windowing.permute_rows(x, pos_slot)
+        v6n_p, pos_p, orn_p, imp_out = psweep.solve_substeps_contacts_win(
+            perm(_vel_to6(state)),
+            Vec3(perm(state.pos.x), perm(state.pos.y), perm(state.pos.z)),
+            Quat(perm(state.orn.x), perm(state.orn.y), perm(state.orn.z),
+                 perm(state.orn.w)),
+            perm(state.inv_mass),
+            Sym3(perm(li.xx), perm(li.yx), perm(li.yy), perm(li.zx), perm(li.zy),
+                 perm(li.zz)),
+            perm(gmask), perm(state.integrable),
+            ps_t, imp_t, whi2, wlo2, wscale, rw["wseg"],
+            h, inv_h, lin_scale, ang_scale,
+            nch=lay["nch"], sb=sb_w, n_substeps=cfg.substeps,
+            n_iters=cfg.velocity_iterations,
+            angular_mode=integrator_cfg.angular_mode,
+            gravity=integrator_cfg.gravity,
+            interpret=interpret,
+        )
+        state = _vel_from6(
+            state._replace(
+                pos=Vec3(pos_p.x[slot_pos], pos_p.y[slot_pos], pos_p.z[slot_pos]),
+                orn=Quat(orn_p.x[slot_pos], orn_p.y[slot_pos], orn_p.z[slot_pos],
+                         orn_p.w[slot_pos]),
+            ),
+            v6n_p[slot_pos],
+        )
+        # Impulses back to SLOT order with one row gather. Wide-overflow rows
+        # (dest == sink) keep their incoming warm-start impulses, not zeros.
+        placed = dest < bp
+        imp_rows = jnp.where(
+            placed[:, None], imp_out.T[jnp.minimum(dest, bp - 1)], imc
+        )
+        overflow = rw["wide_overflow"]
+        wide_demand = rw["wide_demand"].astype(jnp.int32)
+    else:
+        # ---- full-width one-hot kernel (<=8k bodies): the execution layout is the
+        # page permutation (pages sorted by color, Jacobi last — slices never
+        # straddle a color, which is what makes in-kernel immediate scatters exact).
+        from ..collision import pairstore as _ps
+
+        page = st.page
+        P = st.n_pages
+        perm_pages, _isj, inv_perm = _ps.exec_order(st, C)
+        Ints = jnp.stack([st.body_a, st.body_b], -1)
+        Mx = M.reshape(P, page, M.shape[1])[perm_pages].reshape(B, M.shape[1])
+        Ix = Ints.reshape(P, page, 2)[perm_pages].reshape(B, 2)
+        sa_x = jnp.where(Mx[:, 40] == 0, 1.0, Mx[:, 40])
+        sb_x = jnp.where(Mx[:, 41] == 0, 1.0, Mx[:, 41])
+        nsl = B // page
+        a_rs = Ix[:, 0].reshape(nsl, page)
+        b_rs = Ix[:, 1].reshape(nsl, page)
+        idx2 = jnp.concatenate([a_rs, b_rs], axis=1).reshape(-1)
+        scale = jnp.concatenate(
+            [sa_x.reshape(nsl, page), sb_x.reshape(nsl, page)], axis=1
+        ).reshape(-1)
+        ps_t = Mx[:, :32].T
+        imp_t = Mx[:, 32:40].T
+        nch = max(128, _round_up(-(-n_bodies // psweep.L), 128))
+        v6n, pos_n, orn_n, imp_out = psweep.solve_substeps_contacts(
+            _vel_to6(state), state.pos, state.orn, state.inv_mass,
+            state.inv_inertia, gmask, state.integrable,
+            ps_t, imp_t, idx2, scale,
+            h, inv_h, lin_scale, ang_scale,
+            nch=nch, sb=page, n_substeps=cfg.substeps,
+            n_iters=cfg.velocity_iterations,
+            angular_mode=integrator_cfg.angular_mode,
+            gravity=integrator_cfg.gravity,
+            interpret=interpret,
+        )
+        state = _vel_from6(state._replace(pos=pos_n, orn=orn_n), v6n)
+        # exec order -> slot order: one inverse page gather of the impulse rows.
+        imp_rows = imp_out.T.reshape(P, page, 8)[inv_perm].reshape(B, 8)
+
+    state = integrate_poses(state, integrator_cfg, h)
     imp_slot = simp0._replace(
         penetration=imp_rows[:, :4],
         tangent=simp0.tangent._replace(x=imp_rows[:, 4], y=imp_rows[:, 5]),
         twist=imp_rows[:, 6],
     )
-    demand = jnp.stack(
-        [jnp.sum(jac_slot).astype(jnp.int32), rw["wide_demand"].astype(jnp.int32)]
-    )
-    return state, [imp_slot], {}, rw["wide_overflow"], [], {}, demand
+    demand = jnp.stack([jnp.sum(jac_slot).astype(jnp.int32), wide_demand])
+    return state, [imp_slot], {}, overflow, [], {}, demand
 
 
 def solve_all(
@@ -475,12 +520,14 @@ def solve_all(
         from ..collision import pairstore as _pairstore
 
         if (
-            use_win and use_pallas and not bank_names and not contact_banks
+            use_pallas and not bank_names and not contact_banks
             and cfg.iteration_schedule is None
             and integrator_cfg.velocity_callback is None
+            and (use_win or store_bank["store"].page % 128 == 0)
         ):
-            return _solve_store_win_fast(
-                state, store_bank, integrator_cfg, cfg, dt, pallas_interpret
+            return _solve_store_fast(
+                state, store_bank, integrator_cfg, cfg, dt, pallas_interpret,
+                use_win=use_win,
             )
         _st = store_bank["store"]
         _page = _st.page

@@ -38,6 +38,12 @@ def main():
 
     t0 = time.perf_counter()
     sim.run(33, dt)
+    if os.environ.get("BENCH_AUTOSIZE", "0") == "1":
+        sim.run(31, dt)
+        out = sim.autosize(dt, probe_steps=32, headroom=2.0)
+        print("autosize:", out, "max_pairs", sim.config.max_pairs, flush=True)
+        sim.run(33, dt)  # compile the resized programs before timing
+        float(sim.last_diag.contact_count)
     c = float(sim.last_diag.contact_count)
     print(
         f"warmup 33 steps: {time.perf_counter()-t0:.1f}s  pairs="

@@ -1,5 +1,6 @@
 """Compound & mesh collidable tests (reference Compound/Mesh demos; NewtDemo intent)."""
 import numpy as np
+import pytest
 
 from bepuphysics2_tpu import (
     BodyDescription,
@@ -41,6 +42,7 @@ def test_compound_dumbbell_rests():
     assert np.linalg.norm(vel) < 0.1, f"dumbbell still moving: {vel}"
 
 
+@pytest.mark.slow  # full-suite only: compile-heavy; subsystem covered by a faster test
 def test_mesh_ramp_rolls_ball():
     sim = Simulation(
         SimConfig(
@@ -87,6 +89,7 @@ def test_compound_builder_inertia():
     assert abs(inv6[5] - 1.0 / iy) / (1.0 / iy) < 1e-4, inv6
 
 
+@pytest.mark.slow  # full-suite only: compile-heavy; subsystem covered by a faster test
 def test_mesh_one_sided():
     """Mesh triangles are one-sided: a ball flung up at a floor mesh from BELOW passes
     through (back face), while one dropped from above rests on it."""
@@ -116,6 +119,7 @@ def test_mesh_one_sided():
     assert pb[1] > 2.31 or pb[1] < 2.0, f"ball from below was stopped by a back face: {pb}"
 
 
+@pytest.mark.slow  # full-suite only: compile-heavy; subsystem covered by a faster test
 def test_compound_vs_compound():
     """Two compound dumbbells stack on each other (reference CompoundPairCollisionTask)."""
     sim = Simulation(
@@ -145,6 +149,7 @@ def test_compound_vs_compound():
     assert np.linalg.norm(vhi) < 0.2, f"top dumbbell still moving: {vhi}"
 
 
+@pytest.mark.slow  # full-suite only: compile-heavy; subsystem covered by a faster test
 def test_big_mesh_cluster_acceleration():
     """800-triangle mesh floor: the clustered child prefilter (ShapeData.cl_* — the
     reference's embedded mesh BVH analogue) must find the supporting triangles anywhere

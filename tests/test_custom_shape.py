@@ -2,6 +2,7 @@
 a user-supplied support function plugs into the generic GJK/MPR narrow phase."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bepuphysics2_tpu import BodyDescription, Box, SimConfig, Simulation, StaticDescription
 from bepuphysics2_tpu.shapes.custom import CustomShape, register_custom_shape
@@ -20,6 +21,7 @@ def _ellipsoid_support(params, d):
 ELLIPSOID = register_custom_shape(_ellipsoid_support, name="ellipsoid")
 
 
+@pytest.mark.slow  # full-suite only: compile-heavy; subsystem covered by a faster test
 def test_custom_ellipsoid_rests_on_ground():
     a, b, c = 0.6, 0.3, 0.4
     sim = Simulation(SimConfig(body_capacity=16, max_pairs=32, substeps=4, num_colors=2))

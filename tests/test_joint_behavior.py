@@ -11,6 +11,8 @@ from a violated start."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # 30-type battery: one heavy fixture compile; full-suite only
+
 import bepuphysics2_tpu as bp
 from bepuphysics2_tpu.integrator import IntegratorConfig
 

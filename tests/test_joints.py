@@ -43,6 +43,7 @@ def test_ball_socket_pendulum():
     assert pos[1] < 1.9
 
 
+@pytest.mark.slow  # full-suite only: compile-heavy; subsystem covered by a faster test
 def test_distance_limit_rope():
     """Body falls until the rope (distance limit) goes taut."""
     sim = make_sim()
@@ -81,6 +82,7 @@ def test_hinge_keeps_axis():
     assert abs(orn[0]) < 0.05 and abs(orn[2]) < 0.05, f"hinge axis violated: {orn}"
 
 
+@pytest.mark.slow  # full-suite only: compile-heavy; subsystem covered by a faster test
 def test_angular_axis_motor_spins():
     sim = make_sim(integrator=IntegratorConfig(gravity=(0, 0, 0)))
     a = sim.add_body(BodyDescription.kinematic((0, 0, 0)))
@@ -94,6 +96,7 @@ def test_angular_axis_motor_spins():
     assert abs(omega[1] - 3.0) < 0.1, f"motor did not reach speed: {omega}"
 
 
+@pytest.mark.slow  # full-suite only: compile-heavy; subsystem covered by a faster test
 def test_weld_locks_relative_pose():
     sim = make_sim()
     a = add_ball(sim, (0, 5.0, 0))
@@ -112,6 +115,7 @@ def test_weld_locks_relative_pose():
     assert dq > 0.999, f"weld orientations diverged: {qa} vs {qb}"
 
 
+@pytest.mark.slow  # full-suite only: compile-heavy; subsystem covered by a faster test
 def test_one_body_linear_servo_holds_position():
     sim = make_sim()
     b = add_ball(sim, (0, 1.0, 0))
@@ -125,6 +129,7 @@ def test_one_body_linear_servo_holds_position():
     assert np.linalg.norm(pos - np.array([2.0, 3.0, 0])) < 0.35, f"servo missed target: {pos}"
 
 
+@pytest.mark.slow  # full-suite only: compile-heavy; subsystem covered by a faster test
 def test_swing_limit_clamps_angle():
     sim = make_sim()
     anchor = sim.add_body(BodyDescription.kinematic((0, 3.0, 0)))

@@ -1,5 +1,6 @@
 """Observability metrics (metrics.py) — energy/momentum/counters sanity."""
 import numpy as np
+import pytest
 
 from bepuphysics2_tpu import (
     BodyDescription, Box, SimConfig, Simulation, Sphere, StaticDescription,
@@ -25,6 +26,7 @@ def test_metrics_free_fall_energy_conservation():
     assert int(m1.contact_count) == 0
 
 
+@pytest.mark.slow  # full-suite only: compile-heavy; subsystem covered by a faster test
 def test_metrics_resting_pile_counts():
     sim = Simulation(
         SimConfig(body_capacity=16, max_pairs=64, substeps=4, num_colors=4,

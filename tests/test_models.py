@@ -99,3 +99,62 @@ def test_ragdoll_tube_scenario():
     ys = sim._host.py[sim._host.kind == 1]
     assert ys.min() > 0.0, "ragdolls escaped the tube"
     assert int(sim.last_diag.contact_count) > 0
+
+
+def test_tank_drives_turns_and_fires():
+    """Tank capability proof (reference Demos/Demos/Tanks/): tracked skid-steer drive,
+    turret swivel servo aiming, and a CCD projectile fired from the barrel."""
+    import numpy as np
+    import bepuphysics2_tpu as bp
+    from bepuphysics2_tpu.models import Tank
+
+    sim = bp.Simulation(
+        bp.SimConfig(
+            body_capacity=64, max_pairs=1024, substeps=4, num_colors=8,
+            joint_capacity=64, max_ccd_pairs=4, enable_sleep=False,
+        )
+    )
+    ground = sim.add_shape(bp.Box(120.0, 0.5, 120.0))
+    sim.add_static(bp.StaticDescription(position=(0, -0.25, 0), shape=ground))
+    tank = Tank(sim, position=(0.0, 1.0, 0.0), wheels_per_tread=3)
+    dt = 1 / 60.0
+    sim.run(30, dt)  # settle onto suspension
+
+    # Drive straight: both tracks forward.
+    tank.set_track_speeds(8.0, 8.0)
+    p0, _, _, _ = sim.get_body(tank.body)
+    sim.run(90, dt)
+    p1, _, _, _ = sim.get_body(tank.body)
+    fwd = p1 - p0
+    assert abs(fwd[2]) > 0.8, f"tank did not drive: {fwd}"
+    assert abs(fwd[2]) > 3 * abs(fwd[0]), f"straight drive veered: {fwd}"
+
+    # Skid steer: opposite track speeds must yaw the hull.
+    _, q0, _, _ = sim.get_body(tank.body)
+    tank.set_track_speeds(6.0, -6.0)
+    sim.run(90, dt)
+    _, q1, _, _ = sim.get_body(tank.body)
+
+    def yaw(q):
+        x, y, z, w = q
+        return np.arctan2(2 * (w * y + x * z), 1 - 2 * (y * y + z * z))
+
+    dyaw = abs((yaw(q1) - yaw(q0) + np.pi) % (2 * np.pi) - np.pi)
+    assert dyaw > 0.15, f"skid steer produced no yaw: {dyaw}"
+
+    # Aim the turret 90 degrees and check the barrel follows.
+    tank.set_track_speeds(0.0, 0.0)
+    tank.set_aim(np.pi / 2, 0.0)
+    sim.run(120, dt)
+    d = tank.barrel_direction()
+    # Barrel local -Z starts pointing world -Z; a +pi/2 swivel about +Y moves it
+    # toward +/-X (sign fixed by the servo measurement basis).
+    assert abs(d[0]) > 0.6, f"turret did not swivel: {d}"
+
+    # Fire: projectile leaves along the barrel direction at projectile_speed.
+    proj = tank.fire()
+    _, _, v, _ = sim.get_body(proj)
+    assert np.linalg.norm(v) > 0.8 * tank.projectile_speed
+    sim.run(10, dt)
+    p, _, _, _ = sim.get_body(proj)
+    assert np.isfinite(p).all()

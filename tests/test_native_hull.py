@@ -67,6 +67,7 @@ def test_convexhull_class_native_scipy_equivalence():
         assert np.allclose(r_native[2], r_scipy[2], rtol=1e-6, atol=1e-9)
 
 
+@pytest.mark.slow  # full-suite only: compile-heavy; subsystem covered by a faster test
 def test_large_hull_support_and_simulation():
     """Hulls above 64 vertices register and collide faithfully (reference ConvexHull is
     unbounded, ConvexHullHelper.cs:87): the windowed support scan must pick the true

@@ -62,6 +62,7 @@ def test_pallas_matches_xla_pile():
     assert (pp[1][1:25] > -0.2).all()
 
 
+@pytest.mark.slow  # full-suite only: compile-heavy; subsystem covered by a faster test
 def test_windowed_matches_xla_pile():
     """Windowed-state kernel (ops/sweep.py contact_sweep_win + solver/windowing.py,
     forced small via backend='pallas_win'): the solve math is identical to the XLA

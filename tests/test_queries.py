@@ -1,5 +1,6 @@
 """Scene query tests: ray casts (single + batched), volume query, sweep, checkpointing."""
 import numpy as np
+import pytest
 
 from bepuphysics2_tpu import (
     BodyDescription,
@@ -82,6 +83,7 @@ def test_box_query_and_sweep():
     assert 3.0 < t < 5.0
 
 
+@pytest.mark.slow  # full-suite only: compile-heavy; subsystem covered by a faster test
 def test_checkpoint_roundtrip():
     sim, handles = make_scene()
     sim.run(30, 1 / 60.0)
@@ -147,6 +149,7 @@ def test_ray_hits_mesh_and_compound():
     assert not bool(hit.hit), "ray between compound children must miss"
 
 
+@pytest.mark.slow  # full-suite only: compile-heavy; subsystem covered by a faster test
 def test_sweep_shape_batch_matches_single():
     """Batched sweeps (one fused dispatch over R casts — reference RayBatcher idea
     applied to Simulation.Sweep) must agree with per-call exact sweeps."""
@@ -201,6 +204,7 @@ def test_raycast_big_mesh_far_triangle():
     assert abs(t - 5.0) < 1e-3, f"expected t=5 to the mesh plane, got {t}"
 
 
+@pytest.mark.slow  # full-suite only: compile-heavy; subsystem covered by a faster test
 def test_sweep_against_mesh_and_compound_children():
     """Sweeps must resolve TOI against compound/mesh CHILDREN (unified sweep targets,
     collision/sweeps.py) — previously compound targets degenerated to a point at the

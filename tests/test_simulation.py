@@ -50,6 +50,7 @@ def test_sphere_bounces_not_through_ground():
         assert pos[1] > 0.0, f"ball tunneled through ground: y={pos[1]}"
 
 
+@pytest.mark.slow  # full-suite only: compile-heavy; subsystem covered by a faster test
 def test_box_stack_stable():
     """Small box stack must remain standing (warm start + friction + TGS stability)."""
     sim = make_sim(substeps=8)
@@ -89,6 +90,7 @@ def test_two_spheres_collide_and_separate():
     assert pb[0] > 2.1
 
 
+@pytest.mark.slow  # full-suite only: compile-heavy; subsystem covered by a faster test
 def test_sphere_rolls_on_capsule_free_space():
     """Capsule testers smoke test: sphere resting on a horizontal capsule (no crash,
     contact generated)."""

@@ -1,6 +1,7 @@
 """Island sleeping/waking tests (reference IslandSleeper/IslandAwakener behavior,
 PyramidAwakenerTestDemo intent)."""
 import numpy as np
+import pytest
 
 from bepuphysics2_tpu import BodyDescription, Box, SimConfig, Simulation, StaticDescription
 
@@ -80,6 +81,7 @@ def _retention_scene(use_store: bool):
     return sim, a, b
 
 
+@pytest.mark.slow  # full-suite only: compile-heavy; subsystem covered by a faster test
 def test_sleeping_pair_warm_start_retention():
     """Pairs whose island sleeps keep their accumulated impulses and warm-start on wake
     (reference PairCache_Activity). Store path: records stay in their slots while
@@ -116,6 +118,7 @@ def test_sleeping_pair_warm_start_retention():
     )
 
 
+@pytest.mark.slow  # full-suite only: compile-heavy; subsystem covered by a faster test
 def test_sleeping_pair_warm_start_retention_legacy_bank():
     """Legacy (non-store) path: the sleep BANK holds frozen pairs' records and the wake
     frame re-absorbs them into the active cache (this machinery still serves the

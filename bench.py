@@ -13,6 +13,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_BODIES = int(os.environ.get("BENCH_BODIES", 4096))
 STEPS = int(os.environ.get("BENCH_STEPS", 96))
+# Color budget: dense piles reach per-body contact valence >8, so larger scenes
+# default to more colors (fewer mass-split rows, better convergence, same kernel).
+N_COLORS = int(os.environ.get("BENCH_COLORS", 16 if N_BODIES > 8192 else 8))
 # 'pile' (default headline, ShapePileBenchmark analogue) or 'ragdoll_tube'
 # (RagdollTubeBenchmark.cs:17 analogue — joint-heavy; BENCH_RAGDOLLS sizes it).
 SCENARIO = os.environ.get("BENCH_SCENARIO", "pile")
@@ -43,7 +46,7 @@ def main():
             body_capacity=N_BODIES + 64,
             max_pairs=max(8 * N_BODIES, 4096),
             substeps=4,
-            num_colors=8,
+            num_colors=N_COLORS,
             n_bodies=N_BODIES,
         )
         metric = f"steps_per_sec_{N_BODIES}_body_mixed_pile"

@@ -32,16 +32,20 @@ class PairList(NamedTuple):
     b: jnp.ndarray  # (MPAIR,) int32
     valid: jnp.ndarray  # (MPAIR,) bool
     overflow: jnp.ndarray  # () bool — candidate count exceeded capacity
-    # (4,) int32 TRUE demand counters (pre-clamp), the inputs of demand-driven sizing
+    # (6,) int32 TRUE demand counters (pre-clamp), the inputs of demand-driven sizing
     # (reference SimulationAllocationSizes sizing-from-live-counts):
-    # [candidate pairs, grid entries, grid large set, max per-row candidates].
+    # [candidate pairs, grid entries, grid large set, max per-row candidates,
+    #  cell-window overflow flag, per-row-k overflow flag]. The two flags drive
+    #  geometric (doubling) growth where a cheap exact count doesn't exist.
     demand: jnp.ndarray = None
 
 
-def _demand(pairs=0, entries=0, large=0, max_row=0):
+def _demand(pairs=0, entries=0, large=0, max_row=0, window_hit=False,
+            rowk_hit=False):
     return jnp.stack([
         jnp.asarray(pairs, jnp.int32), jnp.asarray(entries, jnp.int32),
         jnp.asarray(large, jnp.int32), jnp.asarray(max_row, jnp.int32),
+        jnp.asarray(window_hit, jnp.int32), jnp.asarray(rowk_hit, jnp.int32),
     ])
 
 
@@ -253,6 +257,7 @@ def grid2(
     max_large: int = 64,
     entry_factor: int = 7,
     cell_factor: float = 1.2,
+    pair_k: int = 8,
 ) -> PairList:
     """Replicated-cell-entry broad phase — the gather-free large-N structure.
 
@@ -389,7 +394,7 @@ def grid2(
     # come straight out of top_k (partner ids per column are rolls of sbody — no gather),
     # so the final decode needs no (row, col) 2D gathers (those cost ~30 ns/element ×
     # max_pairs — they dominated the first grid2 profile at 64k).
-    KP = min(8, W)
+    KP = min(max(pair_k, 1), W)  # per-entry emitted-pair budget (autosized)
     pb_dense = jnp.stack([rolled(sbody, d) for d in range(1, W + 1)], axis=1)
     pbk, _ = jax.lax.top_k(jnp.where(ok, pb_dense, -1), KP)  # (E_CAP, KP)
     valid_rk = pbk >= 0
@@ -450,6 +455,8 @@ def grid2(
             pairs=jnp.sum(row_counts) + jnp.sum(lrow_counts),
             entries=entry_count, large=large_count,
             max_row=jnp.maximum(jnp.max(row_counts), jnp.max(lrow_counts)),
+            window_hit=overflow_window,
+            rowk_hit=overflow_rowk | overflow_lk,
         ),
     )
 

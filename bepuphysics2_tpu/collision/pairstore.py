@@ -61,6 +61,12 @@ class PairStore(NamedTuple):
     imp_ty: jnp.ndarray  # (B,)
     imp_tw: jnp.ndarray  # (B,)
     used: jnp.ndarray  # (NB+1,) int32 color-claim bitmask per body (store rows only)
+    # (NB+1,) f32 per-body count of LIVE Jacobi (color == C) rows — maintained
+    # incrementally by the same churn-bounded scatters as the claims, so the solver's
+    # mass-splitting valence costs no per-frame full-bank pass. Live ⊇ active, so a
+    # body with sleeping Jacobi pairs reads a conservatively larger valence (safe:
+    # mass splitting only requires scale >= concurrent writers).
+    jacv: jnp.ndarray
     ht_a: jnp.ndarray  # (HB, LANES) int32 body_a per hash lane, -1 = empty lane
     ht_b: jnp.ndarray  # (HB, LANES) int32
     ht_slot: jnp.ndarray  # (HB, LANES) int32
@@ -84,6 +90,7 @@ class PairStore(NamedTuple):
             imp_ty=jnp.zeros(capacity, jnp.float32),
             imp_tw=jnp.zeros(capacity, jnp.float32),
             used=jnp.zeros(n_bodies + 1, jnp.int32),
+            jacv=jnp.zeros(n_bodies + 1, jnp.float32),
             ht_a=jnp.full((hb, LANES), -1, jnp.int32),
             ht_b=jnp.full((hb, LANES), -1, jnp.int32),
             ht_slot=jnp.full((hb, LANES), -1, jnp.int32),
@@ -216,6 +223,13 @@ def update(
         store.used
         .at[jnp.where(d_live & da_dyn, a0[dsel_c], NB)].add(-dbit, mode="drop")
         .at[jnp.where(d_live & db_dyn, b0[dsel_c], NB)].add(-dbit, mode="drop")
+    )
+    # Incremental Jacobi valence: retiring color-C rows release a count at both ends.
+    djac = jnp.where(d_live & (dcol == C), -1.0, 0.0)
+    jacv = (
+        store.jacv
+        .at[jnp.where(d_live, a0[dsel_c], NB)].add(djac, mode="drop")
+        .at[jnp.where(d_live, b0[dsel_c], NB)].add(djac, mode="drop")
     )
     live = store.live & ~(jnp.zeros(B, bool).at[jnp.where(d_live, dsel_c, B)].set(
         True, mode="drop"
@@ -422,6 +436,17 @@ def update(
         .at[jnp.where(dyn_a, pa, NB)].add(jnp.where(dyn_a, wbit2, 0), mode="drop")
         .at[jnp.where(dyn_b, pb, NB)].add(jnp.where(dyn_b, wbit2, 0), mode="drop")
     )
+    # Jacobi valence deltas of the write phase: admitted rows landing in Jacobi pages
+    # count up; repair rows that moved (always C → some c < C) count down.
+    jd = jnp.where(
+        place & is_new & (pcolor_f == C), 1.0,
+        jnp.where(place & ~is_new, -1.0, 0.0),
+    )
+    jacv2 = (
+        jacv
+        .at[jnp.where(place, pa, NB)].add(jd, mode="drop")
+        .at[jnp.where(place, pb, NB)].add(jd, mode="drop")
+    )
 
     # moved repair rows: free old slot, carry impulses/features, update hash slot value.
     mv = place & ~is_new
@@ -477,6 +502,7 @@ def update(
         imp_ty=imp_ty2,
         imp_tw=imp_tw2,
         used=used2,
+        jacv=jacv2,
         ht_a=ht_a2.reshape(hb, LANES),
         ht_b=ht_b2.reshape(hb, LANES),
         ht_slot=ht_s2.reshape(hb, LANES),

@@ -171,7 +171,7 @@ def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str
                 jnp.int32(1), jnp.int32(0),
             ),
             demand=jnp.concatenate(
-                [jax.lax.psum(pairs.demand, axis), jnp.zeros(4, jnp.int32)]
+                [jax.lax.psum(pairs.demand, axis), jnp.zeros(6, jnp.int32)]
             ),
         )
         # Sharded path requires enable_sleep=False; the sleep banks pass through.

@@ -81,6 +81,10 @@ class SimConfig:
     # entry_factor·N) and adaptive cell size factor (cell = cell_factor × median extent).
     grid_entry_factor: int = 7
     grid_cell_factor: float = 1.2
+    # grid2 per-cell comparison window (entries in one cell beyond this overflow) and
+    # per-entry emitted-pair budget; both grown geometrically by autosize when their
+    # overflow flags report (demand[D_WINHIT]/[D_ROWKHIT]).
+    grid_pair_k: int = 8
     integrator: IntegratorConfig = IntegratorConfig()
     # Sleeping (reference IslandSleeper velocity/timer heuristic, IslandSleeper.cs:28):
     enable_sleep: bool = True
@@ -164,17 +168,21 @@ class StepDiagnostics(NamedTuple):
     # 8=compound children, 16=sleep retention, 32=compound sleep retention. Lets a
     # sizing pass (bench.py, tests) report WHAT to grow instead of a bare bool.
     overflow_src: jnp.ndarray = 0
-    # (8,) int32 TRUE demand counters (pre-clamp) — the measured inputs of
+    # (12,) int32 TRUE demand counters (pre-clamp) — the measured inputs of
     # demand-driven capacity derivation (Simulation.autosize; the reference sizes
     # everything from live counts, SimulationAllocationSizes.cs):
     # [0 broad-phase candidate pairs, 1 grid entries, 2 grid large set,
     #  3 store admissions this frame, 4 store live rows, 5 solver Jacobi rows,
-    #  6 windowed wide rows, 7 store retirements].
+    #  6 windowed wide rows, 7 store retirements, 8 max per-row candidates,
+    #  9 grid cell-window overflow flag, 10 grid per-row-k overflow flag,
+    #  11 reserved].
     demand: jnp.ndarray = None
 
 
 # Named indices into StepDiagnostics.demand.
-D_PAIRS, D_ENTRIES, D_LARGE, D_ADMIT, D_LIVE, D_JACOBI, D_WIDE, D_DEAD = range(8)
+(D_PAIRS, D_ENTRIES, D_LARGE, D_ADMIT, D_LIVE, D_JACOBI, D_WIDE, D_DEAD,
+ D_MAXROW, D_WINHIT, D_ROWKHIT, _D_RSVD) = range(12)
+DEMAND_LEN = 12
 
 
 # Donate the SimState buffers into step()/step_n(): the previous state is dead after the
@@ -246,7 +254,7 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
             aabb_min, aabb_max, bodies.kind, bodies.awake, bodies.collision_group,
             config.max_pairs,
             config.grid_cell_size, config.grid_cell_capacity, config.grid_max_large,
-            config.grid_entry_factor, config.grid_cell_factor,
+            config.grid_entry_factor, config.grid_cell_factor, config.grid_pair_k,
         )
     elif method == "grid":
         pairs = bp.grid(
@@ -482,7 +490,7 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
     bp_demand = (
         pairs.demand
         if pairs.demand is not None
-        else jnp.zeros(4, jnp.int32)
+        else jnp.zeros(6, jnp.int32)
     )
     diag = StepDiagnostics(
         pair_count=jnp.sum(store.live) if use_store else jnp.sum(pairs.valid),
@@ -495,6 +503,8 @@ def _step_impl(state: SimState, shapes, joint_banks, dt, config: SimConfig, pres
             store_demand[2:3],  # 4: store live rows
             solver_demand,  # 5-6: jacobi rows, windowed wide rows
             store_demand[1:2],  # 7: store retirements
+            bp_demand[3:6],  # 8-10: max per-row, window-overflow, row-k-overflow
+            jnp.zeros(1, jnp.int32),  # 11: reserved
         ]),
     )
     return (
@@ -533,7 +543,7 @@ def step_n(state: SimState, shapes, joint_banks, dt, config: SimConfig, present_
 
     (state, overflow, src, peak), diags = jax.lax.scan(
         body,
-        (state, jnp.bool_(False), jnp.int32(0), jnp.zeros(8, jnp.int32)),
+        (state, jnp.bool_(False), jnp.int32(0), jnp.zeros(DEMAND_LEN, jnp.int32)),
         None, length=n,
     )
     last = jax.tree_util.tree_map(lambda x: x[-1], diags)
@@ -648,6 +658,15 @@ class Simulation:
                 )
             if d[D_LARGE] > 0:
                 new["grid_max_large"] = up(d[D_LARGE], 64, 64)
+            # Structural grid caps without cheap exact counts grow geometrically on
+            # their overflow flags (converges in <= log2 rounds).
+            if d[D_WINHIT]:
+                new["grid_cell_capacity"] = 2 * self.config.grid_cell_capacity
+            if d[D_ROWKHIT]:
+                new["grid_pair_k"] = min(
+                    2 * self.config.grid_pair_k,
+                    new.get("grid_cell_capacity", self.config.grid_cell_capacity),
+                )
             # Overflow with no measured headroom to grow into → double the tripped
             # capacity (bit 8 = compound children, not demand-counted).
             if src & 8:

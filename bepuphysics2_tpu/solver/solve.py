@@ -249,7 +249,6 @@ def _solve_store_fast(state, store_bank, integrator_cfg, cfg, dt, interpret,
     cost is proportional to change (TypeBatch.cs:10, Solver_Solve.cs:297) — here the
     slot-stable store is the permanent layout and this is its one-move execution view.
     """
-    from ..collision import pairstore
     from ..ops import sweep as psweep
     from ..utils.spring import compute_springiness
     from . import windowing
@@ -264,21 +263,18 @@ def _solve_store_fast(state, store_bank, integrator_cfg, cfg, dt, interpret,
     n_bodies = state.pos.x.shape[0]
     B = st.capacity
 
-    # Mass-splitting valence for Jacobi rows (reference SequentialFallbackBatch.cs:37).
+    # Mass-splitting valence for Jacobi rows (reference SequentialFallbackBatch.cs:37)
+    # — maintained incrementally by the store's churn scatters (store.jacv), so the
+    # per-frame full-bank count pass is gone.
     jac_slot = active & (st.color == C)
-    jac_counts = pairstore.jacobi_counts(
-        st.body_a, st.body_b, jac_slot, n_bodies, max(128, B // 8)
-    )
-    valence = jnp.maximum(jac_counts[:n_bodies], 1.0)
     is_jac = st.color == C
-    sa = jnp.where(is_jac, valence[st.body_a], 1.0)
-    sb_scale = jnp.where(is_jac, valence[st.body_b], 1.0)
 
-    # ---- pack once (slot order): 32 prestep + 8 impulse + 2 scale columns.
+    # ---- pack once (slot order): 32 prestep + 8 impulse columns. Scales append per
+    # layout below (the windowed layout adds wide rows to the mass-split set).
     fvalid = sps.valid.astype(jnp.float32)
     psc = psweep.pack_contact_prestep_cols(sps, compute_springiness(sps.spring, h))
     imc = psweep.pack_contact_impulses_cols(simp0) * fvalid[:, None]
-    M = jnp.concatenate([psc, imc, sa[:, None], sb_scale[:, None]], axis=-1)
+    M = jnp.concatenate([psc, imc], axis=-1)
 
     lin_scale = (
         (1.0 - integrator_cfg.linear_damping) ** h
@@ -307,8 +303,22 @@ def _solve_store_fast(state, store_bank, integrator_cfg, cfg, dt, interpret,
         dest = rw["dest"]
         bp = rw["bp"]
         nsl = rw["n_slices"]
+        # Mass-split set = Jacobi-colored rows + wide rows (color-free wide slices mix
+        # colors, so every wide row splits). Per-body writer count = incremental
+        # color-C valence + this frame's wide-row count.
+        wide_row = rw["wide"]
+        wct = (
+            jnp.zeros(n_bodies + 1, jnp.float32)
+            .at[jnp.where(wide_row, st.body_a, n_bodies)].add(1.0, mode="drop")
+            .at[jnp.where(wide_row, st.body_b, n_bodies)].add(1.0, mode="drop")
+        )
+        split_val = jnp.maximum(st.jacv[:n_bodies] + wct[:n_bodies], 1.0)
+        split_row = is_jac | wide_row
+        sa = jnp.where(split_row, split_val[st.body_a], 1.0)
+        sb_scale = jnp.where(split_row, split_val[st.body_b], 1.0)
         Mw_in = jnp.concatenate(
-            [M, rw["rel_a"][:, None].astype(jnp.float32),
+            [M, sa[:, None], sb_scale[:, None],
+             rw["rel_a"][:, None].astype(jnp.float32),
              rw["rel_b"][:, None].astype(jnp.float32)],
             axis=-1,
         )
@@ -375,6 +385,10 @@ def _solve_store_fast(state, store_bank, integrator_cfg, cfg, dt, interpret,
         # straddle a color, which is what makes in-kernel immediate scatters exact).
         from ..collision import pairstore as _ps
 
+        valence = jnp.maximum(st.jacv[:n_bodies], 1.0)
+        sa = jnp.where(is_jac, valence[st.body_a], 1.0)
+        sb_scale = jnp.where(is_jac, valence[st.body_b], 1.0)
+        M = jnp.concatenate([M, sa[:, None], sb_scale[:, None]], axis=-1)
         page = st.page
         P = st.n_pages
         perm_pages, _isj, inv_perm = _ps.exec_order(st, C)
@@ -541,10 +555,7 @@ def solve_all(
             )
 
         _active = store_bank["active"]
-        _jac_counts = _pairstore.jacobi_counts(
-            _st.body_a, _st.body_b, _active & (_st.color == C), n_bodies,
-            max(128, _B // 8),
-        )
+        _jac_counts = _st.jacv  # incrementally-maintained live Jacobi valence
         store_bank = dict(
             ps=jax.tree_util.tree_map(_pg, store_bank["ps"]),
             imp=jax.tree_util.tree_map(_pg, store_bank["imp"]),
@@ -883,6 +894,18 @@ def solve_all(
             )
             dest = rw["dest"]
             bp = rw["bp"]
+            # Wide rows execute color-free (mass-split): fold this frame's wide-row
+            # writer counts into the split scales (see _solve_store_fast).
+            wide_row = rw["wide"]
+            wct = (
+                jnp.zeros(n_bodies + 1, jnp.float32)
+                .at[jnp.where(wide_row, a_s, n_bodies)].add(1.0, mode="drop")
+                .at[jnp.where(wide_row, b_s, n_bodies)].add(1.0, mode="drop")
+            )
+            sval = jnp.maximum(store_bank["jac_counts"][:n_bodies] + wct[:n_bodies], 1.0)
+            split_row = jrow | wide_row
+            sa_s = jnp.where(split_row, sval[a_s], 1.0)
+            sb_s = jnp.where(split_row, sval[b_s], 1.0)
             # Padded-layout bank: scatter rows to their (color, block) slot; padding
             # rows are invalid (zero mask/impulse) and contribute exactly zero.
             ps_w = jax.tree_util.tree_map(

@@ -153,7 +153,13 @@ def row_windows(lay, body_a, body_b, valid, color, num_colors: int, sb: int,
     C = num_colors
     B = body_a.shape[0]
     NGn = (C + 1) * nblk  # narrow groups: (color incl. Jacobi, lowest block)
-    NGw = (C + 1) * nblk * nblk  # wide groups: (color, blockA, blockB)
+    # Wide groups: (blockA, blockB) with NO color key — wide rows always solve
+    # mass-split (Jacobi semantics), so conflict-freedom inside a slice is not
+    # required and the (C+1)x group-count (and its per-group padding to the slice
+    # size) disappears. Measured on a settled 16k pile model: ~6% of rows are wide;
+    # (color, blkA, blkB) grouping padded them 19x (244 occupied groups), color-free
+    # grouping pads ~4x (42 groups).
+    NGw = nblk * nblk
 
     # One packed (NB, 2) table → one row gather per side (separate slot_pos/app_pos
     # gathers cost ~1.4 ms EACH at 160k rows; width is free up to 128 lanes).
@@ -185,7 +191,7 @@ def row_windows(lay, body_a, body_b, valid, color, num_colors: int, sb: int,
     blk_b = jnp.clip(sp_b // BLK, 0, nblk - 1)
     col = jnp.clip(color, 0, C)
     key_n = col * nblk + wb  # meaningful where narrow
-    key_w = (col * nblk + blk_a) * nblk + blk_b  # where wide
+    key_w = blk_a * nblk + blk_b  # where wide (color-free; mass-split execution)
 
     # Padded grouping: counts -> SB-padded bases -> rank within group. One combined
     # sort serves both regions (rank only needs to be per-group).
@@ -255,7 +261,7 @@ def row_windows(lay, body_a, body_b, valid, color, num_colors: int, sb: int,
     used_w = jnp.arange(n_sl_w, dtype=jnp.int32) < jnp.minimum(
         base_w[NGw], wide_cap
     ) // sb
-    wa_sl = (jnp.maximum(gid_w, 0) // nblk) % nblk
+    wa_sl = jnp.maximum(gid_w, 0) // nblk
     wb2_sl = jnp.maximum(gid_w, 0) % nblk
     seg_w = jnp.stack(
         [
@@ -284,6 +290,9 @@ def row_windows(lay, body_a, body_b, valid, color, num_colors: int, sb: int,
         wseg=wseg,
         rel_a=rel_a,
         rel_b=rel_b,
+        # (B,) bool: rows executing in the wide region — they need mass-split scales
+        # (any two wide rows can share a slice regardless of color).
+        wide=wide,
         wide_overflow=wide_overflow,
         # True padded wide demand (rows, pre-cap) — demand-driven wide_cap sizing.
         wide_demand=base_w[NGw],

@@ -117,6 +117,17 @@ def _check_invariants(store, kind=None):
         f"used bitmask drift: {np.nonzero(used[:NB] != want[:NB])[0]}"
     )
 
+    # 4b. Incremental Jacobi valence == recomputed per-body count of live color-C rows.
+    jacv = np.asarray(store.jacv)
+    want_j = np.zeros(NB + 1, np.float32)
+    for i in np.nonzero(live)[0]:
+        if color[i] == C:
+            want_j[a[i]] += 1.0
+            want_j[b[i]] += 1.0
+    assert (jacv[:NB] == want_j[:NB]).all(), (
+        f"jacv drift at bodies {np.nonzero(jacv[:NB] != want_j[:NB])[0]}"
+    )
+
     # 5. Hash membership: every live row is findable through its recorded lane, and
     #    every occupied lane points at a live row with matching bodies.
     hpos = np.asarray(store.hpos)

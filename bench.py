@@ -78,7 +78,7 @@ def main():
     if os.environ.get("BENCH_ADAPTIVE", "1") == "1":
         sim.run(31, dt)  # deeper into the collapse: demand keeps growing post-warmup
         sync()
-        out = sim.autosize(dt, probe_steps=32, headroom=2.0)
+        out = sim.autosize(dt, probe_steps=32, headroom=2.0, pairs_headroom=1.4)
         # Compile the resized chunk+single-step programs before the timed window.
         sim.run(33, dt)
         sync()

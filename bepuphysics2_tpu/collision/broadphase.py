@@ -390,16 +390,12 @@ def grid2(
         (skey == rolled(skey, W)) & (skey != BIGKEY) & ((pos_e + W) < E_CAP)
     )
 
-    # Per-entry top_k compaction CARRYING THE PARTNER ID as the score: the winners' ids
-    # come straight out of top_k (partner ids per column are rolls of sbody — no gather),
-    # so the final decode needs no (row, col) 2D gathers (those cost ~30 ns/element ×
-    # max_pairs — they dominated the first grid2 profile at 64k).
-    KP = min(max(pair_k, 1), W)  # per-entry emitted-pair budget (autosized)
+    # Accepted pairs compact DIRECTLY from the (E_CAP, W) acceptance matrix — the old
+    # per-entry top_k bound (KP) lowered to a row sort of E_CAP·W elements (measured
+    # 8.3 ms/step at 16k once autosize doubled W) and added an overflow class
+    # (row_counts > KP) for nothing: the one global compaction already bounds output.
     pb_dense = jnp.stack([rolled(sbody, d) for d in range(1, W + 1)], axis=1)
-    pbk, _ = jax.lax.top_k(jnp.where(ok, pb_dense, -1), KP)  # (E_CAP, KP)
-    valid_rk = pbk >= 0
     row_counts = jnp.sum(ok, axis=1)
-    overflow_rowk = jnp.any(row_counts > KP)
 
     # ---- Large bodies: test against everything (N × L) with packed rows.
     groupf = group.astype(jnp.float32)
@@ -429,16 +425,16 @@ def grid2(
 
     # ---- ONE compaction over both candidate sets (smalls first) + ONE payload
     # row-gather: (a, b) rows packed next to the validity mask.
-    count = jnp.sum(jnp.minimum(row_counts, KP)) + jnp.sum(jnp.minimum(lrow_counts, KL))
+    count = jnp.sum(row_counts) + jnp.sum(jnp.minimum(lrow_counts, KL))
     pay_small = jnp.stack(
-        [jnp.broadcast_to(sbody[:, None], (E_CAP, KP)), pbk], axis=-1
-    ).reshape(E_CAP * KP, 2)
+        [jnp.broadcast_to(sbody[:, None], (E_CAP, W)), pb_dense], axis=-1
+    ).reshape(E_CAP * W, 2)
     pay_large = jnp.stack(
         [jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, KL)), lbk],
         axis=-1,
     ).reshape(n * KL, 2)
     payload = jnp.concatenate([pay_small, pay_large])
-    flat_valid = jnp.concatenate([valid_rk.reshape(-1), valid_lk.reshape(-1)])
+    flat_valid = jnp.concatenate([ok.reshape(-1), valid_lk.reshape(-1)])
     fi, _ = compact_true(flat_valid, max_pairs)
     pr = payload[fi]  # one (max_pairs, 2) row gather
     pa, pb = pr[:, 0], pr[:, 1]
@@ -446,7 +442,7 @@ def grid2(
     b = jnp.maximum(pa, pb)
     valid = jnp.arange(max_pairs) < count
     overflow = (
-        (count > max_pairs) | overflow_entries | overflow_window | overflow_rowk
+        (count > max_pairs) | overflow_entries | overflow_window
         | (large_count > max_large) | overflow_lk
     )
     return PairList(
@@ -456,7 +452,7 @@ def grid2(
             entries=entry_count, large=large_count,
             max_row=jnp.maximum(jnp.max(row_counts), jnp.max(lrow_counts)),
             window_hit=overflow_window,
-            rowk_hit=overflow_rowk | overflow_lk,
+            rowk_hit=overflow_lk,
         ),
     )
 

@@ -19,9 +19,9 @@ fixed-shape XLA form:
   IDS (a few hundred ints), not of rows. Jacobi-fallback rows live in pages tagged with
   color == C and solve with mass splitting, exactly like the previous bucket layout.
 - **Bucketized hash membership.** An (HB, 8)-lane cuckoo-less bucket hash maps
-  (body_a, body_b) → slot: three (candidates, 8) row gathers answer "is this broad-phase
-  candidate already stored?" for every candidate at once. No tombstone chains: a bucket
-  is the whole probe set, so removal just clears the lane.
+  (body_a, body_b) → slot: ONE packed (candidates, 8·3) row gather answers "is this
+  broad-phase candidate already stored?" for every candidate at once. No tombstone
+  chains: a bucket is the whole probe set, so removal just clears the lane.
 - **Persistent color claims.** ``used[body]`` holds a bitmask of colors claimed by live
   rows on that body (the reference's per-batch IndexSet, ConstraintBatch.cs). New rows
   propose the lowest free color with churn-bounded arbitration; rows that find none solve
@@ -67,9 +67,10 @@ class PairStore(NamedTuple):
     # body with sleeping Jacobi pairs reads a conservatively larger valence (safe:
     # mass splitting only requires scale >= concurrent writers).
     jacv: jnp.ndarray
-    ht_a: jnp.ndarray  # (HB, LANES) int32 body_a per hash lane, -1 = empty lane
-    ht_b: jnp.ndarray  # (HB, LANES) int32
-    ht_slot: jnp.ndarray  # (HB, LANES) int32
+    # (HB*LANES, 3) int32 packed hash lanes [body_a, body_b, slot]; -1 = empty. One
+    # packed row means the membership probe is ONE (candidates, LANES*3) gather —
+    # three separate tables cost three capacity-sized gathers (~4.4 ms at 16k).
+    ht: jnp.ndarray
     page_color: jnp.ndarray  # (P,) int32 — -1 = empty/unallocated page
 
     @staticmethod
@@ -91,9 +92,7 @@ class PairStore(NamedTuple):
             imp_tw=jnp.zeros(capacity, jnp.float32),
             used=jnp.zeros(n_bodies + 1, jnp.int32),
             jacv=jnp.zeros(n_bodies + 1, jnp.float32),
-            ht_a=jnp.full((hb, LANES), -1, jnp.int32),
-            ht_b=jnp.full((hb, LANES), -1, jnp.int32),
-            ht_slot=jnp.full((hb, LANES), -1, jnp.int32),
+            ht=jnp.full((hb * LANES, 3), -1, jnp.int32),
             page_color=jnp.full(p, -1, jnp.int32),
         )
 
@@ -167,7 +166,7 @@ def update(
     C = num_colors
     P = store.n_pages
     page = store.page
-    hb = store.ht_a.shape[0]
+    hb = store.ht.shape[0] // LANES
     maskC = jnp.int32((1 << C) - 1)
     overflow = jnp.bool_(False)
 
@@ -209,10 +208,9 @@ def update(
     dsel, _, _ = _compact(dead, dead_cap)  # spill retires next frame — harmless
     dsel_c = jnp.minimum(dsel, B - 1)
     d_live = dsel < B
-    # Clear hash lanes + unclaim colors of retired rows.
+    # Clear hash lanes + unclaim colors of retired rows (whole packed row -> -1).
     dh = jnp.where(d_live, store.hpos[dsel_c], hb * LANES)
-    ht_a = store.ht_a.reshape(-1).at[dh].set(EMPTY, mode="drop").reshape(hb, LANES)
-    ht_slot = store.ht_slot.reshape(-1).at[dh].set(EMPTY, mode="drop").reshape(hb, LANES)
+    ht = store.ht.at[dh].set(EMPTY, mode="drop")
     dcol = store.color[dsel_c]
     dbit = jnp.where(d_live & (dcol < C), jnp.int32(1) << jnp.maximum(dcol, 0), 0)
     # Claims were only placed on DYNAMIC endpoints — unclaim must mirror that exactly
@@ -235,12 +233,14 @@ def update(
         True, mode="drop"
     ))
 
-    # ---- membership probe for every candidate: 3 row gathers of the bucket tables.
+    # ---- membership probe for every candidate: ONE packed row gather.
     cb = _hash_bucket(cand_a, cand_b, hb)
-    row_a = ht_a[cb]  # (MP, LANES)
-    row_b = store.ht_b[cb]
-    row_s = ht_slot[cb]
-    hit = (row_a == cand_a[:, None]) & (row_b == cand_b[:, None]) & (row_s >= 0)
+    htr = ht.reshape(hb, LANES * 3)[cb].reshape(-1, LANES, 3)  # (MP, LANES, 3)
+    hit = (
+        (htr[:, :, 0] == cand_a[:, None])
+        & (htr[:, :, 1] == cand_b[:, None])
+        & (htr[:, :, 2] >= 0)
+    )
     found = cand_valid & jnp.any(hit, axis=1)
     new = cand_valid & ~found & cand_insertable
 
@@ -257,7 +257,7 @@ def update(
     # Hash lane assignment first: a pair we cannot index must not be stored at all
     # (an unfindable record would be re-inserted as a duplicate constraint later).
     nbk = _hash_bucket(na, nb_, hb)
-    occ = ht_slot[nbk] >= 0  # (cc, LANES) occupancy after removals
+    occ = ht.reshape(hb, LANES, 3)[nbk][:, :, 2] >= 0  # occupancy after removals
     # Intra-frame contention: rank new rows sharing a bucket, then take the rank-th
     # free lane. Ranks via one (NB-free) scatter-add walk: count = prefix occurrences.
     ones = jnp.ones(churn_cap, jnp.int32)
@@ -479,15 +479,12 @@ def update(
     ap2 = store.active_prev.at[w].set(ap_new, mode="drop")
     hpos2 = carry(store.hpos, hp_new)
 
-    # hash writes: new rows insert (a, b, slot); moved rows update slot value in place.
+    # hash writes: one packed-row scatter covers inserts AND moved-row slot updates
+    # (a moved row keeps its bodies, so rewriting all three columns is identical).
     hflat = jnp.where(place, hp_new, hb * LANES)
-    ht_a2 = ht_a.reshape(-1).at[jnp.where(place & is_new, hflat, hb * LANES)].set(
-        pa, mode="drop"
+    ht2 = ht.at[hflat].set(
+        jnp.stack([pa, pb, new_slot], -1), mode="drop"
     )
-    ht_b2 = store.ht_b.reshape(-1).at[
-        jnp.where(place & is_new, hflat, hb * LANES)
-    ].set(pb, mode="drop")
-    ht_s2 = ht_slot.reshape(-1).at[hflat].set(new_slot, mode="drop")
 
     store2 = store._replace(
         body_a=body_a2,
@@ -503,9 +500,7 @@ def update(
         imp_tw=imp_tw2,
         used=used2,
         jacv=jacv2,
-        ht_a=ht_a2.reshape(hb, LANES),
-        ht_b=ht_b2.reshape(hb, LANES),
-        ht_slot=ht_s2.reshape(hb, LANES),
+        ht=ht2,
         page_color=page_color_new,
     )
     demand = jnp.stack([

@@ -612,7 +612,8 @@ class Simulation:
         self._dirty = True
 
     def autosize(self, dt: float = 1.0 / 60.0, probe_steps: int = 16,
-                 headroom: float = 2.0, max_rounds: int = 3) -> dict:
+                 headroom: float = 2.0, max_rounds: int = 3,
+                 pairs_headroom: float = None) -> dict:
         """Demand-driven capacity derivation (the reference sizes every structure from
         live counts — SimulationAllocationSizes.cs, Solver TypeBatch growth). Probe-runs
         the scene under the CURRENT config, reads the peak demand counters
@@ -628,7 +629,14 @@ class Simulation:
 
         d = None
         rounds = 0
+        resized_store = False
         for rounds in range(1, max_rounds + 1):
+            if resized_store:
+                # A max_pairs change rebuilds the store empty; the refill wave
+                # (~live/churn frames of mass admissions) would read as absurd churn
+                # demand — settle it out before measuring.
+                self.run(probe_steps, dt, chunk=probe_steps)
+                resized_store = False
             self.run(probe_steps, dt, chunk=probe_steps)
             diag = self.last_diag
             d = _np.asarray(diag.demand)
@@ -641,14 +649,26 @@ class Simulation:
 
             new = {}
             # Pair world (broad-phase candidates AND store slots share max_pairs).
-            want_pairs = up(max(d[D_PAIRS], d[D_LIVE]), 512, 1024)
+            # Every fixed-shape stage costs CAPACITY, so the pair bank gets its own
+            # (typically tighter) headroom; overflow flags keep under-sizing honest.
+            ph = pairs_headroom if pairs_headroom is not None else headroom
+            want_pairs = max(
+                1024,
+                ((int(max(d[D_PAIRS], d[D_LIVE]) * ph) + 511) // 512) * 512,
+            )
             if want_pairs != self.config.max_pairs:
                 new["max_pairs"] = want_pairs
             # Store churn caps from measured admissions/retirements/Jacobi rows.
+            # Churn is bounded by a quarter of the pair world: the admission pipeline
+            # costs churn x pages in its page-allocation tables, and steady-state
+            # admissions beyond B/4 per frame only occur in rebuild/refill waves.
             if self.config.use_pair_store:
-                new["store_churn"] = up(d[D_ADMIT], 128, 256)
-                new["store_dead"] = up(d[D_DEAD], 128, 256)
-                new["store_repair"] = up(d[D_JACOBI], 64, 128)
+                bank = new.get("max_pairs", self.config.max_pairs)
+                new["store_churn"] = min(up(d[D_ADMIT], 128, 256), max(256, bank // 4))
+                new["store_dead"] = min(up(d[D_DEAD], 128, 256), max(256, bank // 4))
+                new["store_repair"] = min(
+                    up(d[D_JACOBI], 64, 128), max(128, bank // 8)
+                )
             # Windowed wide rows (Morton-seam crossings).
             new["wide_cap_rows"] = up(d[D_WIDE], 256, 256)
             # Grid structures (only meaningful when the grid broad phase runs).
@@ -676,6 +696,7 @@ class Simulation:
             }
             if changed:
                 self.reconfigure(**changed)
+                resized_store = "max_pairs" in changed
             if not int(diag.overflow) or not changed:
                 break
         return {"demand": d, "overflow": bool(int(self.last_diag.overflow)),

@@ -231,6 +231,24 @@ _U_IMPULSE = max(
 )
 
 
+def _wide_counts(wide_row, body_a, body_b, n_bodies, wide_cap):
+    """Per-body count of wide rows (mass-split writer valence). Wide rows are a small
+    minority, so compact-then-scatter beats two full-bank scatter-adds (~1 ms vs
+    ~3.2 ms at 16k); rows past wide_cap sink and never solve, so capping is exact."""
+    from . import windowing
+
+    B = wide_row.shape[0]
+    wsel, _ = windowing._compact(wide_row, wide_cap)
+    wl = wsel < B
+    wc = jnp.minimum(wsel, B - 1)
+    one = wl.astype(jnp.float32)
+    return (
+        jnp.zeros(n_bodies + 1, jnp.float32)
+        .at[jnp.where(wl, body_a[wc], n_bodies)].add(one, mode="drop")
+        .at[jnp.where(wl, body_b[wc], n_bodies)].add(one, mode="drop")
+    )
+
+
 def _solve_store_fast(state, store_bank, integrator_cfg, cfg, dt, interpret,
                       use_win: bool):
     """Whole-solve fast path for store-only scenes: slot-order prestep+impulses pack
@@ -307,11 +325,7 @@ def _solve_store_fast(state, store_bank, integrator_cfg, cfg, dt, interpret,
         # colors, so every wide row splits). Per-body writer count = incremental
         # color-C valence + this frame's wide-row count.
         wide_row = rw["wide"]
-        wct = (
-            jnp.zeros(n_bodies + 1, jnp.float32)
-            .at[jnp.where(wide_row, st.body_a, n_bodies)].add(1.0, mode="drop")
-            .at[jnp.where(wide_row, st.body_b, n_bodies)].add(1.0, mode="drop")
-        )
+        wct = _wide_counts(wide_row, st.body_a, st.body_b, n_bodies, wide_cap)
         split_val = jnp.maximum(st.jacv[:n_bodies] + wct[:n_bodies], 1.0)
         split_row = is_jac | wide_row
         sa = jnp.where(split_row, split_val[st.body_a], 1.0)
@@ -373,9 +387,13 @@ def _solve_store_fast(state, store_bank, integrator_cfg, cfg, dt, interpret,
         )
         # Impulses back to SLOT order with one row gather. Wide-overflow rows
         # (dest == sink) keep their incoming warm-start impulses, not zeros.
+        # The barrier materializes the (BP, 8) transpose first — fused into the
+        # gather it becomes a strided column walk (measured 3.3 ms at 16k vs
+        # ~0.8 ms for transpose + row gather).
         placed = dest < bp
+        imp_rows_t = jax.lax.optimization_barrier(imp_out.T)
         imp_rows = jnp.where(
-            placed[:, None], imp_out.T[jnp.minimum(dest, bp - 1)], imc
+            placed[:, None], imp_rows_t[jnp.minimum(dest, bp - 1)], imc
         )
         overflow = rw["wide_overflow"]
         wide_demand = rw["wide_demand"].astype(jnp.int32)
@@ -419,8 +437,11 @@ def _solve_store_fast(state, store_bank, integrator_cfg, cfg, dt, interpret,
             interpret=interpret,
         )
         state = _vel_from6(state._replace(pos=pos_n, orn=orn_n), v6n)
-        # exec order -> slot order: one inverse page gather of the impulse rows.
-        imp_rows = imp_out.T.reshape(P, page, 8)[inv_perm].reshape(B, 8)
+        # exec order -> slot order: one inverse page gather of the impulse rows
+        # (barrier: materialize the transpose before gathering, see win branch).
+        imp_rows = jax.lax.optimization_barrier(imp_out.T).reshape(P, page, 8)[
+            inv_perm
+        ].reshape(B, 8)
 
     state = integrate_poses(state, integrator_cfg, h)
     imp_slot = simp0._replace(
@@ -897,11 +918,7 @@ def solve_all(
             # Wide rows execute color-free (mass-split): fold this frame's wide-row
             # writer counts into the split scales (see _solve_store_fast).
             wide_row = rw["wide"]
-            wct = (
-                jnp.zeros(n_bodies + 1, jnp.float32)
-                .at[jnp.where(wide_row, a_s, n_bodies)].add(1.0, mode="drop")
-                .at[jnp.where(wide_row, b_s, n_bodies)].add(1.0, mode="drop")
-            )
+            wct = _wide_counts(wide_row, a_s, b_s, n_bodies, wide_cap)
             sval = jnp.maximum(store_bank["jac_counts"][:n_bodies] + wct[:n_bodies], 1.0)
             split_row = jrow | wide_row
             sa_s = jnp.where(split_row, sval[a_s], 1.0)

@@ -194,21 +194,24 @@ def row_windows(lay, body_a, body_b, valid, color, num_colors: int, sb: int,
     key_w = blk_a * nblk + blk_b  # where wide (color-free; mass-split execution)
 
     # Padded grouping: counts -> SB-padded bases -> rank within group. One combined
-    # sort serves both regions (rank only needs to be per-group).
-    cnt_n = jnp.zeros(NGn + 1, jnp.int32).at[jnp.where(narrow, key_n, NGn)].add(1)
-    padded_n = -(-cnt_n[:NGn] // sb) * sb
+    # scatter-add counts BOTH regions (separate passes cost ~1.6 ms each at 16k),
+    # and one combined sort serves both (rank only needs to be per-group).
+    ckey0 = jnp.where(narrow, key_n, jnp.where(wide, NGn + key_w, NGn + NGw))
+    cnt_all = jnp.zeros(NGn + NGw + 1, jnp.int32).at[ckey0].add(1)
+    cnt_n = cnt_all[:NGn]
+    padded_n = -(-cnt_n // sb) * sb
     base_n = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(padded_n)])
     b_n = B + NGn * sb  # static worst case: every narrow group pays one partial slice
 
-    cnt_w = jnp.zeros(NGw + 1, jnp.int32).at[jnp.where(wide, key_w, NGw)].add(1)
-    padded_w = -(-cnt_w[:NGw] // sb) * sb
+    cnt_w = cnt_all[NGn : NGn + NGw]
+    padded_w = -(-cnt_w // sb) * sb
     base_w = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(padded_w)])
     wide_overflow = base_w[NGw] > wide_cap
 
     bp = b_n + wide_cap
     n_slices = bp // sb
 
-    ckey = jnp.where(narrow, key_n, jnp.where(wide, NGn + key_w, NGn + NGw))
+    ckey = ckey0
     order = jnp.argsort(ckey, stable=True).astype(jnp.int32)
     key_s = ckey[order]
     seg_start = jnp.concatenate([jnp.zeros(1, dtype=bool), key_s[1:] != key_s[:-1]])

@@ -13,6 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_BODIES = int(os.environ.get("BENCH_BODIES", 16384))
 PAIR_FACTOR = int(os.environ.get("BENCH_PAIR_FACTOR", 10))
+N_COLORS = int(os.environ.get("BENCH_COLORS", 16 if N_BODIES > 8192 else 8))
 
 
 def main():
@@ -26,7 +27,7 @@ def main():
         body_capacity=N_BODIES + 64,
         max_pairs=PAIR_FACTOR * N_BODIES,
         substeps=4,
-        num_colors=8,
+        num_colors=N_COLORS,
         n_bodies=N_BODIES,
     )
     sim.config = dataclasses.replace(

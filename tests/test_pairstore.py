@@ -131,9 +131,10 @@ def _check_invariants(store, kind=None):
     # 5. Hash membership: every live row is findable through its recorded lane, and
     #    every occupied lane points at a live row with matching bodies.
     hpos = np.asarray(store.hpos)
-    ht_a = np.asarray(store.ht_a).reshape(-1)
-    ht_b = np.asarray(store.ht_b).reshape(-1)
-    ht_s = np.asarray(store.ht_slot).reshape(-1)
+    ht = np.asarray(store.ht)
+    ht_a = ht[:, 0]
+    ht_b = ht[:, 1]
+    ht_s = ht[:, 2]
     for i in np.nonzero(live)[0]:
         h = int(hpos[i])
         assert ht_s[h] == i and ht_a[h] == a[i] and ht_b[h] == b[i], (
@@ -203,7 +204,7 @@ def test_hash_bucket_saturation_overflows_not_corrupts():
     """>LANES pairs forced into ONE hash bucket: the 9th reports overflow and is NOT
     stored (an unfindable record would later duplicate); the stored 8 stay sound."""
     store = PairStore.empty(64, NB, 8)
-    hb = store.ht_a.shape[0]
+    hb = store.ht.shape[0] // LANES
     # Find >LANES+1 pairs hashing to one bucket.
     buckets = {}
     target = None

@@ -76,7 +76,13 @@ def main():
     # window still grows contacts, so the probe runs deeper into the collapse first
     # and headroom stays generous; `overflow` in the output flags any breach honestly.
     if os.environ.get("BENCH_ADAPTIVE", "1") == "1":
-        sim.run(31, dt)  # deeper into the collapse: demand keeps growing post-warmup
+        # Settle the collapse before sizing: a cube pile's drop transient peaks at
+        # >2x the steady-state pair demand (fall time scales with the cube side), and
+        # sizing to the transient pushes the 64k windowed bank past VMEM feasibility.
+        settle = int(os.environ.get(
+            "BENCH_SETTLE", max(31, int(6 * N_BODIES ** (1 / 3)))
+        ))
+        sim.run(settle, dt)
         sync()
         out = sim.autosize(dt, probe_steps=32, headroom=2.0, pairs_headroom=1.4)
         # Compile the resized chunk+single-step programs before the timed window.

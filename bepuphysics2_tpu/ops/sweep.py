@@ -557,8 +557,8 @@ def _substeps_kernel(
         SG[0 : 8 * L, :] = SG[0 : 8 * L, :] + dV
 
     def dep_rows():
-        blk = DEP[:, pl.ds(sl * sb, sb)]
-        return [blk[k] for k in range(4)]
+        blk = IMPD[:, pl.ds(sl * sb, sb)]
+        return [blk[8 + k] for k in range(4)]
 
     def sides16():
         G = gather(SG[:])
@@ -866,6 +866,7 @@ def unpack_contact_impulses(imp_t, imp_like):
 # (Solver_Solve.cs:297-654).
 
 IT_ROWS = 16  # A: im ixx iyx iyy izx izy izz pad | B: same — jacobi-prescaled
+IMPD_ROWS = 16  # mega-win per-slice state: 8 impulse rows + 4 depth rows + 4 pad
 WSEG = 4  # window segments per slice
 WSEG_COLS = 128  # columns per segment (= windowing.GCOLS = windowing.BLK // L)
 NWIN = WSEG * WSEG_COLS  # window columns per slice
@@ -1205,11 +1206,15 @@ def _win_substeps_kernel(
     sg_in_ref,  # (SG_ROWS, NCH) — permuted layout
     sp_in_ref,  # (SP_ROWS, NCH)
     aux_ref,  # (AUX_ROWS, NCH)
-    imp_in_ref,  # (IMP_ROWS, B)
+    impd_in_ref,  # (IMPD_ROWS, SB) BLOCKED per slice:
+    # rows 0-7 accumulated impulses, rows 8-11 incremental depths. I/O streams in
+    # slice blocks while the LIVE state persists in the IMPD scratch — a single
+    # whole-bank resident instead of the former three (in + out + scratch), which is
+    # what fits 64k+ banks in v5e's 128 MB VMEM (the old layout wanted 154 MB).
     v_out_ref,  # (8*L, NCH)
     p_out_ref,  # (SP_ROWS, NCH)
-    imp_out_ref,  # (IMP_ROWS, B)
-    SG, SP, IMP, DEP,  # scratch
+    impd_out_ref,  # (IMPD_ROWS, SB) blocked; written from scratch on the final visit
+    SG, SP, IMPD,  # scratch (IMPD: (IMPD_ROWS, B) whole-bank state)
     *,
     n_substeps, n_iters, n_slices, sb, angular_mode, gravity,
 ):
@@ -1228,7 +1233,14 @@ def _win_substeps_kernel(
     def _():
         SG[:] = sg_in_ref[:]
         SP[:] = sp_in_ref[:]
-        IMP[:] = imp_in_ref[:]
+
+    # First visit of each slice seeds its scratch region from the streamed-in block;
+    # the LAST visit flushes it to the streamed-out block (earlier visits write stale
+    # windows to the same region, each overwritten by a later visit — the final one
+    # is authoritative).
+    @pl.when((s == 0) & (p == 0))
+    def _():
+        IMPD[:, pl.ds(sl * sb, sb)] = impd_in_ref[:]
 
     # ---- substep boundary: pose integration (s>0), gravity, world-inertia refresh.
     @pl.when((p == 1) & (sl == 0))
@@ -1272,8 +1284,8 @@ def _win_substeps_kernel(
         _win_scatter_add(SG, segs, sl, dV)
 
     def dep_rows():
-        blk = DEP[:, pl.ds(sl * sb, sb)]
-        return [blk[k] for k in range(4)]
+        blk = IMPD[:, pl.ds(sl * sb, sb)]
+        return [blk[8 + k] for k in range(4)]
 
     def sides16():
         G = gather(SG.shape[0])
@@ -1289,7 +1301,8 @@ def _win_substeps_kernel(
         ib_ii = Sym3(*(gb[9 + j] * sb_ for j in range(6)))
         return va, vb, ia_im, ia_ii, ib_im, ib_ii
 
-    # ---- phase 0: incremental depth update (substeps > 0)
+    # ---- phase 0: incremental depth update (substeps > 0). Depth rows were
+    # pre-filled from the prestep by the caller, so no s==0 init phase exists.
     @pl.when((p == 0) & (s > 0) & live)
     def _():
         Gv = gather(8 * L)
@@ -1298,18 +1311,13 @@ def _win_substeps_kernel(
         vb = BodyVel(Vec3(Gv[0, sb:], Gv[1, sb:], Gv[2, sb:]),
                      Vec3(Gv[3, sb:], Gv[4, sb:], Gv[5, sb:]))
         new_dep = _inc_depth_rows(ps, dep_rows(), va, vb, h)
-        DEP[:, pl.ds(sl * sb, sb)] = jnp.stack(new_dep)
-
-    # ---- phase 1 at substep 0: initialize the depth scratch from the prestep rows.
-    @pl.when((p == 1) & (s == 0))
-    def _():
-        DEP[:, pl.ds(sl * sb, sb)] = jnp.stack([ps[PS_DEPTH + k] for k in range(4)])
+        IMPD[8:12, pl.ds(sl * sb, sb)] = jnp.stack(new_dep)
 
     # ---- phase 1: warm start
     @pl.when((p == 1) & live)
     def _():
         va, vb, ia_im, ia_ii, ib_im, ib_ii = sides16()
-        imp_blk = IMP[:, pl.ds(sl * sb, sb)]
+        imp_blk = IMPD[:, pl.ds(sl * sb, sb)]
         imp_rows = [imp_blk[r] for r in range(IMP_ROWS)]
         dva, dvb = _warm_start_rows(ps, dep_rows(), imp_rows, ia_im, ia_ii, ib_im, ib_ii)
         scatter_deltas(dva[0], dva[1], dvb[0], dvb[1])
@@ -1318,19 +1326,23 @@ def _win_substeps_kernel(
     @pl.when((p >= 2) & live)
     def _():
         va, vb, ia_im, ia_ii, ib_im, ib_ii = sides16()
-        imp_blk = IMP[:, pl.ds(sl * sb, sb)]
+        imp_blk = IMPD[:, pl.ds(sl * sb, sb)]
         imp_rows = [imp_blk[r] for r in range(IMP_ROWS)]
         new_imp, dva, dvb = _solve_contact_rows(
             ps, dep_rows(), imp_rows, ia_im, ia_ii, ib_im, ib_ii, va, vb, inv_h
         )
-        IMP[:, pl.ds(sl * sb, sb)] = jnp.stack(new_imp)
+        IMPD[0:IMP_ROWS, pl.ds(sl * sb, sb)] = jnp.stack(new_imp)
         scatter_deltas(dva[0], dva[1], dvb[0], dvb[1])
+
+    # Final visit of each slice: flush its state block to the streamed output.
+    @pl.when((s == n_substeps - 1) & (p == PH - 1))
+    def _():
+        impd_out_ref[:] = IMPD[:, pl.ds(sl * sb, sb)]
 
     @pl.when((s == n_substeps - 1) & (p == PH - 1) & (sl == n_slices - 1))
     def _():
         v_out_ref[:] = SG[0 : 8 * L, :]
         p_out_ref[:] = SP[:]
-        imp_out_ref[:] = IMP[:]
 
 
 def solve_substeps_contacts_win(
@@ -1341,7 +1353,7 @@ def solve_substeps_contacts_win(
     grav_mask_p,  # (NP,) bool
     integ_mask_p,  # (NP,) bool
     ps_t,  # (PS_ROWS, B) windowed-exec order
-    imp_t,  # (IMP_ROWS, B)
+    imp_t,  # (IMPD_ROWS, B): rows 0-7 impulses, 8-11 initial depths (= prestep depth)
     whi2,  # (n_slices*2SB,) window-relative chunk columns (slice-major, A|B)
     wlo2,  # lanes
     scale,  # jacobi scales
@@ -1358,7 +1370,9 @@ def solve_substeps_contacts_win(
 ):
     """Windowed variant of solve_substeps_contacts: the ENTIRE substepped contact solve
     as one Pallas program over the permuted body layout. Returns permuted
-    (v6', pos', orn', imp_t')."""
+    (v6', pos', orn', impd_t') — impulse rows are impd_t'[:8]. The impulse+depth state
+    streams per-slice (blocked, aliased in/out), so VMEM use is independent of the bank
+    size — the whole-bank residents failed to compile at 64k (154 MB vs 128 MB)."""
     B = ps_t.shape[1]
     n_slices = B // sb
     m2 = 2 * sb
@@ -1422,23 +1436,22 @@ def solve_substeps_contacts_win(
             pl.BlockSpec((SG_ROWS, nch), lambda s, p, q: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SP_ROWS, nch), lambda s, p, q: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((AUX_ROWS, nch), lambda s, p, q: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((IMP_ROWS, B), lambda s, p, q: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((IMPD_ROWS, sb), lambda s, p, q: (0, q), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((8 * L, nch), lambda s, p, q: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SP_ROWS, nch), lambda s, p, q: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((IMP_ROWS, B), lambda s, p, q: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((IMPD_ROWS, sb), lambda s, p, q: (0, q), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((8 * L, nch), jnp.float32),
             jax.ShapeDtypeStruct((SP_ROWS, nch), jnp.float32),
-            jax.ShapeDtypeStruct((IMP_ROWS, B), jnp.float32),
+            jax.ShapeDtypeStruct((IMPD_ROWS, B), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((SG_ROWS, nch), jnp.float32),
             pltpu.VMEM((SP_ROWS, nch), jnp.float32),
-            pltpu.VMEM((IMP_ROWS, B), jnp.float32),
-            pltpu.VMEM((4, B), jnp.float32),
+            pltpu.VMEM((IMPD_ROWS, B), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,

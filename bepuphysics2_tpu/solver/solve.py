@@ -355,7 +355,11 @@ def _solve_store_fast(state, store_bank, integrator_cfg, cfg, dt, interpret,
         wlo2 = _slice_major(rel_a_w % psweep.L, rel_b_w % psweep.L)
         wscale = _slice_major(sa_w, sbw_)
         ps_t = Mw[:, :32].T
-        imp_t = Mw[:, 32:40].T
+        # Kernel impulse+depth state (IMPD_ROWS): 8 impulse rows + 4 initial depth
+        # rows (columns 18-21 of the packed prestep) + 4 pad.
+        imp_t = jnp.concatenate(
+            [Mw[:, 32:40], Mw[:, 18:22], jnp.zeros((bp, 4), jnp.float32)], axis=-1
+        ).T
 
         pos_slot = lay["pos_slot"]
         slot_pos = lay["slot_pos"]
@@ -393,7 +397,7 @@ def _solve_store_fast(state, store_bank, integrator_cfg, cfg, dt, interpret,
         placed = dest < bp
         imp_rows_t = jax.lax.optimization_barrier(imp_out.T)
         imp_rows = jnp.where(
-            placed[:, None], imp_rows_t[jnp.minimum(dest, bp - 1)], imc
+            placed[:, None], imp_rows_t[jnp.minimum(dest, bp - 1)][:, :8], imc
         )
         overflow = rw["wide_overflow"]
         wide_demand = rw["wide_demand"].astype(jnp.int32)
@@ -531,10 +535,25 @@ def solve_all(
     # Above ~8k bodies the full-width one-hot routing (rows x bodies MACs) loses; the
     # store bank switches to the WINDOWED kernel there (ops/sweep.py contact_sweep_win):
     # constant per-slice routing cost at any body count. "pallas_win" forces it at any
-    # size (tests).
+    # size (tests). The kernel keeps one whole-bank (IMPD_ROWS, bp) state scratch in
+    # VMEM; past the feasibility bound (v5e: 128 MB) fall back to the XLA page sweep
+    # instead of failing to compile.
+    win_feasible = True
+    if store_bank is not None:
+        _Bc = store_bank["store"].capacity
+        _nblk = -(-n_bodies // 1024)
+        _bp_est = (
+            _Bc
+            + (cfg.num_colors + 1) * _nblk * 256
+            + max(256, cfg.wide_cap_rows or _Bc // 8)
+        )
+        _nch_est = -(-((1024 + (_nblk + 2) * 1024) // 8) // 128) * 128
+        _states = 4 * _nch_est * (2 * 128 + 5 * 64)
+        win_feasible = 16 * 4 * _bp_est + _states < 108 * 1024 * 1024
     use_win = (
         _pallas_capable
         and store_bank is not None
+        and win_feasible
         and (n_bodies > 8192 or cfg.backend == "pallas_win")
     )
     use_pallas = _pallas_capable and (
@@ -1770,68 +1789,8 @@ def solve_all(
         and any(bk.get("p_nsl") for bk in buckets)
     )
     mega = mega_ok and not use_win
-    # Windowed mega: same whole-solve fusion over the PERMUTED layout (store-bank
-    # scenes above the full-width kernel's range — ops/sweep.py
-    # solve_substeps_contacts_win). Store mode has exactly one bucket.
-    mega_win = (
-        mega_ok and use_win and len(buckets) == 1 and bool(buckets[0].get("win"))
-        and buckets[0]["p_nsl"] > 0
-    )
-    if mega_win:
-        from . import windowing as _winm
-
-        bk = buckets[0]
-        w = bk["win"]
-        lay = w["lay"]
-        pos_slot = lay["pos_slot"]
-        slot_pos = lay["slot_pos"]
-        perm = lambda x: _winm.permute_rows(x, pos_slot)
-        ps_t = psweep.pack_contact_prestep(bk["ps"], bk["p_spring"])
-        imp_t = psweep.pack_contact_impulses(bk["imp"])
-        lin_scale = (
-            (1.0 - integrator_cfg.linear_damping) ** h
-            if integrator_cfg.linear_damping
-            else 1.0
-        )
-        ang_scale = (
-            (1.0 - integrator_cfg.angular_damping) ** h
-            if integrator_cfg.angular_damping
-            else 1.0
-        )
-        gmask = (state.kind == KIND_DYNAMIC) & state.awake
-        li = state.inv_inertia
-        v6n_p, pos_p, orn_p, imp_out = psweep.solve_substeps_contacts_win(
-            perm(_vel_to6(state)),
-            Vec3(perm(state.pos.x), perm(state.pos.y), perm(state.pos.z)),
-            Quat(perm(state.orn.x), perm(state.orn.y), perm(state.orn.z),
-                 perm(state.orn.w)),
-            perm(state.inv_mass),
-            Sym3(perm(li.xx), perm(li.yx), perm(li.yy), perm(li.zx), perm(li.zy),
-                 perm(li.zz)),
-            perm(gmask), perm(state.integrable),
-            ps_t, imp_t,
-            bk["p_whi2"], bk["p_wlo2"], bk["p_wscale"], w["wseg"],
-            h, inv_h, lin_scale, ang_scale,
-            nch=lay["nch"], sb=w["sb"], n_substeps=cfg.substeps,
-            n_iters=cfg.velocity_iterations,
-            angular_mode=integrator_cfg.angular_mode,
-            gravity=integrator_cfg.gravity,
-            interpret=pallas_interpret,
-        )
-        # Back to slot order. Dead sentinel positions are discarded by the gather.
-        state = _vel_from6(
-            state._replace(
-                pos=Vec3(pos_p.x[slot_pos], pos_p.y[slot_pos], pos_p.z[slot_pos]),
-                orn=Quat(orn_p.x[slot_pos], orn_p.y[slot_pos], orn_p.z[slot_pos],
-                         orn_p.w[slot_pos]),
-            ),
-            v6n_p[slot_pos],
-        )
-        imps_final = (psweep.unpack_contact_impulses(imp_out, bk["imp"]),)
-        jimps_final = {}
-        ju_imp_final = jnp.zeros((0, _U_IMPULSE), jnp.float32)
-        state = integrate_poses(state, integrator_cfg, h)
-        return _finalize(state, imps_final, jimps_final, ju_imp_final)
+    # (The former in-line mega_win path is unreachable: every store-only windowed
+    # scene is intercepted by _solve_store_fast above.)
     if mega:
         active = [ci for ci in range(len(buckets)) if buckets[ci]["p_nsl"]]
         ps_t_all = jnp.concatenate(

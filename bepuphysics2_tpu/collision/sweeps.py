@@ -36,6 +36,10 @@ class SweepHit(NamedTuple):
     hit: jnp.ndarray
     t: jnp.ndarray
     body: jnp.ndarray
+    # prune_k mode only (None otherwise): True when the K-candidate budget filled with
+    # candidates whose conservative entry bound precedes the returned t — the result
+    # MAY not be the earliest impact; re-sweep with prune_k=0 when exactness matters.
+    saturated: jnp.ndarray = None
 
 
 def sweep_shape_all(
@@ -52,6 +56,7 @@ def sweep_shape_all(
     max_t,
     child_owner=None,  # (K,) int32 body slot per compound/mesh child target (-1 = pad)
     child_rows=None,  # (K,) int32 child-pool rows matching child_owner
+    prune_k: int = 0,
 ) -> SweepHit:
     """TOI of the swept shape against every collidable; min-t reduction.
 
@@ -124,6 +129,45 @@ def sweep_shape_all(
     o_vel = state.vel[tg_owner]
     o_omega = state.omega[tg_owner]
 
+    saturated = None
+    if prune_k and prune_k < T:
+        # BVH-descent analogue for sweeps (reference Trees/RayBatcher.cs:125 batching +
+        # Tree_Sweep.cs pruning): a cheap conservative ENTRY-TIME lower bound per
+        # target (center gap over approach-speed bound) selects the prune_k earliest
+        # candidates; the expensive GJK conservative advancement then runs on K
+        # targets instead of T. Exact unless more than K candidates' bounds precede
+        # the true impact — reported via ``saturated``.
+        b0 = o_pos + o_orn.rotate(tg_lpos)
+        gap = (b0 - pos).length() - tg_radius - sweep_radius
+        sb_ = (
+            (vel - o_vel).length()
+            + omega.length() * sweep_radius
+            + o_omega.length() * tg_radius
+            + 1e-6
+        )
+        entry = jnp.maximum(gap, 0.0) / sb_
+        entry = jnp.where(tg_exists & (entry <= max_t), entry, _INF)
+        neg_entry, sel = jax.lax.top_k(-entry, prune_k)
+        cand_live = neg_entry > -_INF
+        kth_entry = -neg_entry[-1]
+        kth_live = cand_live[-1]
+
+        tg_owner = tg_owner[sel]
+        tg_type = tg_type[sel]
+        tg_params = tg_params[sel]
+        tg_hull_start = tg_hull_start[sel]
+        tg_hull_count = tg_hull_count[sel]
+        tg_radius = tg_radius[sel]
+        tg_exists = cand_live
+        tg_lpos = Vec3(tg_lpos.x[sel], tg_lpos.y[sel], tg_lpos.z[sel])
+        tg_lorn = Quat(tg_lorn.x[sel], tg_lorn.y[sel], tg_lorn.z[sel], tg_lorn.w[sel])
+        o_pos = Vec3(o_pos.x[sel], o_pos.y[sel], o_pos.z[sel])
+        o_orn = Quat(o_orn.x[sel], o_orn.y[sel], o_orn.z[sel], o_orn.w[sel])
+        o_vel = Vec3(o_vel.x[sel], o_vel.y[sel], o_vel.z[sel])
+        o_omega = Vec3(o_omega.x[sel], o_omega.y[sel], o_omega.z[sel])
+        T = prune_k
+        saturated = (kth_live, kth_entry)  # finalized after the TOI reduce
+
     def ctx_at(t):
         # Integrate both the swept shape's and each target owner's pose to time t.
         a_pos = pos + vel * t
@@ -187,10 +231,17 @@ def sweep_shape_all(
     best = jnp.argmin(hit_t)
     best_t = hit_t[best]
     found = best_t < _INF
+    sat_out = None
+    if saturated is not None:
+        kth_live, kth_entry = saturated
+        sat_out = kth_live & (
+            kth_entry <= jnp.minimum(best_t, jnp.asarray(max_t, jnp.float32))
+        )
     return SweepHit(
         hit=found,
         t=jnp.where(found, best_t, jnp.asarray(max_t, jnp.float32)),
         body=jnp.where(found, tg_owner[best], -1),
+        saturated=sat_out,
     )
 
 

@@ -1179,7 +1179,8 @@ class Simulation:
         )
 
     def sweep_shape(self, shape_obj, position, velocity, max_t: float = 10.0,
-                    orientation=(0, 0, 0, 1), angular_velocity=(0, 0, 0)):
+                    orientation=(0, 0, 0, 1), angular_velocity=(0, 0, 0),
+                    prune_k: int = 0):
         """Narrow shape sweep to time-of-impact via conservative advancement including
         angular velocity (reference Simulation.Sweep, Simulation_Queries.cs:267 +
         ConvexSweepTaskCommon.cs). Returns SweepHit(hit, t, body)."""
@@ -1206,17 +1207,21 @@ class Simulation:
             self._state.bodies, self.shapes.device(), type_id, jnp.asarray(params),
             jnp.int32(row), v3(position), q, v3(velocity), v3(angular_velocity),
             jnp.float32(shape_obj.maximum_radius()), jnp.float32(max_t),
-            child_owner=co, child_rows=crw,
+            child_owner=co, child_rows=crw, prune_k=prune_k,
         )
 
     def sweep_shape_batch(self, shape_obj, positions, velocities, max_t: float = 10.0,
-                          orientations=None, angular_velocities=None):
+                          orientations=None, angular_velocities=None,
+                          prune_k: int = 0):
         """Batched exact sweeps: R shape casts against the whole scene in ONE fused
         dispatch (the reference's ray BATCHING idea applied to sweeps —
         Trees/RayBatcher.cs:125 collects queries and traverses once; here vmap fuses all
         sweeps into a single conservative-advancement program). Arguments are (R, 3)
         position/velocity arrays (+ optional (R, 4)/(R, 3) orientation/angular arrays);
-        returns SweepHit with (R,) leaves."""
+        returns SweepHit with (R,) leaves. ``prune_k``: test only the K
+        bounding-sphere candidates with the earliest conservative entry per sweep
+        (the raycast prune applied to sweeps — Trees/RayBatcher.cs:125 analogue);
+        0 = exact full pass; SweepHit.saturated flags possibly-inexact sweeps."""
         import numpy as _np
 
         from .collision.sweeps import sweep_shape_all
@@ -1254,7 +1259,7 @@ class Simulation:
                 bodies, shapes_d, type_id, jnp.asarray(params), jnp.int32(row),
                 p, q, v, w,
                 jnp.float32(shape_obj.maximum_radius()), jnp.float32(max_t),
-                child_owner=co, child_rows=crw,
+                child_owner=co, child_rows=crw, prune_k=prune_k,
             )
 
         return jax.vmap(one)(

@@ -230,3 +230,23 @@ def test_sweep_against_mesh_and_compound_children():
     hit2 = sim.sweep_shape(Sphere(0.5), (3.0, 6.0, 0.0), (0, -1, 0), max_t=10.0)
     assert bool(hit2.hit) and abs(float(hit2.t) - 2.5) < 0.02, float(hit2.t)
     assert int(hit2.body) == 1
+
+
+@pytest.mark.slow  # full-suite only: compile-heavy; subsystem covered by a faster test
+def test_pruned_sweep_matches_full():
+    """prune_k sweeps must agree with the exact full pass (hit, body, t) on a scene
+    where candidates are sparse along each cast; saturated must report False there."""
+    sim, _handles = make_scene()
+    s = Sphere(0.3)
+    sim.add_shape(s)
+
+    R = 8
+    rng = np.random.default_rng(4)
+    P = np.stack([rng.uniform(-4, 4, R), np.full(R, 6.0), rng.uniform(-4, 4, R)], -1)
+    V = np.tile(np.array([0.0, -6.0, 0.0]), (R, 1))
+    full = sim.sweep_shape_batch(s, P, V, max_t=3.0)
+    pruned = sim.sweep_shape_batch(s, P, V, max_t=3.0, prune_k=8)
+    assert (np.asarray(full.hit) == np.asarray(pruned.hit)).all()
+    assert (np.asarray(full.body) == np.asarray(pruned.body)).all()
+    assert np.allclose(np.asarray(full.t), np.asarray(pruned.t), atol=1e-5)
+    assert pruned.saturated is not None

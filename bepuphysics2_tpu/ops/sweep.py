@@ -557,8 +557,8 @@ def _substeps_kernel(
         SG[0 : 8 * L, :] = SG[0 : 8 * L, :] + dV
 
     def dep_rows():
-        blk = IMPD[:, pl.ds(sl * sb, sb)]
-        return [blk[8 + k] for k in range(4)]
+        blk = DEP[:, pl.ds(sl * sb, sb)]
+        return [blk[k] for k in range(4)]
 
     def sides16():
         G = gather(SG[:])

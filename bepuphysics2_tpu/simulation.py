@@ -652,9 +652,14 @@ class Simulation:
             # Every fixed-shape stage costs CAPACITY, so the pair bank gets its own
             # (typically tighter) headroom; overflow flags keep under-sizing honest.
             ph = pairs_headroom if pairs_headroom is not None else headroom
+            # Page-fragmentation slack: store pages are color-homogeneous, so each
+            # color class wastes up to one partial page — demand x headroom alone
+            # tripped store overflow at 1.17x live with 16 colors (measured at 4k).
+            _pg = 512 if max(d[D_PAIRS], d[D_LIVE]) * ph >= 8192 else 128
+            frag = (self.config.num_colors + 1) * _pg
             want_pairs = max(
                 1024,
-                ((int(max(d[D_PAIRS], d[D_LIVE]) * ph) + 511) // 512) * 512,
+                ((int(max(d[D_PAIRS], d[D_LIVE]) * ph) + frag + 511) // 512) * 512,
             )
             if want_pairs != self.config.max_pairs:
                 new["max_pairs"] = want_pairs

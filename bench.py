@@ -137,9 +137,15 @@ def colosseum():
         dyn = h.kind == 1
         return float(_np.sum(h.awake & dyn) / max(1, _np.sum(dyn)))
 
+    # Engine-derived capacities (autosize; rings are pre-stacked so demand is
+    # steady-state from the start — no collapse transient to settle out).
+    sim.run(33, dt)
+    if os.environ.get("BENCH_ADAPTIVE", "1") == "1":
+        sim.autosize(dt, probe_steps=32, headroom=2.0, pairs_headroom=1.4)
+
     # Settle until the sleepers win (bounded); sample the awake fraction curve.
     curve = []
-    for _ in range(10):
+    for _ in range(20):
         sim.run(30, dt)
         curve.append(round(awake_frac(), 4))
         if curve[-1] < 0.05:

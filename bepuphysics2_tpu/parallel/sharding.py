@@ -95,10 +95,11 @@ def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str
     Pair→device assignment is by broad-phase row block (pair (a,b) lives with row a), so
     the warm-start PairCache stays device-local across frames.
 
-    Constraints (round-1 scope): brute-force broad phase; convex pairs only (no
-    compound/mesh expansion); sleeping must be disabled (wake propagation needs a global
-    reduction not yet wired). body_capacity, max_pairs, and every joint bank capacity must
-    be divisible by the mesh size.
+    Constraints: brute-force broad phase; convex pairs only (no compound/mesh
+    expansion). Sleeping IS supported: wake-on-touch pmax-combines woken island labels
+    across shards and the island label propagation pmin-combines each round, so islands
+    spanning shards sleep/wake exactly as on one device. body_capacity, max_pairs, and
+    every joint bank capacity must be divisible by the mesh size.
     """
     import numpy as np
     from functools import partial
@@ -121,8 +122,6 @@ def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str
             f"body_capacity ({nb}) and max_pairs ({config.max_pairs}) must divide by the "
             f"mesh size ({n_dev})"
         )
-    if config.enable_sleep:
-        raise ValueError("sharded_step_fn requires SimConfig(enable_sleep=False)")
     rows_per_dev = nb // n_dev
     local_pairs = config.max_pairs // n_dev
 
@@ -144,6 +143,12 @@ def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str
         prestep, imp, pcolor, _t_eval = narrow_phase(
             bodies, shapes, pairs, state.cache, dt, present_types=present_types
         )
+        # Whole-island wake on touch: touches live in the SHARDED pair bank, so the
+        # woken-label set combines with a pmax across the mesh (sleep.py axis_name).
+        if config.enable_sleep:
+            from ..sleep import wake_touched
+
+            bodies = wake_touched(bodies, prestep, axis_name=axis)
         banks = {
             name: dict(
                 joint_banks[name],
@@ -156,6 +161,14 @@ def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str
             bodies, [(prestep, imp, pcolor)], banks, config.integrator,
             config.solve_config(), dt, axis_name=axis,
         )
+        # Candidacy timers + island sleep decision over the GLOBAL constraint graph
+        # (label propagation pmin-combined across shards each round).
+        if config.enable_sleep:
+            from ..sleep import update_sleep
+
+            new_bodies = update_sleep(
+                new_bodies, [prestep], banks, dt, config.sleep_time, axis_name=axis
+            )
         cache = update_cache(prestep, imps[0], nb, ccolors[0], slot_live=pairs.valid)
         diag = StepDiagnostics(
             pair_count=jax.lax.psum(jnp.sum(pairs.valid), axis),
@@ -174,10 +187,10 @@ def sharded_step_fn(config: SimConfig, mesh: Mesh, present_types=None, axis: str
                 [jax.lax.psum(pairs.demand, axis), jnp.zeros(6, jnp.int32)]
             ),
         )
-        # Sharded path requires enable_sleep=False; the sleep banks pass through.
-        # (And use_pair_store=False: the sharded pipeline keeps the per-frame cache
+        # Sleep banks pass through (the masked sleeping needs no bank migration).
+        # use_pair_store=False here: the sharded pipeline keeps the per-frame cache
         # join — the store's churn scatters don't shard; SURVEY §5.8 islands-as-shards
-        # is the designed follow-up.)
+        # is the designed follow-up.
         return SimState(
             new_bodies, cache, state.ccache, joint_imps, jcolors,
             state.sleep_cache, state.sleep_ccache, state.store,

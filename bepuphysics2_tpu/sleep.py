@@ -50,11 +50,17 @@ def _collect_edges(presteps, joint_banks: dict):
     return a, b, live
 
 
-def compute_islands(state: BodyState, presteps, joint_banks: dict) -> jnp.ndarray:
+def compute_islands(state: BodyState, presteps, joint_banks: dict,
+                    axis_name: str = None) -> jnp.ndarray:
     """Island label per body (label = min body index in the island) over dynamic bodies
     connected by live constraints. Non-dynamic bodies keep their own index (statics/
     kinematics never merge islands — matching the reference: kinematics don't propagate
-    islands, Solver.GetBlockingBodyHandles)."""
+    islands, Solver.GetBlockingBodyHandles).
+
+    ``axis_name``: when set, this runs INSIDE shard_map with bodies replicated and the
+    constraint banks sharded — each round's per-shard scatter-min is combined with a
+    cross-shard ``pmin`` so labels converge over the GLOBAL constraint graph (islands
+    spanning shards merge exactly; SURVEY §5.8)."""
     n = state.pos.x.shape[0]
     labels = jnp.arange(n, dtype=jnp.int32)
     ea, eb, live = _collect_edges(presteps, joint_banks)
@@ -76,6 +82,8 @@ def compute_islands(state: BodyState, presteps, joint_banks: dict) -> jnp.ndarra
         m = jnp.where(edge_ok, jnp.minimum(la, lb), n)
         labels = labels.at[ea_s].min(m[ea_p], indices_are_sorted=True)
         labels = labels.at[eb_s].min(m[eb_p], indices_are_sorted=True)
+        if axis_name is not None:
+            labels = jax.lax.pmin(labels, axis_name)
         # Pointer jumping (twice) to collapse chains quickly.
         labels = labels[labels]
         labels = labels[labels]
@@ -84,7 +92,7 @@ def compute_islands(state: BodyState, presteps, joint_banks: dict) -> jnp.ndarra
     return jax.lax.fori_loop(0, LABEL_ROUNDS, body_round, labels)
 
 
-def wake_touched(state: BodyState, prestep) -> BodyState:
+def wake_touched(state: BodyState, prestep, axis_name: str = None) -> BodyState:
     """Wake sleeping bodies contacted by awake dynamics — whole stored island at once
     (reference IslandAwakener: narrow-phase touch triggers island awakening).
     The pair-table scatters/gathers only run when anything is actually asleep
@@ -102,6 +110,10 @@ def wake_touched(state: BodyState, prestep) -> BodyState:
         lbl = state.sleep_island
         woken_label = woken_label.at[jnp.where(touch_b, lbl[b], n)].set(True, mode="drop")
         woken_label = woken_label.at[jnp.where(touch_a, lbl[a], n)].set(True, mode="drop")
+        if axis_name is not None:
+            # Touches seen by ANY shard wake the island everywhere (pair banks are
+            # sharded; the cond predicate is replicated so every shard enters here).
+            woken_label = jax.lax.pmax(woken_label.astype(jnp.int32), axis_name) > 0
         wake = sleeping_dyn & woken_label[lbl]
         return state._replace(
             awake=state.awake | wake,
@@ -111,7 +123,8 @@ def wake_touched(state: BodyState, prestep) -> BodyState:
     return jax.lax.cond(jnp.any(sleeping_dyn), wake_pass, lambda _: state, None)
 
 
-def update_sleep(state: BodyState, presteps, joint_banks: dict, dt, sleep_time: float) -> BodyState:
+def update_sleep(state: BodyState, presteps, joint_banks: dict, dt, sleep_time: float,
+                 axis_name: str = None) -> BodyState:
     """Post-solve candidacy update + island sleep decision.
 
     The island label propagation (LABEL_ROUNDS scatter-min/pointer-jump rounds — measured
@@ -129,7 +142,7 @@ def update_sleep(state: BodyState, presteps, joint_banks: dict, dt, sleep_time: 
     candidate = dyn_awake & below & can_sleep & (timer > sleep_time)
 
     def sleep_pass(_):
-        labels = compute_islands(state, presteps, joint_banks)
+        labels = compute_islands(state, presteps, joint_banks, axis_name=axis_name)
         # Island sleeps iff every dynamic awake member is a candidate.
         island_all = jnp.ones(n, bool)
         island_all = island_all.at[jnp.where(dyn_awake, labels, n)].min(

@@ -15,6 +15,7 @@ from bepuphysics2_tpu import (
 from bepuphysics2_tpu.shapes import Compound
 
 
+@pytest.mark.slow  # full-suite only: compile-heavy; subsystem covered by a faster test
 def test_compound_dumbbell_rests():
     sim = Simulation(
         SimConfig(

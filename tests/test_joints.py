@@ -60,6 +60,7 @@ def test_distance_limit_rope():
     assert pos[1] < 3.5  # actually fell
 
 
+@pytest.mark.slow  # full-suite only: compile-heavy; subsystem covered by a faster test
 def test_hinge_keeps_axis():
     """Hinged body: relative rotation stays about the hinge axis; anchor stays attached."""
     sim = make_sim()

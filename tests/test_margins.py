@@ -2,6 +2,7 @@
 MaximumSpeculativeMargin, Collidables/Collidable.cs:131,139): the velocity-based pair
 margin is floored by the averaged endpoint minimums and capped by the min-combined
 endpoint maximums."""
+import pytest
 import numpy as np
 
 from bepuphysics2_tpu import (
@@ -37,6 +38,7 @@ def _one_step_contacts(margin_min=0.1, margin_max=3.0e38, gap=0.5, speed=0.0):
     return int(sim.last_diag.contact_count) > 0
 
 
+@pytest.mark.slow  # full-suite only: compile-heavy; subsystem covered by a faster test
 def test_default_margin_misses_distant_pair():
     # gap 0.5 ≫ default resting band (0.1) and the approach speed covers only
     # 2·dt-ish of it — no speculative contact.

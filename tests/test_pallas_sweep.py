@@ -44,6 +44,7 @@ def _states(sim):
     return np.stack([h.px, h.py, h.pz]), np.stack([h.vx, h.vy, h.vz])
 
 
+@pytest.mark.slow  # full-suite only: compile-heavy; subsystem covered by a faster test
 def test_pallas_matches_xla_pile():
     sim_x = _pile_sim("xla")
     sim_p = _pile_sim("pallas")

@@ -99,3 +99,56 @@ def test_batched_worlds_data_parallel():
     px = np.asarray(new_states.bodies.pos.x)
     for w in range(1, 8):
         np.testing.assert_array_equal(px[0], px[w])
+
+
+def test_sharded_sleep_matches_single_device():
+    """Sleep/wake inside shard_map: a resting stack must fall asleep identically on
+    the 8-device mesh and on one device (labels pmin-combined, wakes pmax-combined)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import bepuphysics2_tpu as bp
+    from bepuphysics2_tpu.parallel.sharding import (
+        make_mesh, shard_state, sharded_step_fn,
+    )
+
+    def scene():
+        sim = bp.Simulation(
+            bp.SimConfig(
+                body_capacity=64, max_pairs=256, substeps=2, num_colors=2,
+                enable_sleep=True, sleep_time=0.15, use_pair_store=False,
+                broadphase="brute",
+            )
+        )
+        g = sim.add_shape(bp.Box(20.0, 0.5, 20.0))
+        sim.add_static(bp.StaticDescription(position=(0, -0.5, 0), shape=g))
+        s = bp.Sphere(0.5)
+        ss = sim.add_shape(s)
+        for i in range(8):
+            # resting on the ground, slightly separated: sleeps quickly
+            sim.add_body(
+                bp.BodyDescription.dynamic((i * 1.5 - 5, 0.4995, 0), ss, 1.0, s)
+            )
+        return sim
+
+    dt = 1.0 / 60.0
+    sim1 = scene()
+    sim1.run(40, dt, chunk=0)
+    sim1._sync_from_device()
+    awake_single = np.asarray(sim1._host.awake[:16]).copy()
+    assert not awake_single[1:9].any(), "single-device scene failed to sleep"
+
+    sim2 = scene()
+    mesh = make_mesh(8)
+    present = tuple(sorted({int(t) for t in sim2.shapes.types if t >= 0}))
+    sfn = sharded_step_fn(sim2.config, mesh, present_types=present)(
+        sim2.state, sim2.shapes.device(), {}
+    )
+    st = shard_state(sim2.state, mesh)
+    for _ in range(40):
+        st, diag = sfn(st, sim2.shapes.device(), {}, jnp.float32(dt))
+    awake_sharded = np.asarray(st.bodies.awake[:16])
+    assert (awake_sharded == awake_single).all(), (awake_sharded, awake_single)

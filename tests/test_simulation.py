@@ -135,6 +135,7 @@ def test_determinism():
     np.testing.assert_array_equal(r1, r2)
 
 
+@pytest.mark.slow  # full-suite only: compile-heavy; subsystem covered by a faster test
 def test_scanned_run_matches_per_step():
     """The scanned multi-step dispatch (step_n / lax.scan) must be bit-identical to
     per-step dispatch — the TPU production path vs the debug path."""

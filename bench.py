@@ -184,6 +184,10 @@ def colosseum():
                 "unit": "steps/sec",
                 "vs_baseline": round(settled_sps / 10000.0, 4),
                 "overflow": bool(sim.last_diag.overflow),
+                "overflow_src": int(getattr(sim.last_diag, "overflow_src", 0)),
+                "demand": [int(x) for x in sim.last_diag.demand]
+                if sim.last_diag.demand is not None else None,
+                "max_pairs": int(sim.config.max_pairs),
                 "pairs": int(sim.last_diag.pair_count),
                 "bodies": n,
                 "awake_frac_curve": curve,

@@ -549,7 +549,12 @@ def solve_all(
         )
         _nch_est = -(-((1024 + (_nblk + 2) * 1024) // 8) // 128) * 128
         _states = 4 * _nch_est * (2 * 128 + 5 * 64)
-        win_feasible = 16 * 4 * _bp_est + _states < 108 * 1024 * 1024
+        # Second bound: an untracked kernel fault ("TPU worker crashed") reproduces at
+        # a ~725k-row padded bank while ~623k runs clean (BASELINE.md known fault);
+        # clamp below the working point until root-caused — XLA fallback beats a crash.
+        win_feasible = (
+            16 * 4 * _bp_est + _states < 108 * 1024 * 1024 and _bp_est <= 650_000
+        )
     use_win = (
         _pallas_capable
         and store_bank is not None

@@ -142,6 +142,7 @@ def colosseum():
     sim.run(33, dt)
     if os.environ.get("BENCH_ADAPTIVE", "1") == "1":
         sim.autosize(dt, probe_steps=32, headroom=2.0, pairs_headroom=1.4)
+        sim.run(33, dt)  # compile the resized chunk+single-step programs
 
     # Settle until the sleepers win (bounded); sample the awake fraction curve.
     curve = []

@@ -567,3 +567,130 @@ def store_claims(bodies, colors, valid, n_bodies: int, num_colors: int):
     for j in range(k):
         out = out.at[jnp.minimum(bodies[:, j], n_bodies)].add(bit)
     return out
+
+
+def migrate(store: PairStore, new_capacity: int, n_bodies: int, new_page: int,
+            num_colors: int, kind=None) -> PairStore:
+    """HOST-side store resize preserving every live pair's color, features, and
+    accumulated impulses (the reference's Resize moves its caches instead of dropping
+    them, Simulation.EnsureCapacity). Runs between steps in numpy: live rows re-place
+    into the new page layout grouped by color, the hash re-inserts with the device
+    hash function, and the claim/valence tables rebuild from the carried rows.
+    Rows beyond the new capacity (shrink below live count) drop — the broad phase
+    re-admits them over subsequent frames with a one-time warm-start loss.
+
+    Without this, autosize's reconfigure rebuilt the store EMPTY: a settled scene lost
+    all warm starts at once, re-settled with jolts, and its wake storms kept marginal
+    stacks awake indefinitely (measured: the 2,880-body colosseum sleeps fully without
+    a resize and never fully sleeps across one)."""
+    import numpy as np
+
+    assert new_capacity % new_page == 0
+    P = new_capacity // new_page
+    hb = max(8, _next_pow2(-(-new_capacity // 2)))
+    C = num_colors
+
+    live = np.asarray(store.live)
+    idx = np.nonzero(live)[0]
+    a = np.asarray(store.body_a)[idx]
+    b = np.asarray(store.body_b)[idx]
+    color = np.minimum(np.asarray(store.color)[idx], C)
+    feature = np.asarray(store.feature)[idx]
+    imp_pen = np.asarray(store.imp_pen)[idx]
+    imp_tx = np.asarray(store.imp_tx)[idx]
+    imp_ty = np.asarray(store.imp_ty)[idx]
+    imp_tw = np.asarray(store.imp_tw)[idx]
+    active_prev = np.asarray(store.active_prev)[idx]
+
+    # Place rows grouped by color into fresh pages (color-homogeneous pages).
+    order = np.argsort(color, kind="stable")
+    slots = np.full(len(idx), -1, np.int64)
+    page_color = np.full(P, -1, np.int32)
+    next_slot = 0
+    kept = np.zeros(len(idx), bool)
+    for j in order:
+        c = int(color[j])
+        if next_slot % new_page == 0:
+            pg = next_slot // new_page
+            if pg >= P:
+                break  # shrink spill: dropped rows re-enter from candidates
+            page_color[pg] = c
+        elif page_color[next_slot // new_page] != c:
+            # color change mid-page: advance to the next page boundary
+            next_slot = (next_slot // new_page + 1) * new_page
+            pg = next_slot // new_page
+            if pg >= P:
+                break
+            page_color[pg] = c
+        slots[j] = next_slot
+        kept[j] = True
+        next_slot += 1
+
+    # Hash insert (device-identical bucket function; int32 wraparound emulated).
+    a64 = a.astype(np.int64) * -1640531527 + b.astype(np.int64) * 97001
+    h32 = (a64 & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    h32 = h32 ^ (h32 >> 15)  # arithmetic shift on int32, matching jnp
+    bucket = (h32 & np.int32(hb - 1)).astype(np.int64)
+
+    body_a2 = np.zeros(new_capacity, np.int32)
+    body_b2 = np.zeros(new_capacity, np.int32)
+    live2 = np.zeros(new_capacity, bool)
+    ap2 = np.zeros(new_capacity, bool)
+    color2 = np.zeros(new_capacity, np.int32)
+    hpos2 = np.zeros(new_capacity, np.int32)
+    feature2 = np.full((new_capacity, 4), -1, np.int32)
+    pen2 = np.zeros((new_capacity, 4), np.float32)
+    tx2 = np.zeros(new_capacity, np.float32)
+    ty2 = np.zeros(new_capacity, np.float32)
+    tw2 = np.zeros(new_capacity, np.float32)
+    used2 = np.zeros(n_bodies + 1, np.int32)
+    jacv2 = np.zeros(n_bodies + 1, np.float32)
+    ht2 = np.full((hb * LANES, 3), -1, np.int32)
+    lane_fill = np.zeros(hb, np.int32)
+
+    # Claims follow update()'s rule exactly: only DYNAMIC endpoints claim (a static
+    # endpoint's claim would never be unclaimed on retirement — a permanent leak).
+    kind_np = (
+        np.asarray(kind) if kind is not None else np.ones(n_bodies, np.int32)
+    )
+    for j in np.nonzero(kept)[0]:
+        s = int(slots[j])
+        bi = int(bucket[j])
+        ln = int(lane_fill[bi])
+        if ln >= LANES:
+            kept[j] = False  # hash bucket saturated in the new table: drop (re-admits)
+            live2[s] = False
+            continue
+        lane_fill[bi] = ln + 1
+        hp = bi * LANES + ln
+        body_a2[s] = a[j]
+        body_b2[s] = b[j]
+        live2[s] = True
+        ap2[s] = active_prev[j]
+        color2[s] = color[j]
+        hpos2[s] = hp
+        feature2[s] = feature[j]
+        pen2[s] = imp_pen[j]
+        tx2[s] = imp_tx[j]
+        ty2[s] = imp_ty[j]
+        tw2[s] = imp_tw[j]
+        ht2[hp] = (a[j], b[j], s)
+        c = int(color[j])
+        if c < C:
+            if kind_np[a[j]] == KIND_DYNAMIC:
+                used2[a[j]] |= 1 << c
+            if kind_np[b[j]] == KIND_DYNAMIC:
+                used2[b[j]] |= 1 << c
+        else:
+            jacv2[a[j]] += 1.0
+            jacv2[b[j]] += 1.0
+
+    return PairStore(
+        body_a=jnp.asarray(body_a2), body_b=jnp.asarray(body_b2),
+        live=jnp.asarray(live2), active_prev=jnp.asarray(ap2),
+        color=jnp.asarray(color2), hpos=jnp.asarray(hpos2),
+        feature=jnp.asarray(feature2), imp_pen=jnp.asarray(pen2),
+        imp_tx=jnp.asarray(tx2), imp_ty=jnp.asarray(ty2), imp_tw=jnp.asarray(tw2),
+        used=jnp.asarray(used2), jacv=jnp.asarray(jacv2), ht=jnp.asarray(ht2),
+        page_color=jnp.asarray(page_color),
+    )

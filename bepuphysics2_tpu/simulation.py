@@ -596,12 +596,22 @@ class Simulation:
                     or new_store.capacity != store_cap
                     or new_store.page != store_page
                 ):
-                    # Capacity change rebuilds the store empty: live pairs re-enter over
-                    # the next frames from broad-phase candidates (one-time warm-start
-                    # loss; the reference's Resize also moves/compacts its caches).
-                    new_store = PairStore.empty(
-                        store_cap, cfg.body_capacity, store_page
-                    )
+                    if new_store is None:
+                        new_store = PairStore.empty(
+                            store_cap, cfg.body_capacity, store_page
+                        )
+                    else:
+                        # Capacity change MIGRATES the store host-side, carrying every
+                        # live pair's color/features/accumulated impulses (reference
+                        # Resize moves its caches). Rebuilding empty instead cost the
+                        # whole scene its warm starts at once: a settled colosseum
+                        # never fully re-slept across an autosize (measured).
+                        from .collision import pairstore as _pairstore
+
+                        new_store = _pairstore.migrate(
+                            new_store, store_cap, cfg.body_capacity, store_page,
+                            cfg.num_colors, kind=self._host.kind,
+                        )
             self._state = self._state._replace(
                 cache=self._state.cache.resized(cfg.max_pairs),
                 sleep_cache=self._state.sleep_cache.resized(cfg.max_pairs),

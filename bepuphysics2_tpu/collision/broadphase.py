@@ -416,7 +416,7 @@ def grid2(
         # dedupe large-large: keep i < j only
         & (~large[:, None] | (me < large_idx[None, :]))
     )
-    KL = min(8, max_large)
+    KL = min(max(pair_k, 8), max_large)  # follows the autosized per-row budget
     lidx_dense = jnp.broadcast_to(large_idx[None, :], (n, max_large))
     lbk, _ = jax.lax.top_k(jnp.where(lg_ok, lidx_dense, -1), KL)  # (N, KL)
     valid_lk = lbk >= 0
